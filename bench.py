@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes fully (noop sink — no driver collect cost, no result
+materialization skew); timing covers plan → execute → last task done.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feature_store_healthcare_spark import queries as catalog  # noqa: E402
+from feature_store_healthcare_spark.operators import dedup  # noqa: E402
+from feature_store_healthcare_spark.session import get_spark  # noqa: E402
+from feature_store_healthcare_spark.sources import load_table  # noqa: E402
+
+#: headline set: relational core + flagship PIT + LLM-pipeline operators
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "eav_latest_per_key",
+    "pit_training_join",
+    "pit_feature_vector_wide",
+    "range_join_recent_clicks",
+    "pivot_event_type_stats",
+    "tumbling_window_counts",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+    "embedding_topk_bruteforce",
+]
+
+
+def bench_minhash_fast(spark, sf_dir):
+    """MinHash-LSH on the fast (xxhash64) path — the production variant;
+    the oracle-checked catalog entry uses the slower portable md5 hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+
+
+EXTRA = {"dedup_minhash_lsh_fast": bench_minhash_fast}
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("fshs-bench")
+    # session warmup: touch the JVM + parquet reader once (not per-query)
+    load_table(spark, sf_dir, "region").count()
+
+    qs = catalog.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in EXTRA.items():
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication operators (SURVEY.md §2.11 OP-48/OP-49; BASELINE.json:6).
+
+Exact, MinHash-LSH, SimHash and n-gram-Jaccard dedup over a text corpus —
+the operators an LLM-training-data pipeline runs at 100 TB.  All hot paths
+are built-in JVM expressions (no Python UDFs): shingling is
+``split``+``transform``+``array_distinct``+``explode``; hashing is
+``xxhash64`` (fast path) or ``md5``-derived (portable path, used where an
+external oracle must reproduce the exact signature).
+
+Scale design:
+- Shingle explode multiplies rows by ~tokens/doc, but each LSH band
+  reduces back to one row per (doc, band) before the self-join; the
+  candidate-pair join is an equi-join on (band, signature) — shuffle keys
+  are uniformly-distributed hashes, so no skew.
+- n-gram Jaccard self-joins on individual shingles; stop-shingle removal
+  (``max_shingle_freq``) caps the blow-up the same way common-word removal
+  does in production near-dup pipelines.
+- SimHash candidate generation uses the pigeonhole band trick: split the
+  signature into ``max_hamming+1`` chunks; any pair within the distance
+  budget must agree on ≥1 chunk, so candidates come from an equi-join on
+  (chunk_id, chunk_value) instead of an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """OP-48: drop exact duplicates on ``cols`` (all columns when None)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_keep_min(df: DataFrame, dup_cols: list[str], id_col: str) -> DataFrame:
+    """Deterministic exact dedup: one keeper row per duplicate group — the
+    minimum ``id_col`` — via a partial-aggregatable min_by (no sort)."""
+    payload = [c for c in df.columns if c not in dup_cols]
+    agg = F.min_by(F.struct(*[F.col(c) for c in payload]), F.col(id_col)).alias("__k")
+    out = df.groupBy(*dup_cols).agg(agg)
+    return out.select(*dup_cols, *[F.col(f"__k.{c}").alias(c) for c in payload])
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles → long table (id_col, shingle).
+
+    Pure built-ins: tokenize with split, slide a window with transform over
+    an index sequence, join each n-gram back into a string.
+    """
+    tokens = F.split(normalize_text(text_col), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    # Docs shorter than n tokens yield a single (short) shingle — keep it.
+    arr = F.array_distinct(ngrams) if distinct else ngrams
+    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signature per document: for hash seed h, the signature element
+    is ``min over shingles of H(shingle, h)``.
+
+    ``portable=False`` (default, fast path): xxhash64 with per-seed salt —
+    a 64-bit JVM hash, vectorizable, no materialized strings.
+    ``portable=True``: first 16 hex chars of md5(seed || shingle) — slower
+    but reproducible bit-for-bit in any engine with md5 (used by the
+    DuckDB-checked query catalog).
+    Output: (id_col, mh_0..mh_{k-1}).
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    aggs = []
+    for h in range(num_hashes):
+        if portable:
+            elem = F.substring(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle"))), 1, 16)
+        else:
+            elem = F.xxhash64(F.lit(h), F.col("shingle"))
+        aggs.append(F.min(elem).alias(f"mh_{h}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """OP-49: candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents colliding on any full band become a candidate pair.  Returns
+    distinct (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable)
+    band_entries = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + i}").cast("string") for i in range(rows_per_band)]
+        band_entries.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
+    ).select(id_col, "b.band", "b.bkey")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """OP-49 (exact variant): pairwise Jaccard over distinct word n-grams for
+    every pair sharing ≥1 shingle; keep pairs with similarity ≥ threshold.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the self-join (stop-shingle removal — the standard guard
+    against quadratic blow-up on common phrases at scale).
+    Output: (id_a, id_b, common, size_a, size_b, jaccard).
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        sh = sh.join(F.broadcast(freq.where(F.col("__f") <= max_shingle_freq)), "shingle").drop("__f")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    l = sh.alias("l")
+    r = sh.alias("r")
+    common = (
+        l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash signature per doc (OP-49 variant): each token hashes to a
+    ``bits``-wide value; bit i of the signature is 1 iff the sum over tokens
+    of ±1 (by token-hash bit i) is positive.
+
+    Token hash is the low 8 hex chars of md5 (portable across engines).
+    Implemented as ``bits`` conditional-sum aggregates — no per-bit explode.
+    Output: (id_col, simhash: long).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tokens.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split the signature into ``max_hamming+1`` chunks;
+    any qualifying pair agrees exactly on ≥1 chunk → candidates from an
+    equi-join on (chunk_id, chunk_value), then exact bit_count filter.
+    """
+    chunks = max_hamming + 1
+    width = bits // chunks
+    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("cval"),
+        )
+        for c in range(chunks)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("b")
+    ).select(id_col, "simhash", "b.chunk", "b.cval")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(r, on=[F.col("l.chunk") == F.col("r.chunk"),
+                      F.col("l.cval") == F.col("r.cval"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,166 @@
+"""Point-in-time (AS-OF) operators — the engine's flagship (SURVEY.md §2.3).
+
+Reference semantics re-expressed:
+
+- OP-15 ``latest value per (feature, entity) as of T``:
+  feature_registry.py:443-496 filters ``event_timestamp <= as_of`` then takes
+  ``max(..., key=event_timestamp)`` — an argmax-by-time over an in-memory
+  list.
+- OP-16 per-row as-of training join: feature_server.py:355-408 loops each
+  spine row and re-scans the whole offline store (O(spine×values×features)).
+- OP-20 latest-per-key aggregate: feature_server.py:556-566.
+
+Tie-breaking: the reference is ambiguous (``max`` keeps the first maximum at
+feature_registry.py:490, the serving scan keeps the first-seen at
+feature_server.py:560-565, and neither consults created_timestamp).  This
+engine is deterministic: order by ``(ts, *tiebreak)`` descending — callers
+pass e.g. ``created_timestamp`` or a stable row id as the tiebreak.
+
+Scale design (100 TB):
+
+- Default strategy is ``max_by`` — a hash aggregate with *map-side partial
+  aggregation*, so each input partition reduces to ≤ |distinct keys| rows
+  before the single shuffle.  For billions of EAV rows with millions of
+  entities this moves a tiny fraction of the input.
+- The ``window`` strategy (row_number over partitionBy keys) shuffles and
+  sorts the full input; it is kept for cases needing top-N>1 or where the
+  whole winning row (arbitrary width) must survive.
+- ``point_in_time_join`` is one equi-join on the entity key (AQE picks
+  broadcast when either side is small, and splits skewed entity keys)
+  followed by the max_by aggregate — one shuffle total, versus the
+  reference's nested loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_filter(
+    df: DataFrame, ts_col: str, as_of: datetime | str | Column | None
+) -> DataFrame:
+    """OP-11: keep rows observed at or before ``as_of``
+    (feature_registry.py:481-484).  ``None`` means "now" → no filter needed
+    for an append-only store read at query time."""
+    if as_of is None:
+        return df
+    bound = as_of if isinstance(as_of, Column) else F.lit(as_of).cast("timestamp_ntz")
+    return df.where(F.col(ts_col) <= bound)
+
+
+def _ordering_struct(ts_col: str, tiebreak: Sequence[str]) -> Column:
+    return F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    as_of: datetime | str | Column | None = None,
+    strategy: str = "max_by",
+) -> DataFrame:
+    """OP-15/OP-20/OP-26: newest row per key (deterministic argmax-by-time).
+
+    Returns one row per key with all original columns.  ``max_by`` packs the
+    non-key columns into a struct and takes ``max_by(struct, (ts, *tiebreak))``
+    — partial-aggregatable, one shuffle, no sort.  ``window`` uses
+    ``row_number() == 1``.
+    """
+    df = as_of_filter(df, ts_col, as_of)
+    if strategy == "window":
+        order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    payload_cols = [c for c in df.columns if c not in keys]
+    agg = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        _ordering_struct(ts_col, tiebreak),
+    ).alias("__latest")
+    out = df.groupBy(*keys).agg(agg)
+    return out.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload_cols])
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    values: DataFrame,
+    on: Sequence[str] | str,
+    spine_ts: str,
+    value_ts: str,
+    value_cols: Sequence[str] | None = None,
+    tiebreak: Sequence[str] = (),
+    spine_keys: Sequence[str] | None = None,
+    ts_suffix: str = "__timestamp",
+) -> DataFrame:
+    """OP-16: leak-free per-row as-of join (feature_server.py:355-408).
+
+    For each spine row, attach the newest ``values`` row with
+    ``value_ts <= spine row's own spine_ts``, matching on the entity key(s)
+    ``on``.  Spine rows with no eligible value keep NULLs (the reference's
+    null-fill path, feature_server.py:575-581); every spine column is
+    preserved (feature_server.py:395) and each value column gains a
+    ``{col}{ts_suffix}`` companion carrying the value's observation time
+    (feature_server.py:397-398).
+
+    ``spine_keys``: columns that uniquely identify a spine row.  When None, a
+    synthetic unique id is derived (monotonically_increasing_id), the
+    aggregate groups on it, and it is dropped on output.
+
+    Plan shape: equi-join on ``on`` → range predicate → max_by aggregate on
+    the spine key.  One shuffle for the join (AQE broadcast/skew handles
+    small or hot sides) + one partial-aggregated shuffle for the argmax.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in values.columns if c not in on and c != value_ts and c not in tiebreak
+    ]
+
+    drop_key = False
+    if spine_keys is None:
+        spine = spine.withColumn("__spine_id", F.monotonically_increasing_id())
+        spine_keys = ["__spine_id"]
+        drop_key = True
+    spine_keys = list(spine_keys)
+
+    v = values.select(
+        *[F.col(c).alias(f"__v_{c}") for c in on],
+        F.col(value_ts).alias("__v_ts"),
+        *[F.col(c).alias(f"__v_tb_{c}") for c in tiebreak],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+
+    join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
+    join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    joined = spine.join(v, on=join_cond, how="left")
+
+    group_cols = [c for c in spine.columns]  # spine columns all survive
+    payload = F.max_by(
+        F.struct(
+            F.col("__v_ts"),
+            *[F.col(f"__v_{c}") for c in value_cols],
+        ),
+        F.struct(F.col("__v_ts"), *[F.col(f"__v_tb_{c}") for c in tiebreak]),
+    ).alias("__pit")
+    # Group by the unique spine key; carry the remaining spine columns with
+    # `first` inside the same aggregate (they are functionally dependent on
+    # the key, so this is exact, and it keeps the plan to a single agg).
+    carry = [c for c in group_cols if c not in spine_keys]
+    agged = joined.groupBy(*spine_keys).agg(
+        *[F.first(F.col(c)).alias(c) for c in carry], payload
+    )
+    out_cols = [F.col(c) for c in group_cols if c != "__spine_id"]
+    for c in value_cols:
+        out_cols.append(F.col(f"__pit.__v_{c}").alias(c))
+        out_cols.append(F.col("__pit.__v_ts").alias(f"{c}{ts_suffix}"))
+    out = agged.select(*out_cols)
+    if drop_key and "__spine_id" in out.columns:
+        out = out.drop("__spine_id")
+    return out

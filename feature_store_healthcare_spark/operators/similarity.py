@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (SURVEY.md OP-50; BASELINE.json:6).
+
+Embeddings are ``array<float>`` columns (the reference's EMBEDDING value
+type, feature_registry.py:42).  Two strategies:
+
+- :func:`cosine_topk` — exact brute force.  Queries are broadcast (a query
+  batch is small by construction); the corpus is scanned once, similarity is
+  a JVM-side ``aggregate(zip_with(...))`` fold, and top-k per query is a
+  partial-aggregatable ``max_by`` over k slots... implemented as a window
+  over (query, corpus) pairs.  Cost: O(|Q|·|corpus|·dim) FLOPs streamed
+  through codegen — the right baseline, and at 100 TB still the correct
+  *verification* path for any ANN index.
+- :func:`rp_lsh_topk` — approximate: random-hyperplane (sign) LSH.  Each
+  vector gets a ``n_planes``-bit bucket id; candidates are corpus vectors in
+  the same bucket (plus optional multiprobe neighbors at Hamming distance 1),
+  then exact cosine re-ranks.  The bucket join is an equi-join on the bucket
+  id → shuffle keys are hash-uniform, broadcast when the query side is small.
+
+Embedding near-dup (OP-49 cosine variant) reuses the same machinery with a
+similarity threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold over the zipped arrays — deterministic order, double
+    precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query by cosine similarity.
+
+    Output: (query_id, vec_id, cosine, rank) — ties broken by corpus id for
+    determinism.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("__qid") != F.col("__cid"))
+    scored = pairs.withColumn("cosine", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free gaussian hyperplanes (driver-side constants —
+    data-independent, broadcast into the plan as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_bits(vec: Column, planes: list[list[float]]) -> Column:
+    bits = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        positive = _dot(vec, lit_plane) >= 0
+        bit = F.when(positive, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("long")
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    With ``multiprobe``, each query also probes the ``n_planes`` buckets at
+    Hamming distance 1, trading ~(n_planes+1)× candidate volume for much
+    better recall.  Scale path: the corpus is bucketed once (reusable,
+    writable as a bucketed table partitioned by bucket id); per-query work
+    touches only matching buckets instead of the full corpus.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    ).withColumn("__bucket", _bucket_bits(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    ).withColumn("__qbucket", _bucket_bits(F.col("__qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("__qbucket"),
+            *[F.col("__qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.select("__qid", "__qv", F.explode(probes).alias("__qbucket"))
+    cand = F.broadcast(q).join(c, on=F.col("__qbucket") == F.col("__bucket"))
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__cid"))
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).dropDuplicates(["__qid", "__cid"])
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """OP-49 (embedding-cosine variant): pairs with cosine ≥ threshold,
+    candidate-generated by shared LSH bucket (high-cosine pairs almost
+    always share all sign bits; multiprobe of distance-1 buckets covers
+    boundary cases)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    base = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+    ).withColumn("bucket", _bucket_bits(F.col("v"), planes))
+    probes = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    l = base.alias("l")
+    r = probes.alias("r")
+    cand = (
+        l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")])
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators over document corpora (SURVEY.md OP-51;
+BASELINE.json:6).
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + a BPE-ish regex estimate), and document fingerprinting —
+each as pure built-in column expressions so they run inside whole-stage
+codegen over arbitrarily large corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.dedup import normalize_text
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "zh": ["的", "了", "是", "在", "我", "有", "他", "这"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(normalize_text(c), " "))
+
+
+def bpe_ish_token_estimate(text: Column | str) -> Column:
+    """BPE-ish subword-count estimate: word pieces + punctuation marks,
+    counted with a single regexp (≈ GPT-style ``\\w+|[^\\w\\s]`` pre-token
+    split, each word then ~len/4 subwords, minimum 1)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.regexp_count(c, F.lit(r"\w+"))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    chars = F.length(F.regexp_replace(c, r"\s", ""))
+    # blend: one token per punctuation mark, ~¼ of word characters.
+    return F.greatest(words, (chars / F.lit(4)).cast("long")) + punct
+
+
+def stopword_hits(text: Column | str, words: list[str]) -> Column:
+    """Number of the given stopwords present (set semantics) in the text."""
+    toks = F.array_distinct(F.split(normalize_text(text), " "))
+    hits = F.filter(F.array(*[F.lit(w) for w in words]), lambda w: F.array_contains(toks, w))
+    return F.size(hits)
+
+
+def lang_id(text: Column | str, stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Language-ID heuristic: argmax over per-language stopword hit counts;
+    'und' (undetermined) when no list scores > 0.  Deterministic tie-break:
+    lexicographically smallest language code wins."""
+    stopwords = stopwords or LANG_STOPWORDS
+    codes = sorted(stopwords)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, stopwords[code]).alias("score"),
+                # rank inverts code order so struct-max ties pick the
+                # lexicographically smallest code
+                F.lit(-i).alias("rank"),
+                F.lit(code).alias("code"),
+            )
+            for i, code in enumerate(codes)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document quality signals: n_tokens, n_chars, mean token length,
+    punctuation ratio, digit ratio, uppercase ratio, stopword ratio (en),
+    and a composite [0,1] quality score.
+
+    The score prefers mid-length documents with plausible word shape — the
+    standard cheap pre-filter in LLM data pipelines.
+    """
+    c = F.col(text_col)
+    n_tokens = token_count(c).alias("n_tokens")
+    n_chars = F.length(c).alias("n_chars_measured")
+    out = df.select(
+        F.col(id_col),
+        n_tokens,
+        n_chars,
+        (F.length(F.regexp_replace(c, r"\s", "")) / token_count(c))
+        .alias("mean_token_len"),
+        (F.regexp_count(c, F.lit(r"[^\w\s]")) / F.greatest(F.length(c), F.lit(1)))
+        .alias("punct_ratio"),
+        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1)))
+        .alias("digit_ratio"),
+        (F.regexp_count(c, F.lit(r"[A-Z]")) / F.greatest(F.length(c), F.lit(1)))
+        .alias("upper_ratio"),
+        (
+            stopword_hits(c, LANG_STOPWORDS["en"])
+            / F.greatest(F.size(F.array_distinct(F.split(normalize_text(c), " "))), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    length_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    shape_score = F.when(
+        (F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    noise_penalty = F.lit(1.0) - F.least(
+        F.col("punct_ratio") + F.col("digit_ratio"), F.lit(1.0)
+    )
+    return out.withColumn(
+        "quality_score", length_score * shape_score * noise_penalty
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    the exact-dedup key that survives whitespace/case jitter."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("fingerprint"),
+        F.length(normalize_text(text_col)).alias("norm_len"),
+    )

@@ -1,0 +1,1147 @@
+"""Query catalog: every declared engine capability as a (Spark, oracle-SQL)
+pair.
+
+Each entry implements one or more operators from SURVEY.md §2 with idiomatic
+DataFrame code, together with an ANSI-SQL string DuckDB runs over the same
+parquet tables.  The driver compares row count + schema + order-insensitive
+value hash, so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates use the exact-sum pattern ``cast(sum(cast(x as
+  decimal(25,6))) as double)`` so values are bit-identical regardless of
+  partitioning/accumulation order;
+- computed similarity scores are rounded to fixed decimals and ties broken by
+  a stable id before any top-k cut.
+
+Determinism notes are on each query.  All timestamps are naive UTC
+(session timezone pinned by session.configure).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark import functions as fx
+from feature_store_healthcare_spark.operators import dedup, similarity, text
+from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
+from feature_store_healthcare_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _dsum(col: str | F.Column, alias: str) -> F.Column:
+    """Exact float sum: decimal-accumulated, double-valued (order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,6)")).cast("double").alias(alias)
+
+
+_DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scan/filter/project/join/agg/window/sort/set (OP-8..31, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DSUM_SQL.format(expr='l_quantity')} AS sum_qty,
+           {_DSUM_SQL.format(expr='l_extendedprice')} AS sum_base_price,
+           {_DSUM_SQL.format(expr='l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+           {_DSUM_SQL.format(expr='l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+           {_DSUM_SQL.format(expr='l_quantity')} / COUNT(*) AS avg_qty,
+           {_DSUM_SQL.format(expr='l_extendedprice')} / COUNT(*) AS avg_price,
+           {_DSUM_SQL.format(expr='l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg (OP-21/22): partial-aggregated hash
+    agg over a pushed-down shipdate filter."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+        _dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            "sum_charge",
+        ),
+        (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / n).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_DSUM_SQL.format(expr='l_extendedprice*(1-l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + deterministic top-k (OP-19/31).
+    customer is the small side → broadcast; revenue computed with the exact
+    decimal-sum pattern so the top-10 cut is stable."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    f"""
+    SELECT n_name,
+           {_DSUM_SQL.format(expr='l_extendedprice*(1-l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: dims broadcast, facts shuffle once
+    (OP-19).  Catalyst/AQE pick broadcast-hash for region/nation/supplier/
+    customer automatically; hints mark the intent."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "filter_project_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+      AND l_quantity > 25
+    """,
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-9/10/13: conjunctive predicates + narrow projection — filters and
+    ReadSchema must reach the parquet scan (verified in tests via explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_quantity") > 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-31: top-k = TakeOrderedAndProject (no full sort materialization);
+    o_orderkey tie-break keeps the cut deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-19 (semi): customers with a big order — left_semi join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-19 (anti): customers with no orders — left_anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-26/28: per-customer top-3 orders by price via row_number."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_lag_gap",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, prev_date,
+           CASE WHEN prev_date IS NULL THEN NULL
+                ELSE date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE))
+           END AS gap_days
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_date
+          FROM orders)
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-28 (lag/lead): days between consecutive orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    return df.withColumn(
+        "gap_days",
+        F.when(
+            F.col("prev_date").isNotNull(),
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")),
+        ).cast("int"),
+    )
+
+
+@query(
+    "set_ops_customers",
+    """
+    SELECT c_custkey, 'building_high_balance' AS src FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    )
+    UNION ALL
+    SELECT c_custkey, 'automobile_low_balance' AS src FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    )
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: INTERSECT / EXCEPT / UNION ALL."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    high = cust.where(F.col("c_acctbal") > 1000).select("c_custkey")
+    a = building.intersect(high).withColumn("src", F.lit("building_high_balance"))
+    b = auto.exceptAll(high).distinct().withColumn("src", F.lit("automobile_low_balance"))
+    return a.unionByName(b)
+
+
+@query(
+    "cardinality_monitoring",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def cardinality_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-53 surface: entity-cardinality monitoring.  Exact distincts here
+    for oracle parity; the scale path is approx_count_distinct (see
+    tests/test_operators.py::test_approx_count_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+
+
+@query(
+    "serving_metrics_rollup",
+    f"""
+    SELECT event_type AS request_kind,
+           COUNT(*) AS requests,
+           {_DSUM_SQL.format(expr='value')} / COUNT(*) AS avg_latency,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p50_latency,
+           CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS p99_latency
+    FROM events GROUP BY event_type
+    """,
+)
+def serving_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-22/23/25: avg + exact interpolated p50/p99 per request kind
+    (events.value stands in for latency_ms; mirrors
+    feature_server.py:481-493's avg/p99 over the request log)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("request_kind")).agg(
+        F.count("*").alias("requests"),
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "avg_latency"
+        ),
+        F.expr("cast(percentile(value, 0.5) as double)").alias("p50_latency"),
+        F.expr("cast(percentile(value, 0.99) as double)").alias("p99_latency"),
+    )
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-42: JSON field extraction from events.props."""
+    ev = load_table(spark, sf_dir, "events").withColumn("k", fx.json_long("props", "$.k"))
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        F.count("k").alias("n_with_k"),
+    )
+
+
+@query(
+    "sha2_feature_ids",
+    """
+    SELECT p_partkey,
+           concat('feat_', substr(sha256(concat_ws(':', p_name, '1.0.0', 'part')), 1, 16))
+             AS feature_id
+    FROM part
+    """,
+)
+def sha2_feature_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-33: content-hash feature ids (feature_registry.py:617-625
+    semantics: feat_ + sha256(name:version:entity_type)[:16])."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        fx.feature_id(F.col("p_name"), F.lit("1.0.0"), F.lit("part")).alias("feature_id"),
+    )
+
+
+@query(
+    "store_cache_keys",
+    """
+    SELECT DISTINCT user_id,
+           concat_ws(':', 'user', CAST(user_id AS VARCHAR)) AS store_key,
+           sha256(concat_ws(':', 'user', CAST(user_id AS VARCHAR), 'click,view'))
+             AS cache_key
+    FROM events
+    """,
+)
+def store_cache_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30/33/37: online store key + canonical (sorted-names) cache key
+    (feature_server.py:428, :470-479)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return ev.select(
+        "user_id",
+        fx.store_key(F.lit("user"), F.col("user_id")).alias("store_key"),
+        fx.cache_key(
+            F.lit("user"), F.col("user_id"), F.array(F.lit("view"), F.lit("click"))
+        ).alias("cache_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store semantics over the events EAV mapping
+# (feature=event_type, entity=user_id, value=value, event_ts=ts)
+# ---------------------------------------------------------------------------
+
+_EAV_LATEST_SQL = """
+    SELECT user_id, event_type, value, ts, event_id
+    FROM (SELECT user_id, event_type, value, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events {where})
+    WHERE rn = 1
+"""
+
+
+@query("eav_latest_per_key", _EAV_LATEST_SQL.format(where=""))
+def eav_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-15/20/26: newest value per (entity, feature) — deterministic
+    argmax by (ts, event_id), via partial-aggregatable max_by."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    return latest_per_key(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+
+
+@query(
+    "eav_asof_lookup",
+    _EAV_LATEST_SQL.format(where="WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'"),
+)
+def eav_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-11+15: as-of lookup — same argmax under an event-time cutoff
+    (feature_registry.py:443-496 semantics; leak check: nothing after the
+    cutoff may surface)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    return latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"], as_of="2024-01-15 00:00:00"
+    )
+
+
+_PIT_JOIN_SQL = """
+    WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    vals AS (SELECT user_id, value, ts, event_id FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT s.event_id, s.user_id, s.ts,
+             v.value AS click_value, v.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY s.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM spine s LEFT JOIN vals v ON v.user_id = s.user_id AND v.ts <= s.ts
+    )
+    SELECT event_id, user_id, ts, click_value,
+           click_ts AS click_value__timestamp
+    FROM j WHERE rn = 1
+"""
+
+
+@query("pit_training_join", _PIT_JOIN_SQL)
+def pit_training_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16 — the flagship: leak-free per-row as-of join.  Each purchase
+    (spine row) gets the user's latest click value strictly as of that
+    purchase's own timestamp (feature_server.py:355-408 semantics, executed
+    as one equi-join + one partial-aggregated argmax instead of
+    O(spine×values) loops)."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    vals = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("value").alias("click_value"), "ts", "event_id")
+    )
+    return point_in_time_join(
+        spine,
+        vals,
+        on="user_id",
+        spine_ts="ts",
+        value_ts="ts",
+        value_cols=["click_value"],
+        tiebreak=["event_id"],
+        spine_keys=["event_id"],
+    )
+
+
+_PIT_WIDE_SQL = """
+    WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id, value AS f_click, vts AS f_click__timestamp FROM (
+        SELECT s.event_id, v.value, v.ts AS vts,
+               ROW_NUMBER() OVER (PARTITION BY s.event_id ORDER BY v.ts DESC, v.event_id DESC) rn
+        FROM spine s LEFT JOIN (SELECT * FROM events WHERE event_type='click') v
+          ON v.user_id = s.user_id AND v.ts <= s.ts) WHERE rn = 1
+    ),
+    w AS (
+      SELECT event_id, value AS f_view, vts AS f_view__timestamp FROM (
+        SELECT s.event_id, v.value, v.ts AS vts,
+               ROW_NUMBER() OVER (PARTITION BY s.event_id ORDER BY v.ts DESC, v.event_id DESC) rn
+        FROM spine s LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+          ON v.user_id = s.user_id AND v.ts <= s.ts) WHERE rn = 1
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           c.f_click, c.f_click__timestamp, w.f_view, w.f_view__timestamp
+    FROM spine s JOIN c ON s.event_id = c.event_id JOIN w ON s.event_id = w.event_id
+"""
+
+
+@query("pit_feature_vector_wide", _PIT_WIDE_SQL)
+def pit_feature_vector_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16+OP-12: multi-feature point-in-time retrieval into a wide
+    training vector with per-feature __timestamp companions
+    (feature_server.py:394-398)."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = spine
+    for feat, col_name in (("click", "f_click"), ("view", "f_view")):
+        vals = (
+            ev.where(F.col("event_type") == feat)
+            .select("user_id", F.col("value").alias(col_name), "ts", "event_id")
+        )
+        out = point_in_time_join(
+            out,
+            vals,
+            on="user_id",
+            spine_ts="ts",
+            value_ts="ts",
+            value_cols=[col_name],
+            tiebreak=["event_id"],
+            spine_keys=["event_id"],
+        )
+    return out
+
+
+@query(
+    "pivot_event_type_stats",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-12: long→wide pivot with a fixed feature list (skips the extra
+    distinct-values job and keeps the schema stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+
+
+@query(
+    "null_fill_defaults",
+    """
+    WITH latest AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ),
+    now_t AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT c_custkey AS entity_id,
+           COALESCE(l.value, 0.0) AS purchase_value,
+           CASE WHEN l.ts IS NULL THEN 'expired'
+                WHEN date_diff('microsecond', l.ts, now_ts) <= 3600000000 THEN 'fresh'
+                WHEN date_diff('microsecond', l.ts, now_ts) <= 86400000000 THEN 'stale'
+                ELSE 'expired' END AS freshness
+    FROM customer CROSS JOIN now_t
+    LEFT JOIN latest l ON l.user_id = c_custkey
+    """,
+)
+def null_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-14 + OP-36: entity spine left-joined to latest values; missing
+    features null-fill to a default with freshness 'expired'
+    (feature_server.py:520-527, :585-594).  "now" is pinned to max(ts) for
+    determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    latest = latest_per_key(
+        ev.where(F.col("event_type") == "purchase").select("user_id", "value", "ts", "event_id"),
+        ["user_id"],
+        "ts",
+        tiebreak=["event_id"],
+    )
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        cust.crossJoin(F.broadcast(now))
+        .join(F.broadcast(latest), cust.c_custkey == latest.user_id, "left")
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("purchase_value"),
+            fx.freshness("ts", "now_ts").alias("freshness"),
+        )
+    )
+
+
+@query(
+    "freshness_classification",
+    """
+    WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT event_type,
+           CASE WHEN date_diff('microsecond', ts, now_ts) <= 3600000000 THEN 'fresh'
+                WHEN date_diff('microsecond', ts, now_ts) <= 86400000000 THEN 'stale'
+                ELSE 'expired' END AS freshness,
+           COUNT(*) AS n
+    FROM events CROSS JOIN now_t
+    GROUP BY event_type, freshness
+    """,
+)
+def freshness_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-35/36: age vs SLA thresholds (3600 s / 86400 s,
+    feature_server.py:585-594), "now" pinned to max(ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .select("event_type", fx.freshness("ts", "now_ts").alias("freshness"))
+        .groupBy("event_type", "freshness")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "acl_filtered_features",
+    """
+    WITH registry(feature_name, phi_level, access_roles) AS (VALUES
+        ('click',    'none',     []::VARCHAR[]),
+        ('view',     'none',     []::VARCHAR[]),
+        ('purchase', 'indirect', ['analyst','billing']),
+        ('signup',   'indirect', ['marketing']),
+        ('error',    'direct',   ['admin'])
+    ),
+    latest AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT r.feature_name, r.phi_level, COUNT(*) AS n_entities
+    FROM latest l JOIN registry r ON l.event_type = r.feature_name
+    WHERE r.phi_level = 'none'
+       OR len(list_intersect(r.access_roles, ['analyst','clinician'])) > 0
+    GROUP BY r.feature_name, r.phi_level
+    """,
+)
+def acl_filtered_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-38/39: ACL gate as a broadcast registry join + arrays_overlap
+    filter applied BEFORE data access (feature_registry.py:469-475
+    semantics: PHI features require a role overlap; non-PHI is open)."""
+    registry = spark.createDataFrame(
+        [
+            ("click", "none", []),
+            ("view", "none", []),
+            ("purchase", "indirect", ["analyst", "billing"]),
+            ("signup", "indirect", ["marketing"]),
+            ("error", "direct", ["admin"]),
+        ],
+        "feature_name string, phi_level string, access_roles array<string>",
+    )
+    user_roles = ["analyst", "clinician"]
+    allowed = registry.where(fx.acl_allowed("phi_level", "access_roles", user_roles))
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    latest = latest_per_key(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    return (
+        latest.join(F.broadcast(allowed), latest.event_type == allowed.feature_name)
+        .groupBy("feature_name", "phi_level")
+        .agg(F.count("*").alias("n_entities"))
+    )
+
+
+@query(
+    "online_offline_consistency",
+    """
+    WITH by_argmax AS (
+      SELECT user_id, event_type,
+             (max(struct_pack(ts := ts, event_id := event_id, value := value))).value
+               AS value
+      FROM events GROUP BY user_id, event_type
+    ),
+    by_window AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT * FROM by_argmax EXCEPT SELECT * FROM by_window
+    UNION ALL
+    (SELECT * FROM by_window EXCEPT SELECT * FROM by_argmax)
+    """,
+)
+def online_offline_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: online/offline parity diff (README.md:13 of the reference).
+    The online table (argmax-maintained) and the offline-derived latest
+    snapshot (window) must agree — symmetric EXCEPT returns 0 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    online = latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"], strategy="max_by"
+    ).select("user_id", "event_type", "value")
+    offline = latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"], strategy="window"
+    ).select("user_id", "event_type", "value")
+    return online.exceptAll(offline).unionAll(offline.exceptAll(online))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / text / similarity (OP-48..53)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@query(
+    "dedup_exact_fingerprint",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-48 + fingerprinting: exact dedup on the normalized-text md5;
+    deterministic keeper = min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows = num_hashes // bands
+    shingle = "concat_ws(' ', t[i], t[i+1], t[i+2])"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {shingle} AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i)
+    ),
+    mh AS (
+      SELECT doc_id, h, MIN(substr(md5(concat(h, ':', shingle)), 1, 16)) AS mhv
+      FROM sh, LATERAL (SELECT UNNEST(range(0, {num_hashes})) AS h)
+      GROUP BY doc_id, h
+    ),
+    banded AS (
+      SELECT doc_id, h // {rows} AS band,
+             md5(string_agg(mhv, '|' ORDER BY h)) AS bkey
+      FROM mh GROUP BY doc_id, h // {rows}
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49: MinHash-LSH candidate pairs (16 hashes × 4 bands over 3-gram
+    shingles).  Portable md5-derived hash so the signature is reproducible
+    in any engine; the fast path (xxhash64) is covered by unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    )
+
+
+def _jaccard_oracle(n: int = 2, threshold: float = 0.12) -> str:
+    shingle = "concat_ws(' ', t[i], t[i+1])"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {shingle} AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT id_a, id_b, common, a.sz AS size_a, b.sz AS size_b,
+           common / (a.sz + b.sz - common) AS jaccard
+    FROM common JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
+    WHERE common / (a.sz + b.sz - common) >= {threshold}
+    """
+
+
+@query("dedup_ngram_jaccard", _jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49 (exact variant): pairwise bigram-shingle Jaccard ≥ 0.12.
+    Jaccard is an int/int division → bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.12)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    # Token hash = integer value of the last 8 hex chars of md5(token).
+    # Bit i lives in hex digit (from the right) i//4, bit position i%4;
+    # hex digit value via strpos over the hex alphabet (portable).
+    digit = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
+    bit_terms = []
+    for i in range(bits):
+        pos = 32 - (i // 4)
+        d = digit.format(pos=pos)
+        bit_terms.append(
+            f"CASE WHEN SUM(CASE WHEN (({d}) // {1 << (i % 4)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        )
+    sig = " + ".join(bit_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKENS_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id, ({sig}) AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+@query("simhash_signatures", _simhash_oracle())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49 (SimHash variant): 32-bit portable simhash per document.
+    Pair-matching at scale uses the pigeonhole chunk join
+    (operators.dedup.simhash_pairs, unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "doc_id", "text", bits=32)
+
+
+@query(
+    "text_stats_by_lang_source",
+    f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len({_TOKENS_SQL})) AS sum_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-51: corpus statistics per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(text.token_count(F.col("text"))).alias("sum_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           length(regexp_replace(text, '\\s', '', 'g'))
+             / len({_TOKENS_SQL}) AS mean_token_len,
+           len(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+             / greatest(length(text), 1) AS punct_ratio,
+           len(regexp_extract_all(text, '[0-9]'))
+             / greatest(length(text), 1) AS digit_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-51: per-document quality signals (token count, mean token length,
+    punctuation/digit ratios) — all int/int divisions, bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_tokens = text.token_count(c)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.length(F.regexp_replace(c, r"\s", "")) / n_tokens).alias("mean_token_len"),
+        (
+            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("punct_ratio"),
+        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
+            "digit_ratio"
+        ),
+    )
+
+
+def _lang_id_oracle() -> str:
+    codes = sorted(text.LANG_STOPWORDS)
+    score_exprs = []
+    for code in codes:
+        hits = " + ".join(
+            f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+            for w in text.LANG_STOPWORDS[code]
+        )
+        score_exprs.append(f"({hits}) AS s_{code}")
+    m = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN s_{c} = m THEN '{c}'" for c in codes)
+    return f"""
+    WITH scored AS (
+      SELECT lang, {', '.join(score_exprs)}
+      FROM (SELECT lang, list_distinct({_TOKENS_SQL}) AS toks FROM documents)
+    ),
+    best AS (SELECT lang, {m} AS m, * FROM scored)
+    SELECT lang, CASE WHEN m = 0 THEN 'und' {case} END AS predicted_lang,
+           COUNT(*) AS n
+    FROM best GROUP BY lang, predicted_lang
+    """
+
+
+@query("lang_id_confusion", _lang_id_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-51: stopword-hit language-ID heuristic; output is the
+    (labeled lang × predicted lang) confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_COSINE_SQL = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))),
+      4)
+"""
+
+
+@query(
+    "embedding_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid, {_COSINE_SQL.format(a='qv', b='cv')} AS cosine
+      FROM q CROSS JOIN c WHERE qid <> cid
+    )
+    SELECT qid AS query_id, cid AS vec_id, cosine, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-50: exact brute-force cosine top-5 for query vectors vec_id<5.
+    Cosine rounded to 4 decimals BEFORE ranking, ties broken by vec_id —
+    the cut is deterministic across engines.  The approximate scale path
+    (random-hyperplane LSH) is unit-tested for recall against this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = similarity.cosine_topk(
+        q, emb, k=5, query_id="query_id", corpus_id="vec_id"
+    )
+    # cosine_topk ranks on raw cosine; re-rank on the rounded value for
+    # cross-engine determinism of the top-k cut.
+    qq = q.select(F.col("query_id").alias("__qid"), F.col("embedding").alias("__qv"))
+    cc = emb.select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cv"))
+    pairs = F.broadcast(qq).crossJoin(cc).where(F.col("__qid") != F.col("__cid"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(similarity.cosine_similarity(F.col("__qv"), F.col("__cv")), 4),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("vec_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(range(1, 65),
+                i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS DECIMAL(25,8)))
+             AS DOUBLE) / COUNT(*) AS avg_l2_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-50/52: embedding hygiene stats per label.  Per-row norms are
+    deterministic folds; the cross-row mean uses the exact decimal-sum
+    pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("__norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum(F.col("__norm").cast("decimal(25,8)")).cast("double") / F.count("*")).alias(
+                "avg_l2_norm"
+            ),
+        )
+    )
+
+
+@query(
+    "tumbling_window_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_DSUM_SQL.format(expr='value')} AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-45 (batch-equivalent): tumbling 1-hour event-time windows.  The
+    same aggregation runs incrementally under Structured Streaming with a
+    watermark (streaming/pipeline.py; unit-tested with availableNow)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (OP-19 range variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_join_recent_clicks",
+    """
+    SELECT s.event_id, s.user_id, COUNT(v.event_id) AS clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
+      ON v.user_id = s.user_id
+     AND v.ts <= s.ts AND v.ts > s.ts - INTERVAL 1 HOUR
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-19 (range): interval join — clicks in the hour before each
+    purchase.  Equi-join on user_id carries the shuffle; the interval is a
+    post-join range predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "purchase").alias("s")
+    v = ev.where(F.col("event_type") == "click").alias("v")
+    return (
+        s.join(
+            v,
+            on=[
+                F.col("v.user_id") == F.col("s.user_id"),
+                F.col("v.ts") <= F.col("s.ts"),
+                F.col("v.ts") > F.col("s.ts") - F.expr("INTERVAL 1 HOUR"),
+            ],
+            how="left",
+        )
+        .groupBy(F.col("s.event_id").alias("event_id"), F.col("s.user_id").alias("user_id"))
+        .agg(F.count(F.col("v.event_id")).alias("clicks_1h"))
+    )

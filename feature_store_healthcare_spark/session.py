@@ -1,0 +1,77 @@
+"""SparkSession construction and runtime configuration.
+
+Two entry points:
+
+- :func:`get_spark` builds a tuned local session (tests, bench).
+- :func:`configure` applies the *runtime-settable* confs this engine relies
+  on to an existing session.  The correctness driver constructs its own
+  SparkSession, so every public query function calls ``configure(spark)``
+  before touching data — in particular the events table is written with
+  parquet ``TIMESTAMP(NANOS)`` which Spark only reads with
+  ``spark.sql.legacy.parquet.nanosAsLong=true``.
+
+Scale notes (100 TB design point): these settings assume local[$CPUS] for
+testing; on a real cluster the same code runs unchanged, with
+``spark.sql.shuffle.partitions`` sized to ~2-3× total cores and AQE coalescing
+partitions at runtime.  AQE also handles skew-join splitting, which matters
+for the EAV long table where hot entities are common.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session (including the driver's).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet uses TIMESTAMP(NANOS,false); read as long, convert in
+    # tables.load_table. Spark has no nanosecond timestamp type.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics against the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting,
+    # broadcast-join conversion once actual sizes are known.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime in this build — proceed; readers
+            # have fallbacks (tables.load_table handles nanos via pyarrow).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "feature-store-healthcare-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a tuned SparkSession for local testing / benchmarking.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure(spark)

@@ -1,0 +1,105 @@
+"""Physical stores: merge-maintained latest table + append-only log.
+
+The reference's online store is a mutable dict (feature_server.py:203) and
+the offline store an append-only list (:204).  Spark-native equivalents:
+
+- :class:`AppendStore` — append-only partitioned parquet: blind writes, the
+  system of record.  (With Delta/Iceberg available this is a Delta table;
+  plain parquet keeps the container dependency-free — the access pattern is
+  identical.)
+- :class:`LatestStore` — one row per key, maintained by merge: each merge
+  unions the update batch with the current snapshot, reduces with the
+  deterministic latest-per-key argmax (event-ts guard → late/out-of-order
+  updates can never regress a newer value, OP-44), and writes a NEW
+  versioned snapshot directory, then flips a pointer file.  That is MERGE
+  semantics with snapshot isolation on plain parquet; on Delta it becomes
+  ``MERGE INTO ... WHEN MATCHED AND source.ts > target.ts``.
+
+Scale note: LatestStore rewrites the snapshot per merge — right for
+latest tables (small: one row/entity) merged per micro-batch; the 100 TB
+history lives in AppendStore, which never rewrites.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_store_healthcare_spark.operators.pit import latest_per_key
+
+
+class AppendStore:
+    """Append-only parquet log, optionally partitioned (e.g. event_date)."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.partition_by = partition_by or []
+
+    def append(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+
+class LatestStore:
+    """Latest-value table with versioned-snapshot merge (parquet MERGE)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:06d}")
+
+    def read(self) -> DataFrame | None:
+        version = self._current_version()
+        if version is None:
+            return None
+        return self.spark.read.parquet(self._snapshot_dir(version))
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        ts_col: str,
+        tiebreak: list[str] | None = None,
+    ) -> None:
+        """Upsert: latest-per-key over (current ∪ updates).  The argmax on
+        ``(ts_col, *tiebreak)`` IS the merge guard — an update older than
+        the stored row loses, matching ``WHEN MATCHED AND source.ts >
+        target.ts THEN UPDATE``."""
+        tiebreak = tiebreak or []
+        current = self.read()
+        merged = updates if current is None else current.unionByName(updates)
+        latest = latest_per_key(merged, keys, ts_col, tiebreak=tiebreak)
+        old = self._current_version()
+        new = (old or 0) + 1
+        latest.write.mode("overwrite").parquet(self._snapshot_dir(new))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(new))
+        os.replace(tmp, self._pointer)  # atomic pointer flip
+        if old is not None:
+            shutil.rmtree(self._snapshot_dir(old), ignore_errors=True)

@@ -1,0 +1,24 @@
+"""Structured Streaming surface (SURVEY.md §2.9, OP-43..47).
+
+The reference declares a streaming serving mode but never implements it
+(ServingMode.STREAMING, feature_server.py:38; refresh_frequency="realtime",
+feature_registry.py:105).  This package makes it real.
+"""
+
+from feature_store_healthcare_spark.streaming.pipeline import (
+    session_window_features,
+    sliding_window_features,
+    stream_events,
+    streaming_dedup,
+    streaming_online_upsert,
+    tumbling_window_features,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_window_features",
+    "sliding_window_features",
+    "session_window_features",
+    "streaming_dedup",
+    "streaming_online_upsert",
+]

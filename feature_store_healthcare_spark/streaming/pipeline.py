@@ -1,0 +1,154 @@
+"""Streaming feature pipelines (OP-43..47).
+
+Design (SURVEY.md §2.9): ``readStream`` on an events source → watermarked
+event-time windows (tumbling/sliding/session) for derived features →
+``foreachBatch`` doing the dual write the reference does synchronously
+(feature_server.py:410-455): merge-upsert the online latest table guarded by
+``event_ts`` (late rows never regress the online value, OP-44) AND append to
+the offline long store (late rows still land there — bitemporal append model,
+feature_registry.py:438-439).
+
+Scale notes: watermark bounds state; the online upsert is a per-batch
+latest-per-key reduce (map-side combinable) before the store merge, so state
+and shuffle are proportional to *distinct keys per batch*, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_healthcare_spark.operators.pit import latest_per_key
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """OP-43: file-source stream of event rows (json/parquet drop dir).
+    In production this is Kafka/Kinesis; the file source exercises the same
+    incremental execution."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def tumbling_window_features(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OP-45: tumbling event-time windows with late-data bound (OP-44)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_features(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OP-45: sliding windows (overlapping) — e.g. purchase_total_1h
+    refreshed every 30 min (the ref's refresh_frequency analog)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "user_id")
+        .agg(F.sum("value").alias("sum_value"), F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "sum_value",
+            "n",
+        )
+    )
+
+
+def session_window_features(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OP-45: session windows — activity sessions per user separated by
+    ``gap`` of inactivity."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """OP-46: stateful dedup bounded by the watermark — exactly-once-ish
+    event feed from an at-least-once source."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_online_upsert(
+    stream: DataFrame,
+    store,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    queryName: str = "online_upsert",
+):
+    """OP-43/44: foreachBatch dual-path maintenance of the online latest
+    table.  Each micro-batch is first reduced to latest-per-key (map-side
+    combine), then merged into the store with an event-ts guard — an
+    out-of-order event can never overwrite a newer online value, while the
+    offline append keeps every row (callers append the raw stream
+    separately).  ``store`` is stores.LatestStore or anything with
+    ``merge(df, keys, ts_col, tiebreak)``."""
+    tiebreak = tiebreak or []
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        reduced = latest_per_key(batch_df, keys, ts_col, tiebreak=tiebreak)
+        store.merge(reduced, keys, ts_col, tiebreak)
+
+    writer = (
+        stream.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -1,0 +1,190 @@
+"""Operator-library unit tests: dedup (exact/minhash/simhash/jaccard),
+similarity (brute force vs LSH recall), text analysis, scalar functions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark import functions as fx
+from feature_store_healthcare_spark.operators import dedup, similarity, text
+from feature_store_healthcare_spark.sources import load_table
+
+
+# ---------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "The  quick brown fox jumps over the lazy dog"),  # exact after normalize
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_min(docs):
+    normed = docs.select("doc_id", dedup.normalize_text("text").alias("norm"))
+    kept = dedup.exact_dedup_keep_min(normed, ["norm"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_hashes=16, bands=8).collect()
+    }
+    # exact dups always collide on every band
+    assert (1, 3) in pairs and (1, 5) in pairs and (3, 5) in pairs
+    # near-dup should collide on at least one band with 8 bands of 2 rows
+    assert (1, 2) in pairs
+    # unrelated docs don't
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_portable_matches_fast_path_shape(docs):
+    fast = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    slow = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, portable=True)
+    assert fast.count() == slow.count() == 5
+    # exact dups get identical signatures under both hash families
+    for df in (fast, slow):
+        rows = {r.doc_id: tuple(r)[1:] for r in df.collect()}
+        assert rows[1] == rows[3] == rows[5]
+
+
+def test_ngram_jaccard_exact_values(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert out[(1, 3)] == 1.0 and out[(1, 5)] == 1.0
+    # 8 bigrams each, 7 shared → 7/9
+    assert math.isclose(out[(1, 2)], 7 / 9)
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=6).collect()
+    }
+    assert pairs[(1, 3)] == 0 and pairs[(1, 5)] == 0
+    assert (1, 2) in pairs  # one word differs → small hamming distance
+    assert not any(4 in p for p in pairs)
+
+
+def test_stop_shingle_guard(docs):
+    # with max_shingle_freq=1 every shared shingle is dropped → no pairs
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.0, max_shingle_freq=1
+    )
+    assert out.count() == 0
+
+
+# ------------------------------------------------------------ similarity
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, emb, k=5)
+    # The synthetic embeddings are near-random (top-5 cosine ≈ 0.3-0.4), the
+    # worst case for sign-LSH: P(plane agrees) ≈ 0.6/plane.  4 planes +
+    # multiprobe still must beat random-candidate recall by a wide margin.
+    approx = similarity.rp_lsh_topk(q, emb, k=5, n_planes=4, multiprobe=True)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.35, f"LSH recall {recall:.2f} too low"
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = {r.vec_id: r.cosine for r in similarity.cosine_topk(q, df, k=3).collect()}
+    assert math.isclose(out[2], 1.0)
+    assert math.isclose(out[3], 0.0, abs_tol=1e-12)
+    assert math.isclose(out[4], -1.0)
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.embedding_near_dup_pairs(df, threshold=0.99, dim=2, n_planes=4).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+# ------------------------------------------------------------------ text
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "Hello,  World! 123")], "doc_id long, text string")
+    row = text.quality_features(df, "doc_id", "text").collect()[0]
+    assert row.n_tokens == 3
+    assert row.punct_ratio > 0 and row.digit_ratio > 0
+    fp = text.fingerprints(df, "doc_id", "text").collect()[0]
+    fp2 = text.fingerprints(
+        spark.createDataFrame([(2, "hello,  world! 123")], "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert fp.fingerprint == fp2.fingerprint  # case/whitespace-insensitive
+
+
+def test_bpe_ish_estimate(spark):
+    df = spark.createDataFrame([(1, "internationalization, no?")], "doc_id long, text string")
+    n = df.select(text.bpe_ish_token_estimate(F.col("text")).alias("n")).collect()[0].n
+    assert n >= 5  # long word ≈ len/4 pieces + 2 punctuation
+
+
+# ------------------------------------------------------------- functions
+
+def test_sha_ids_match_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hba1c", "1.0.0", "patient")], "n string, v string, e string")
+    got = df.select(fx.feature_id("n", "v", "e").alias("fid")).collect()[0].fid
+    want = "feat_" + hashlib.sha256(b"hba1c:1.0.0:patient").hexdigest()[:16]
+    assert got == want
+
+
+def test_acl_allowed(spark):
+    df = spark.createDataFrame(
+        [("none", []), ("direct", ["admin"]), ("indirect", ["analyst", "billing"])],
+        "phi string, roles array<string>",
+    )
+    got = [r.ok for r in df.select(fx.acl_allowed("phi", "roles", ["analyst"]).alias("ok")).collect()]
+    assert got == [True, False, True]
+    got_none = [r.ok for r in df.select(fx.acl_allowed("phi", "roles", []).alias("ok")).collect()]
+    assert got_none == [True, False, False]
+
+
+def test_approx_count_distinct(spark, sf_dir):
+    """OP-53 scale path: approx distinct within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

@@ -1,0 +1,148 @@
+"""Point-in-time semantics (SURVEY.md §5.2 item 2).
+
+Covers the reference's core invariant — a value with event_ts > as_of must
+never surface (feature_registry.py:483) — plus deterministic tie-breaking
+(SURVEY.md §0 defect list), late/out-of-order data, null-fill, and the
+max_by/window strategy equivalence.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [
+        # (feature, entity, value, event_ts, created_ts, seq)
+        # normal history
+        ("f1", "e1", 1.0, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 0),
+        ("f1", "e1", 2.0, ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00"), 1),
+        # LATE arrival: older event, newest created_ts (out-of-order, OP-44)
+        ("f1", "e1", 9.0, ts("2024-01-03 00:00:00"), ts("2024-01-09 00:00:00"), 5),
+        # exact event-time TIE, different created_ts → created wins
+        ("f1", "e2", 10.0, ts("2024-01-04 00:00:00"), ts("2024-01-04 01:00:00"), 2),
+        ("f1", "e2", 11.0, ts("2024-01-04 00:00:00"), ts("2024-01-04 02:00:00"), 3),
+        # FUTURE value (leak check for as_of reads)
+        ("f1", "e1", 99.0, ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"), 4),
+        # another feature
+        ("f2", "e1", 7.0, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:30:00"), 6),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature_id string, entity_id string, value double,"
+        " event_ts timestamp_ntz, created_ts timestamp_ntz, seq long",
+    )
+
+
+KEYS = ["feature_id", "entity_id"]
+TB = ["created_ts", "seq"]
+
+
+@pytest.mark.parametrize("strategy", ["max_by", "window"])
+def test_latest_per_key_basic(values, strategy):
+    out = {
+        (r.feature_id, r.entity_id): r.value
+        for r in latest_per_key(values, KEYS, "event_ts", TB, strategy=strategy).collect()
+    }
+    assert out[("f1", "e1")] == 99.0  # newest event time wins absent as_of
+    assert out[("f2", "e1")] == 7.0
+
+
+@pytest.mark.parametrize("strategy", ["max_by", "window"])
+def test_as_of_excludes_future(values, strategy):
+    """Leak check: event_ts > as_of must never be returned."""
+    out = {
+        (r.feature_id, r.entity_id): r.value
+        for r in latest_per_key(
+            values, KEYS, "event_ts", TB, as_of="2024-01-06 00:00:00", strategy=strategy
+        ).collect()
+    }
+    assert out[("f1", "e1")] == 2.0  # not the future 99.0
+
+
+@pytest.mark.parametrize("strategy", ["max_by", "window"])
+def test_late_data_visible_after_arrival(values, strategy):
+    """A late row (old event_ts, new created_ts) participates by EVENT time:
+    as_of 2024-01-04 sees the late 2024-01-03 value."""
+    out = {
+        (r.feature_id, r.entity_id): r.value
+        for r in latest_per_key(
+            values, KEYS, "event_ts", TB, as_of="2024-01-04 12:00:00", strategy=strategy
+        ).collect()
+    }
+    assert out[("f1", "e1")] == 9.0
+
+
+@pytest.mark.parametrize("strategy", ["max_by", "window"])
+def test_tiebreak_created_timestamp(values, strategy):
+    """Equal event_ts → larger created_ts wins (deterministic, unlike ref)."""
+    out = {
+        (r.feature_id, r.entity_id): r.value
+        for r in latest_per_key(values, KEYS, "event_ts", TB, strategy=strategy).collect()
+    }
+    assert out[("f1", "e2")] == 11.0
+
+
+def test_strategies_agree(values):
+    a = latest_per_key(values, KEYS, "event_ts", TB, strategy="max_by")
+    b = latest_per_key(values, KEYS, "event_ts", TB, strategy="window")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pit_join_per_row_asof(spark, values):
+    """Each spine row gets its own cutoff (OP-16): values strictly after a
+    spine row's timestamp never leak into that row."""
+    spine = spark.createDataFrame(
+        [
+            ("e1", ts("2024-01-02 12:00:00"), "a"),
+            ("e1", ts("2024-01-06 00:00:00"), "b"),
+            ("e1", ts("2024-03-01 00:00:00"), "c"),
+            ("e2", ts("2024-01-01 00:00:00"), "d"),  # before any value → null
+        ],
+        "entity_id string, event_ts timestamp_ntz, label string",
+    )
+    vals = values.where(F.col("feature_id") == "f1").select(
+        "entity_id", F.col("value").alias("f1"), "event_ts", "created_ts", "seq"
+    )
+    out = point_in_time_join(
+        spine,
+        vals,
+        on="entity_id",
+        spine_ts="event_ts",
+        value_ts="event_ts",
+        value_cols=["f1"],
+        tiebreak=["created_ts", "seq"],
+    )
+    got = {r.label: (r.f1, r.f1__timestamp) for r in out.collect()}
+    assert got["a"] == (1.0, ts("2024-01-01 00:00:00"))
+    assert got["b"] == (2.0, ts("2024-01-05 00:00:00"))  # late 9.0 is older event
+    assert got["c"] == (99.0, ts("2024-02-01 00:00:00"))
+    assert got["d"] == (None, None)  # null-fill path
+    # spine columns preserved, one row per spine row
+    assert out.count() == 4
+    assert set(out.columns) == {"entity_id", "event_ts", "label", "f1", "f1__timestamp"}
+
+
+def test_pit_join_with_explicit_spine_keys(spark, values):
+    spine = spark.createDataFrame(
+        [(1, "e1", ts("2024-01-04 00:00:00"))],
+        "row_id long, entity_id string, event_ts timestamp_ntz",
+    )
+    vals = values.where(F.col("feature_id") == "f1").select(
+        "entity_id", F.col("value").alias("v"), "event_ts", "created_ts", "seq"
+    )
+    out = point_in_time_join(
+        spine, vals, on="entity_id", spine_ts="event_ts", value_ts="event_ts",
+        value_cols=["v"], tiebreak=["created_ts", "seq"], spine_keys=["row_id"],
+    ).collect()
+    assert len(out) == 1 and out[0].v == 9.0  # late row included at its event time

@@ -1,0 +1,168 @@
+"""Registry semantics vs the reference (SURVEY.md §5.2).
+
+ACL deny (feature_registry.py:469-475), validation rejects (:558-577 with
+the ref's defects fixed), lifecycle transitions (:332-355), versioned
+content-hash ids (:617-630), point-in-time reads (:443-496).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from feature_store_healthcare_spark.registry import (
+    FeatureRegistry,
+    FeatureSchema,
+    FeatureSource,
+    FeatureStatus,
+    FeatureValueType,
+    make_feature_id,
+    make_group_id,
+)
+
+
+@pytest.fixture()
+def registry(spark):
+    return FeatureRegistry(spark)
+
+
+def _register(registry, name="hba1c_latest", vt=FeatureValueType.FLOAT64, **kw):
+    kw.setdefault("status", FeatureStatus.ACTIVE)
+    return registry.register_feature(
+        name=name,
+        schema=FeatureSchema(name=name, value_type=vt, entity_type="patient"),
+        source=FeatureSource(source_type="batch", source_location="lab_results"),
+        owner="clinical-team",
+        **kw,
+    )
+
+
+def test_content_hash_ids(registry):
+    f = _register(registry)
+    assert f.feature_id == make_feature_id("hba1c_latest", "1.0.0", "patient")
+    assert f.feature_id.startswith("feat_") and len(f.feature_id) == 21
+    # different version → different id (versioned features)
+    f2 = _register(registry, version="2.0.0")
+    assert f2.feature_id != f.feature_id
+
+
+def test_phi_requires_roles(registry):
+    with pytest.raises(ValueError, match="access_roles"):
+        _register(registry, name="dx_code", phi_level="direct")
+    ok = _register(registry, name="dx_code", phi_level="direct", access_roles=["clinician"])
+    assert ok.phi_level.value == "direct"
+
+
+def test_lifecycle_transitions(registry):
+    f = _register(registry, status=FeatureStatus.DRAFT)
+    with pytest.raises(ValueError, match="illegal"):
+        registry.update_feature_status(f.feature_id, "archived" if False else "deprecated")
+    registry.update_feature_status(f.feature_id, "active")
+    registry.update_feature_status(f.feature_id, "deprecated", reason="superseded")
+    assert registry.get_feature(f.feature_id).tags["deprecation_reason"] == "superseded"
+    registry.update_feature_status(f.feature_id, "archived")
+    with pytest.raises(ValueError, match="illegal"):
+        registry.update_feature_status(f.feature_id, "active")
+
+
+def test_ingest_requires_active(registry):
+    f = _register(registry, status=FeatureStatus.DRAFT)
+    with pytest.raises(ValueError, match="not active"):
+        registry.ingest_feature_value(f.feature_id, "p1", 6.5)
+
+
+@pytest.mark.parametrize(
+    "vt,good,bad",
+    [
+        (FeatureValueType.INT64, 42, "x"),
+        (FeatureValueType.INT64, 42, True),  # ref defect: bool passed as int
+        (FeatureValueType.FLOAT64, 6.5, "6.5"),
+        (FeatureValueType.STRING, "s", 1),
+        (FeatureValueType.BOOL, True, 1),
+        (FeatureValueType.TIMESTAMP, datetime(2024, 1, 1), "2024"),  # ref: unvalidated
+        (FeatureValueType.ARRAY_STRING, ["a"], [1]),  # ref: unvalidated
+        (FeatureValueType.ARRAY_FLOAT, [1.0, 2], ["a"]),
+    ],
+)
+def test_type_validation(registry, vt, good, bad):
+    f = _register(registry, name=f"typed_{vt.value}_{str(bad)[:8]}", vt=vt)
+    registry.ingest_feature_value(f.feature_id, "p1", good)
+    with pytest.raises(ValueError):
+        registry.ingest_feature_value(f.feature_id, "p1", bad)
+
+
+def test_embedding_dim_check(registry):
+    f = registry.register_feature(
+        name="emb",
+        schema=FeatureSchema(
+            name="emb", value_type=FeatureValueType.EMBEDDING,
+            entity_type="patient", embedding_dim=4,
+        ),
+        source=FeatureSource(),
+        owner="ml",
+        status=FeatureStatus.ACTIVE,
+    )
+    registry.ingest_feature_value(f.feature_id, "p1", [1.0, 2.0, 3.0, 4.0])
+    with pytest.raises(ValueError, match="dim"):
+        registry.ingest_feature_value(f.feature_id, "p1", [1.0, 2.0])
+
+
+def test_point_in_time_read_and_acl(registry):
+    f = _register(registry, phi_level="indirect", access_roles=["clinician"])
+    registry.ingest_feature_value(f.feature_id, "p1", 6.0, "2024-01-01 00:00:00")
+    registry.ingest_feature_value(f.feature_id, "p1", 7.0, "2024-02-01 00:00:00")
+
+    # ACL: role overlap required for PHI (ref :469-475)
+    with pytest.raises(PermissionError):
+        registry.get_feature_value(f.feature_id, "p1", user_id="u1", user_roles=["analyst"])
+    denied = [r for r in registry._access_log if r["action"] == "access_denied"]
+    assert len(denied) == 1
+
+    v = registry.get_feature_value(
+        f.feature_id, "p1", user_id="u1", user_roles=["clinician"]
+    )
+    assert v == 7.0
+    v_asof = registry.get_feature_value(
+        f.feature_id, "p1", as_of="2024-01-15 00:00:00",
+        user_id="u1", user_roles=["clinician"],
+    )
+    assert v_asof == 6.0  # leak check
+    granted = [r for r in registry._access_log if r["action"] == "access"]
+    assert len(granted) == 2  # audit_all_access
+
+
+def test_feature_vector_nulls_denied(registry):
+    open_f = _register(registry, name="open_feat")
+    phi_f = _register(registry, name="phi_feat", phi_level="direct", access_roles=["admin"])
+    registry.ingest_feature_value(open_f.feature_id, "p1", 1.0)
+    registry.ingest_feature_value(phi_f.feature_id, "p1", 2.0)
+    vec = registry.get_feature_vector(
+        "p1", [open_f.feature_id, phi_f.feature_id], user_roles=["analyst"]
+    )
+    assert vec == {"open_feat": 1.0, "phi_feat": None}  # ref :526-528
+
+
+def test_group_entity_homogeneity(registry):
+    a = _register(registry, name="fa")
+    b = registry.register_feature(
+        name="fb",
+        schema=FeatureSchema(name="fb", value_type=FeatureValueType.INT64, entity_type="encounter"),
+        source=FeatureSource(),
+        owner="o",
+    )
+    with pytest.raises(ValueError, match="entity_type"):
+        registry.create_feature_group("g", "patient", [a.feature_id, b.feature_id])
+    g = registry.create_feature_group("g", "patient", [a.feature_id])
+    assert g.group_id == make_group_id("g", "patient")
+
+
+def test_parquet_persistence_roundtrip(spark, tmp_path):
+    reg = FeatureRegistry(spark, storage_dir=str(tmp_path))
+    f = _register(reg)
+    reg.ingest_feature_value(f.feature_id, "p1", 5.5, "2024-01-01 00:00:00")
+    reg.flush()
+    reg.ingest_feature_value(f.feature_id, "p1", 6.5, "2024-01-02 00:00:00")
+    # buffer ∪ persisted view sees both
+    assert reg.values_df().count() == 2
+    assert reg.get_feature_value(f.feature_id, "p1") == 6.5
