@@ -60,19 +60,54 @@ def _events_from_arrow(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+#: single-file tables below this size get a post-scan repartition (see
+#: _spread); above it, the file count / row-group count provides scan
+#: parallelism on its own.
+_SPREAD_MAX_BYTES = 256 * 1024 * 1024
+
+#: only tables whose downstream operators are expensive PER ROW (regex
+#: scoring, shingle explode, minhash, 64-dim array math) benefit from the
+#: extra exchange; cheap-per-row relational tables lose more to the added
+#: stage than they gain in parallelism.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
+def _spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Parallelize small single-row-group files for compute-heavy tables.
+
+    The testdata parquet files each have ONE row group, so Spark's scan is a
+    single task and every downstream expression (shingle explode, regex
+    scoring, minhash) runs on one core until the first shuffle.  A cheap
+    round-robin repartition right after the scan spreads the work across the
+    cluster; filters and column pruning still push through the exchange down
+    to the scan.  Guarded by file size so genuinely large inputs (many
+    files / many row groups — the 100 TB case) are left to the scanner's own
+    split planning.
+    """
+    if name not in _SPREAD_TABLES:
+        return df
+    try:
+        if os.path.getsize(path) >= _SPREAD_MAX_BYTES:
+            return df
+    except OSError:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes events.ts to timestamp_ntz(µs)."""
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return _spread(spark.read.parquet(path), spark, path, name)
     try:
         df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
         # nanos → micros truncation (ts >= 0 so `div` == floor), naive UTC to
         # match the file's isAdjustedToUTC=false semantics.
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+        return _spread(df, spark, path, name)
     except Exception:
         return _events_from_arrow(spark, path)
 
