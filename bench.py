@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from feature_store_healthcare_spark import queries as catalog  # noqa: E402
-from feature_store_healthcare_spark.operators import dedup  # noqa: E402
+from feature_store_healthcare_spark.operators import dedup, similarity  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from feature_store_healthcare_spark.session import get_spark  # noqa: E402
 from feature_store_healthcare_spark.sources import load_table  # noqa: E402
 
@@ -35,8 +36,10 @@ HEADLINE = [
     "pivot_event_type_stats",
     "tumbling_window_counts",
     "dedup_ngram_jaccard",
+    "sessionize_events",
     "text_quality_scores",
     "embedding_topk_bruteforce",
+    "multimodal_image_features",
 ]
 
 
@@ -47,7 +50,28 @@ def bench_minhash_fast(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
 
 
-EXTRA = {"dedup_minhash_lsh_fast": bench_minhash_fast}
+def bench_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup via sign-LSH bucketing + exact re-rank — the
+    scale path benched instead of the oracle-checked exact all-pairs scan
+    (catalog `dedup_embedding_cosine`), which is O(n²·dim) by definition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+def bench_embedding_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — inverted-list ANN, the other scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(q, emb, k=5, n_centroids=16, nprobe=4)
+
+
+EXTRA = {
+    "dedup_minhash_lsh_fast": bench_minhash_fast,
+    "embedding_near_dup_lsh": bench_embedding_near_dup_lsh,
+    "embedding_ivf_topk": bench_embedding_ivf_topk,
+}
 
 
 def run_query(df) -> None:
@@ -61,16 +85,19 @@ def main() -> None:
     load_table(spark, sf_dir, "region").count()
 
     qs = catalog.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    for name, fn in EXTRA.items():
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    todo = [(name, qs[name]) for name in HEADLINE] + list(EXTRA.items())
+    for name, fn in todo:
+        # min over N runs: the steady-state cost of the plan, robust to
+        # host-level CPU noise and one-time JIT/python-worker warmup
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run_query(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

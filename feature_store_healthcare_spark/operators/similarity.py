@@ -29,23 +29,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential fold over the zipped arrays — deterministic order, double
-    precision."""
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right sequential product sum — deterministic accumulation
+    order, double precision.
+
+    ``dim=None``: higher-order-function fold (works for any length, but
+    Spark evaluates HOF lambdas interpreted — no codegen).  ``dim=n``:
+    statically unrolled n-term sum — same arithmetic in the same order
+    (bit-identical result), but a plain expression tree the codegen path
+    can compile.  ~1.5-2× faster on 64-dim brute-force scans."""
+    if dim is not None:
+        total = a[0].cast("double") * b[0].cast("double")
+        for i in range(1, dim):
+            total = total + a[i].cast("double") * b[i].cast("double")
+        return total
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim=dim))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim=dim) / (_norm(a, dim=dim) * _norm(b, dim=dim))
 
 
 def cosine_topk(
@@ -198,4 +205,112 @@ def embedding_near_dup_pairs(
         cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: an id-ordered stride sample of the
+    corpus (k rows collected to the driver — k ≪ corpus, the standard IVF
+    shape).  A k-means refinement can replace this without changing any
+    downstream plan; stride sampling keeps the index reproducible with zero
+    iterative jobs, which is what the correctness harness needs.
+
+    At 100 TB the centroid list is still tiny (k ≤ ~65k for IVF_65536), so
+    it remains a driver-side constant folded into the assignment expression.
+    """
+    n = corpus.count()
+    stride = max(n // n_centroids, 1)
+    rows = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .where((F.col("id") % stride == 0))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r.v]) for i, r in enumerate(rows)]
+
+
+def _nearest_centroids(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
+    """Array of the nprobe centroid ids nearest to ``vec`` by cosine —
+    pure JVM expression: score each centroid (literal array), sort the
+    (score, id) structs descending, slice."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(vec, F.array(*[F.lit(w) for w in cvec])).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda x: x["cid"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """OP-50 (IVF variant): approximate top-k via inverted-file search.
+
+    Corpus vectors are assigned to their nearest coarse centroid (the
+    inverted lists — at scale this is the partitioning/bucketing column of
+    the stored index, so a probe touches only matching partitions).  Each
+    query probes its ``nprobe`` nearest centroids; candidates come from an
+    equi-join on centroid id, then exact cosine re-ranks.  Candidate volume
+    is ~``nprobe/n_centroids`` of the corpus per query vs. all of it for
+    brute force.
+    """
+    cents = centroids or ivf_centroids(
+        corpus, n_centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    ).withColumn(
+        "__list", F.element_at(_nearest_centroids(F.col("__cv"), cents, 1), 1)
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    ).select(
+        "__qid",
+        "__qv",
+        F.explode(_nearest_centroids(F.col("__qv"), cents, nprobe)).alias("__list"),
+    )
+    cand = F.broadcast(q).join(c, on="__list")
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__cid"))
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
-from feature_store_healthcare_spark.operators import dedup, similarity, text
+from feature_store_healthcare_spark.operators import dedup, multimodal, similarity, text
 from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
 from feature_store_healthcare_spark.sources import load_table
 
@@ -1145,3 +1145,217 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s.event_id").alias("event_id"), F.col("s.user_id").alias("user_id"))
         .agg(F.count(F.col("v.event_id")).alias("clicks_1h"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (OP-45 batch analog) + multi-dim rollup (OP-25)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {_DSUM_SQL.format(expr='value')} AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-45 (batch sessionization): gap-based sessions (2 h of inactivity
+    closes a session) via lag + running sum — the batch twin of
+    streaming/pipeline.session_window_features.  Deterministic ordering:
+    (ts, event_id).  One shuffle on user_id serves both windows and the
+    final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz → epoch seconds via timestamp (session TZ pinned UTC → identity)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        _dsum("value", "sum_value"),
+    )
+
+
+@query(
+    "corpus_rollup",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-25 extension: multi-dimensional rollup (lang → lang×source →
+    grand total) in one pass — partial-aggregatable, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ws_tokens,
+           greatest(len(regexp_extract_all(text, '\w+')),
+                    length(regexp_replace(text, '\s', '', 'g')) // 4)
+             + len(regexp_extract_all(text, '[^\w\s]')) AS bpe_tokens_est
+    FROM documents
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-51: whitespace token count vs BPE-ish subword estimate
+    (word-piece + punctuation regex blend, text.bpe_ish_token_estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_ish_token_estimate(F.col("text")).alias("bpe_tokens_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (OP-49 cosine variant, exact) — LSH variant unit-tested
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49 (embedding-cosine, exact): all pairs with cosine >= 0.35,
+    brute force with the deterministic sequential-fold dot product and a
+    4-decimal round before thresholding.  The LSH-bucketed scale path
+    (similarity.embedding_near_dup_pairs) is unit-tested against this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per vector (2 sqrt-folds per row instead of per
+    # pair); dot unrolled at the known dim so it stays in codegen.  Same
+    # arithmetic in the same order as the fold → bit-identical cosine.
+    norm = similarity._norm(F.col("embedding"), dim=64)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), norm.alias("__na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), norm.alias("__nb")
+    )
+    pairs = a.join(F.broadcast(b), on=F.col("id_a") < F.col("id_b"))
+    dot = similarity._dot(F.col("__va"), F.col("__vb"), dim=64)
+    cos = F.round(dot / (F.col("__na") * F.col("__nb")), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (OP-52): binary payloads + typed metadata
+# ---------------------------------------------------------------------------
+
+_MEDIA_KIND_SQL = "(['image','audio','video'])[(doc_id % 3)+1]"
+
+
+@query(
+    "multimodal_media_stats",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             octet_length(encode(text)) AS n_bytes, length(text) AS n
+      FROM documents
+    )
+    SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+           {_DSUM_SQL.format(expr="CASE WHEN kind='audio' THEN n/100.0 ELSE 0 END")} AS total_duration_s,
+           SUM(CASE WHEN kind='video' THEN n % 240 + 24 ELSE 0 END) AS total_frames
+    FROM media GROUP BY kind
+    """,
+)
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52: per-kind corpus stats over a media table (opaque binary
+    payload + typed metadata struct) — metadata-only plan, the binary
+    column is pruned from the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_table(docs)
+    return multimodal.media_stats(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             length(text) % 240 + 24 AS n_frames
+      FROM documents
+    )
+    SELECT media_id, UNNEST(range(0, n_frames, 10)) AS frame_idx
+    FROM media WHERE kind = 'video'
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52: video frame sampling (every 10th frame) as a pure metadata
+    explode — one row per kept frame, no payload decode in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_table(docs)
+    return multimodal.sample_frames(media, every=10)
+
+
+@query(
+    "multimodal_audio_chunks",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             length(text)/100.0 AS duration_s
+      FROM documents
+    )
+    SELECT media_id, UNNEST(range(0, CAST(ceil(duration_s / 30.0) AS INT))) AS chunk_idx,
+           UNNEST(range(0, CAST(ceil(duration_s / 30.0) AS INT))) * 30.0 AS start_s,
+           least(UNNEST(range(0, CAST(ceil(duration_s / 30.0) AS INT))) * 30.0 + 30.0,
+                 duration_s) AS end_s
+    FROM media WHERE kind = 'audio'
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52: audio chunking by duration metadata (30 s windows) — the
+    fan-out shape a transcription stage consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_table(docs)
+    return multimodal.audio_chunks(media, chunk_s=30.0)
+
+
+@query("multimodal_image_features")  # rows-only: numpy kernel not SQL-expressible
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52: Arrow-batched mapInPandas decode→feature kernel over the
+    binary payload (deterministic byte-statistics stub standing in for the
+    codec — container ships no Pillow).  Rows-only driver check; the
+    plumbing (schema, batching, binary transport) is the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_table(docs)
+    return multimodal.decode_image_features(media, use_fake_decoder=True)

@@ -1,0 +1,95 @@
+"""Structural plan tests (SURVEY.md §4): the scale properties — pushdown,
+pruning, broadcastability, bounded shuffle counts, codegen — asserted on the
+actual physical plans so perf regressions fail fast and loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark import plans, queries as catalog
+from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
+from feature_store_healthcare_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return catalog.queries()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir, qs):
+    df = qs["q1_pricing_summary"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = plans.scan_read_schemas(df)
+    # 7 needed columns, not all 16 of lineitem
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+    assert all("l_comment" not in s for s in schemas), schemas
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir, qs):
+    # scan → partial agg → ONE exchange → final agg
+    assert plans.count_exchanges(qs["q1_pricing_summary"](spark, sf_dir)) == 1
+
+
+def test_q3_broadcasts_small_dimensions(spark, sf_dir, qs):
+    df = qs["q3_shipping_priority"](spark, sf_dir)
+    # customer (filtered) and orders join lineitem: AQE/static planner should
+    # broadcast at least one small side rather than SMJ everything
+    assert plans.count_broadcast_joins(df) >= 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, qs):
+    assert plans.uses_take_ordered(qs["topk_orders"](spark, sf_dir))
+
+
+def test_latest_per_key_maxby_is_one_shuffle(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    assert plans.count_exchanges(df) == 1  # partial-agg + single hash exchange
+
+
+def test_latest_per_key_window_strategy_costs_a_sort(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"], strategy="window")
+    assert plans.count_exchanges(df) == 1
+    assert "Sort" in plans.physical_plan(df, "simple")
+
+
+def test_pit_join_bounded_shuffles(spark, sf_dir):
+    """Flagship OP-16: equi-join + argmax agg — at most 3 shuffles
+    (spine, values, final agg), regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    vals = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value"), "ts", "event_id"
+    )
+    df = point_in_time_join(
+        spine, vals, on="user_id", spine_ts="ts", value_ts="ts",
+        value_cols=["click_value"], tiebreak=["event_id"],
+        spine_keys=["event_id"],
+    )
+    assert plans.count_exchanges(df) <= 3
+
+
+def test_dedup_jaccard_broadcasts_not_smj(spark, sf_dir, qs):
+    df = qs["dedup_ngram_jaccard"](spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 3  # pair join + two size joins
+    assert plans.count_sort_merge_joins(df) == 0
+
+
+def test_registry_lookup_is_broadcast(spark, sf_dir, qs):
+    # acl_filtered_features resolves values against the (tiny) registry
+    df = qs["acl_filtered_features"](spark, sf_dir)
+    assert plans.count_sort_merge_joins(df) == 0
+
+
+def test_metadata_stats_never_read_payload(spark, sf_dir, qs):
+    """Multimodal stats must prune the binary content column... except the
+    byte-size aggregate itself.  Frame sampling reads metadata only."""
+    df = qs["multimodal_frame_sample"](spark, sf_dir)
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and all("content" not in s for s in schemas)
+    assert all("text" in s for s in schemas)  # only the meta source column

@@ -1,0 +1,154 @@
+"""Structured Streaming tests (OP-43..47): file-source stream → watermarked
+windows / stateful dedup / foreachBatch dual-write, driven with
+``Trigger.AvailableNow`` so each test runs the full backlog and stops.
+
+Late/out-of-order semantics (OP-44): the online LatestStore merge is guarded
+by the event-ts argmax, so a late row can never regress the online value,
+while the offline append keeps every row.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.pit import latest_per_key
+from feature_store_healthcare_spark.stores import AppendStore, LatestStore
+from feature_store_healthcare_spark.streaming import pipeline as sp
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Two micro-batch files; the second contains a LATE event for user 1
+    (ts older than the first file's) plus a newer one for user 2."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:30:00", "user_id": 1, "event_type": "click", "value": 20.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:45:00", "user_id": 2, "event_type": "purchase", "value": 5.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:45:00", "user_id": 2, "event_type": "purchase", "value": 5.0, "props": "{}"},
+    ]
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01T09:15:00", "user_id": 1, "event_type": "click", "value": 99.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T11:10:00", "user_id": 2, "event_type": "click", "value": 7.0, "props": "{}"},
+    ]
+    for name, rows in [("b1.json", batch1), ("b2.json", batch2)]:
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _run_available_now(writer, tmp_path, name):
+    q = (
+        writer.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = sp.stream_events(spark, events_dir)
+    assert stream.isStreaming
+    agg = sp.tumbling_window_features(stream, window="1 hour", watermark="2 hours")
+    # complete mode: append would only emit windows the watermark has closed,
+    # and availableNow ends with the watermark 2h behind max event time.
+    _run_available_now(
+        agg.writeStream.format("memory").queryName("tumbling_out").outputMode("complete"),
+        tmp_path,
+        "tumbling",
+    )
+    got = {
+        (r.window_start.hour, r.user_id, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    # batch equivalent over the same files
+    batch = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).json(events_dir)
+    want = {
+        (r.window_start.hour, r.user_id, r.event_type): (r.n, r.sum_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id", "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert got == want
+    # the late 09:15 event is inside the watermark → it must be present
+    assert (9, 1, "click") in got
+
+
+def test_session_windows_split_on_gap(spark, events_dir, tmp_path):
+    stream = sp.stream_events(spark, events_dir)
+    sess = sp.session_window_features(stream, gap="30 minutes", watermark="4 hours")
+    _run_available_now(
+        sess.writeStream.format("memory").queryName("sessions_out").outputMode("complete"),
+        tmp_path,
+        "sessions",
+    )
+    rows = spark.table("sessions_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: 09:15 alone (gap>30m to 10:00), then 10:00+10:30 chained
+    assert len(by_user[1]) == 2
+    assert sorted(r.n_events for r in by_user[1]) == [1, 2]
+    # user 2: 10:45 (x2 dup) and 11:10 within 30m gap → one session
+    assert len(by_user[2]) == 1 and by_user[2][0].n_events == 3
+
+
+def test_streaming_dedup_drops_duplicate_event_ids(spark, events_dir, tmp_path):
+    stream = sp.stream_events(spark, events_dir)
+    deduped = sp.streaming_dedup(stream, ["event_id"], watermark="4 hours")
+    _run_available_now(
+        deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append"),
+        tmp_path,
+        "dedup",
+    )
+    ids = [r.event_id for r in spark.table("dedup_out").collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5]  # duplicate event_id 3 dropped
+
+
+def test_foreachbatch_online_upsert_ignores_late_rows(spark, events_dir, tmp_path):
+    """OP-43/44: online latest table after the stream = batch latest-per-key;
+    the late user-1 row (09:15) must NOT win over the 10:30 value."""
+    store = LatestStore(spark, str(tmp_path / "online"))
+    stream = sp.stream_events(spark, events_dir, max_files_per_trigger=1)
+    writer = sp.streaming_online_upsert(
+        stream, store, keys=["user_id"], ts_col="ts", tiebreak=["event_id"]
+    )
+    _run_available_now(writer, tmp_path, "upsert")
+    online = {r.user_id: r for r in store.read().collect()}
+    assert online[1].value == 20.0 and online[1].ts.hour == 10  # not the late 99.0
+    assert online[2].value == 7.0  # newest for user 2
+    # online/offline consistency (§2.7): online == latest over the full log
+    batch = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).json(events_dir)
+    want = {
+        r.user_id: r
+        for r in latest_per_key(batch, ["user_id"], "ts", tiebreak=["event_id"]).collect()
+    }
+    assert {u: (r.value, r.ts) for u, r in online.items()} == {
+        u: (r.value, r.ts) for u, r in want.items()
+    }
+
+
+def test_offline_append_keeps_late_rows(spark, events_dir, tmp_path):
+    """OP-44: the offline store is bitemporal append — late rows land."""
+    offline = AppendStore(spark, str(tmp_path / "offline"))
+    stream = sp.stream_events(spark, events_dir)
+
+    def _append(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            offline.append(batch_df)
+
+    _run_available_now(
+        stream.writeStream.foreachBatch(_append).outputMode("append"),
+        tmp_path,
+        "offline",
+    )
+    rows = offline.read().collect()
+    assert len(rows) == 6  # every raw row, dup + late included
+    assert any(r.event_id == 4 for r in rows)
