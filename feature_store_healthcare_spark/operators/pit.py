@@ -164,3 +164,30 @@ def point_in_time_join(
     if drop_key and "__spine_id" in out.columns:
         out = out.drop("__spine_id")
     return out
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (smaller) ``dim`` side ``n_salts``
+    times and scatter the ``facts`` side uniformly across the replicas, so
+    one hot key's rows spread over ``n_salts`` tasks instead of one.
+
+    This is the manual fallback for engines/paths where AQE skew-join
+    splitting cannot kick in (e.g. the skewed side feeds an aggregate in
+    the same stage, or the join is inside a streaming foreachBatch).  The
+    salt is random-per-row on the facts side — correctness does not depend
+    on which replica a row meets, only that exactly one replica matches.
+    """
+    salted_facts = facts.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_facts.join(salted_dim, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1359,3 +1359,89 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media_table(docs)
     return multimodal.decode_image_features(media, use_fake_decoder=True)
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface (OP-19 extension): scalar + correlated subqueries, the
+# decorrelation paths Catalyst must handle for oracle parity with any SQL
+# front end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above 1.5× the global average.  The
+    subquery plans as its own tiny aggregate broadcast into the filter —
+    one extra stage, no join shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)"
+    )
+
+
+@query(
+    "correlated_subquery_customer_max",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_subquery_customer_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's priciest order).
+    Catalyst decorrelates to an aggregate + join; the same result via the
+    window/max_by path is what latest_per_key does — this entry pins the
+    SQL-front-door semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+        "WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 "
+        "                      WHERE o2.o_custkey = o.o_custkey)"
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    f"""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           {_DSUM_SQL.format(expr='l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 300
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING (semi join against an
+    aggregate) feeding a 3-table join + re-aggregation.  The HAVING side
+    is a partial-aggregated scan; the IN becomes a broadcast semi join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(big), "l_orderkey", "left_semi")
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum("l_quantity", "total_qty"))
+    )

@@ -1,0 +1,197 @@
+"""Property-based tests (SURVEY.md §5.2 item 4, hypothesis): the engine's
+core invariants checked against randomized inputs and naive Python
+reference implementations.
+
+- PIT join: leak-free (no attached value newer than the spine row's own
+  timestamp), spine-preserving, and equal to the O(n²) reference scan.
+- latest_per_key: equals the naive per-key argmax with deterministic ties.
+- exact dedup: idempotent; keeps exactly one row per group (the min id).
+- sessionization: session count per user equals gap-count + 1.
+- salted join: row-for-row equal to the plain join.
+
+Spark jobs are slow per example, so examples are few but adversarial:
+timestamps collide on purpose (tie-breaking), values arrive out of order,
+entities overlap partially between spine and values.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators import dedup
+from feature_store_healthcare_spark.operators.pit import (
+    latest_per_key,
+    point_in_time_join,
+    salted_join,
+)
+
+BASE = datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# EAV rows: (entity 0..3, value, ts-offset hours 0..6 — collisions likely, seq)
+eav_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(-100, 100),
+        st.integers(0, 6),
+        st.integers(0, 10_000),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+spine_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6)),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _values_df(spark, rows):
+    data = [
+        (e, v, BASE + timedelta(hours=h), s) for (e, v, h, s) in rows
+    ]
+    return spark.createDataFrame(
+        data, "entity_id long, value long, ts timestamp_ntz, seq long"
+    ).coalesce(2)
+
+
+@given(values=eav_rows)
+@SETTINGS
+def test_latest_per_key_matches_naive_argmax(spark, values):
+    df = _values_df(spark, values)
+    got = {
+        r.entity_id: (r.value, r.ts, r.seq)
+        for r in latest_per_key(df, ["entity_id"], "ts", tiebreak=["seq"]).collect()
+    }
+    want = {}
+    for e, v, h, s in values:
+        ts = BASE + timedelta(hours=h)
+        cur = want.get(e)
+        if cur is None or (ts, s) > (cur[1], cur[2]):
+            want[e] = (v, ts, s)
+    assert got == want
+
+
+@given(values=eav_rows, spine=spine_rows)
+@SETTINGS
+def test_pit_join_leakfree_and_matches_reference(spark, values, spine):
+    vals = _values_df(spark, values)
+    spine_df = spark.createDataFrame(
+        [(i, e, BASE + timedelta(hours=h)) for i, (e, h) in enumerate(spine)],
+        "row_id long, entity_id long, as_of timestamp_ntz",
+    ).coalesce(2)
+    out = point_in_time_join(
+        spine_df,
+        vals,
+        on="entity_id",
+        spine_ts="as_of",
+        value_ts="ts",
+        value_cols=["value"],
+        tiebreak=["seq"],
+        spine_keys=["row_id"],
+    ).collect()
+
+    # spine-preserving: every spine row appears exactly once
+    assert sorted(r.row_id for r in out) == list(range(len(spine)))
+
+    ref = {}
+    for i, (e, h) in enumerate(spine):
+        as_of = BASE + timedelta(hours=h)
+        best = None
+        for ve, vv, vh, vs in values:
+            ts = BASE + timedelta(hours=vh)
+            if ve == e and ts <= as_of:  # leak-free bound (ref :483)
+                if best is None or (ts, vs) > (best[1], best[2]):
+                    best = (vv, ts, vs)
+        ref[i] = best
+
+    for r in out:
+        want = ref[r.row_id]
+        if want is None:
+            assert r.value is None and r.value__timestamp is None
+        else:
+            assert (r.value, r.value__timestamp) == (want[0], want[1])
+            assert r.value__timestamp <= r.as_of  # the leak-free invariant
+
+
+@given(values=eav_rows)
+@SETTINGS
+def test_exact_dedup_idempotent_keep_min(spark, values):
+    df = _values_df(spark, values)
+    once = dedup.exact_dedup_keep_min(df, ["entity_id"], "seq")
+    twice = dedup.exact_dedup_keep_min(once, ["entity_id"], "seq")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    keys = [r.entity_id for r in once.collect()]
+    assert len(keys) == len(set(keys))
+    # keeper carries the minimum seq of its group
+    want_min = {}
+    for e, v, h, s in values:
+        want_min[e] = min(want_min.get(e, s), s)
+    got_min = {r.entity_id: r.seq for r in once.collect()}
+    assert got_min == want_min
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 48)),  # (user, ts-offset hours)
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_sessionize_gap_counting(spark, events):
+    df = spark.createDataFrame(
+        [
+            (i, u, BASE + timedelta(hours=h))
+            for i, (u, h) in enumerate(events)
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    ).coalesce(2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
+    sessions = (
+        df.withColumn("s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in sessions.collect()}
+    by_user = {}
+    for u, h in events:
+        by_user.setdefault(u, []).append(h)
+    want = {}
+    for u, hs in by_user.items():
+        hs = sorted(hs)
+        n = 1 + sum(1 for a, b in zip(hs, hs[1:]) if (b - a) * 3600 > 7200)
+        want[u] = n
+    assert got == want
+
+
+@given(
+    facts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=30),
+    dim=st.lists(st.integers(0, 4), min_size=1, max_size=5, unique=True),
+)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, facts, dim):
+    f = spark.createDataFrame(facts, "k long, v long").coalesce(2)
+    d = spark.createDataFrame([(k, f"dim_{k}") for k in dim], "k long, name string")
+    plain = sorted(map(tuple, f.join(d, "k").select("k", "v", "name").collect()))
+    salted = sorted(
+        map(tuple, salted_join(f, d, on="k", n_salts=4).select("k", "v", "name").collect())
+    )
+    assert plain == salted
