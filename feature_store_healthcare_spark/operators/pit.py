@@ -191,3 +191,73 @@ def salted_join(
     )
     out = salted_facts.join(salted_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def point_in_time_pivot(
+    spine: DataFrame,
+    values: DataFrame,
+    on: Sequence[str] | str,
+    spine_ts: str,
+    value_ts: str,
+    name_col: str,
+    slot_for: dict[str, str],
+    tiebreak: Sequence[str] = (),
+    spine_keys: Sequence[str] | None = None,
+    ts_suffix: str = "__timestamp",
+) -> DataFrame:
+    """OP-16 + OP-12 fused: leak-free as-of join of MANY features in ONE
+    pass (feature_server.py:355-408 loops features; the per-feature
+    composition costs 2 shuffles per feature — this costs 2 total).
+
+    ``values`` is the long EAV table; ``name_col`` discriminates features;
+    ``slot_for`` maps feature name → its typed value column (the
+    union-typed slots may differ per feature).  For each spine row and each
+    feature, the newest eligible value is taken with a conditional
+    ``max_by`` — the ordering key is NULL for other features' rows, which
+    ``max_by`` ignores, so one hash aggregate resolves every feature at
+    once.  Output: spine columns + one typed column per feature + its
+    ``{name}{ts_suffix}`` companion.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    names = list(slot_for)
+
+    drop_key = False
+    if spine_keys is None:
+        spine = spine.withColumn("__spine_id", F.monotonically_increasing_id())
+        spine_keys = ["__spine_id"]
+        drop_key = True
+    spine_keys = list(spine_keys)
+
+    slots_needed = sorted(set(slot_for.values()))
+    v = values.where(F.col(name_col).isin(names)).select(
+        *[F.col(c).alias(f"__v_{c}") for c in on],
+        F.col(name_col).alias("__v_name"),
+        F.col(value_ts).alias("__v_ts"),
+        *[F.col(c).alias(f"__v_tb_{c}") for c in tiebreak],
+        *[F.col(s).alias(f"__v_{s}") for s in slots_needed],
+    )
+    join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
+    join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    joined = spine.join(v, on=join_cond, how="left")
+
+    aggs = []
+    for name in names:
+        slot = slot_for[name]
+        is_mine = F.col("__v_name") == name
+        ordering = F.when(
+            is_mine, F.struct(F.col("__v_ts"), *[F.col(f"__v_tb_{c}") for c in tiebreak])
+        )  # NULL for other features → ignored by max_by
+        payload = F.struct(F.col(f"__v_{slot}").alias("v"), F.col("__v_ts").alias("t"))
+        aggs.append(F.max_by(payload, ordering).alias(f"__pit_{name}"))
+    carry = [c for c in spine.columns if c not in spine_keys]
+    agged = joined.groupBy(*spine_keys).agg(
+        *[F.first(F.col(c)).alias(c) for c in carry], *aggs
+    )
+    out_cols = [F.col(c) for c in spine.columns if c != "__spine_id"]
+    for name in names:
+        out_cols.append(F.col(f"__pit_{name}.v").alias(name))
+        out_cols.append(F.col(f"__pit_{name}.t").alias(f"{name}{ts_suffix}"))
+    out = agged.select(*out_cols)
+    if drop_key and "__spine_id" in out.columns:
+        out = out.drop("__spine_id")
+    return out

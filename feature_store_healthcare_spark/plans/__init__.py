@@ -22,20 +22,29 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _effective_plan(df: DataFrame, mode: str = "simple") -> str:
+    """The plan that will (or did) run: once AQE finalizes, explain prints
+    BOTH '== Final Plan ==' and '== Initial Plan ==' — keep only the final
+    section so operators aren't double-counted."""
+    plan = physical_plan(df, mode)
+    marker = "== Initial Plan =="
+    return plan.split(marker)[0] if marker in plan else plan
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (excludes broadcast exchanges).
     Every one is a full materialization barrier at scale — fewer is better,
     and a known count is a regression tripwire."""
-    plan = physical_plan(df, "simple")
+    plan = _effective_plan(df)
     return len(re.findall(r"Exchange (?:hash|range|rangepartitioning|RoundRobin|SinglePartition)", plan, re.I))
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
-    return physical_plan(df, "simple").count("BroadcastHashJoin")
+    return _effective_plan(df).count("BroadcastHashJoin")
 
 
 def count_sort_merge_joins(df: DataFrame) -> int:
-    return physical_plan(df, "simple").count("SortMergeJoin")
+    return _effective_plan(df).count("SortMergeJoin")
 
 
 def scan_read_schemas(df: DataFrame) -> list[str]:
@@ -65,4 +74,4 @@ def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
 def uses_take_ordered(df: DataFrame) -> bool:
     """True when a sort+limit collapsed into TakeOrderedAndProject (top-k
     without a global sort)."""
-    return "TakeOrderedAndProject" in physical_plan(df, "simple")
+    return "TakeOrderedAndProject" in _effective_plan(df)

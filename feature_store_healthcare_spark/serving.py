@@ -13,8 +13,10 @@ Re-expresses /root/reference/src/serving/feature_server.py as Spark plans:
 - Offline store (ref :204 append-only list) → append-only long table
   shared with the registry (system of record, bitemporal).
 - get_point_in_time_features (ref :355-408, O(spine×values×features)
-  loops) → one set-oriented plan: operators.pit.point_in_time_join per
-  feature, pivoted wide with {name}__timestamp companions (OP-16).
+  loops) → ONE set-oriented plan for ALL requested features:
+  operators.pit.point_in_time_pivot (join + multi-feature conditional
+  max_by — 2 shuffles total, independent of feature count), wide output
+  with {name}__timestamp companions (OP-16 + OP-12 fused).
 - LRU cache + TTL (ref :136-176) → driver-side LRU over collected vectors
   (request-level concern, not a data-plane operator), plus Spark-side
   ``.cache()`` of the online table.
@@ -34,7 +36,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
-from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
+from feature_store_healthcare_spark.operators.pit import (
+    latest_per_key,
+    point_in_time_join,
+    point_in_time_pivot,
+)
 from feature_store_healthcare_spark.registry import (
     SLOT_FOR,
     FeatureRegistry,
@@ -288,35 +294,35 @@ class FeatureServer:
                 timestamp_column, F.col(timestamp_column).cast("timestamp_ntz")
             )
         spine = spine.withColumn("__row_id", F.monotonically_increasing_id())
-        out = spine
         features = {
             f.name: f for f in self.registry.list_features() if f.name in feature_names
         }
-        for name in feature_names:
-            feature = features.get(name)
-            if feature is None:
-                out = out.withColumn(name, F.lit(None)).withColumn(
-                    f"{name}__timestamp", F.lit(None).cast("timestamp_ntz")
-                )
-                continue
-            slot = SLOT_FOR[feature.schema.value_type]
-            vals = values.where(F.col("feature_id") == feature.feature_id).select(
-                F.col("entity_id").alias(entity_column),
-                F.col(slot).alias(name),
-                F.col("event_timestamp"),
-                F.col("created_timestamp"),
-                F.col("seq"),
+        known = [n for n in feature_names if n in features]
+        out = spine
+        if known:
+            # ONE join + ONE multi-feature argmax for ALL requested features
+            # (2 shuffles total, vs 2 per feature in the reference's loop)
+            vals = values.where(
+                F.col("feature_id").isin([features[n].feature_id for n in known])
             )
-            out = point_in_time_join(
+            if entity_column != "entity_id":
+                vals = vals.withColumnRenamed("entity_id", entity_column)
+            out = point_in_time_pivot(
                 out,
                 vals,
                 on=entity_column,
                 spine_ts=timestamp_column,
                 value_ts="event_timestamp",
-                value_cols=[name],
+                name_col="feature_name",
+                slot_for={n: SLOT_FOR[features[n].schema.value_type] for n in known},
                 tiebreak=["created_timestamp", "seq"],
                 spine_keys=["__row_id"],
             )
+        for name in feature_names:
+            if name not in features:  # unknown feature → null-fill columns
+                out = out.withColumn(name, F.lit(None)).withColumn(
+                    f"{name}__timestamp", F.lit(None).cast("timestamp_ntz")
+                )
         return out.drop("__row_id")
 
     # -- writes (ref :410-455, OP-4) --------------------------------------

@@ -103,3 +103,37 @@ class LatestStore:
         os.replace(tmp, self._pointer)  # atomic pointer flip
         if old is not None:
             shutil.rmtree(self._snapshot_dir(old), ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_col`` as an external table.
+
+    Bucketing is the co-located-join layout for the 100 TB EAV store
+    (SURVEY.md §4.2): two tables bucketed by the same key with the same
+    bucket count join with NO shuffle exchange — each task zips bucket i
+    with bucket i.  The optional ``sort_col`` pre-sorts within buckets so
+    sort-merge joins also skip the sort.  The spine/values PIT join and the
+    online/offline parity diff are the main beneficiaries.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table by catalog name (bucket metadata only survives
+    the catalog path — reading the parquet files directly loses it)."""
+    return spark.table(table)

@@ -152,3 +152,75 @@ def streaming_online_upsert(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+RUNNING_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stateful_running_features(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """OP-43/45 (custom stateful operator): per-key running aggregate
+    features (event count, value sum, last event time) maintained across
+    micro-batches with ``applyInPandasWithState`` — the escape hatch for
+    stateful semantics the built-in windowed aggregates can't express
+    (running lifetime counters here; the same shape serves sessionized
+    EWMAs, decayed sums, per-entity model state).
+
+    State is one tiny row per key, Arrow-batched per group; the watermark
+    bounds how late input can arrive, and at scale state shards with the
+    groupBy key exactly like any shuffle partition.
+    """
+    import pandas as pd  # local import: executors ship their own
+
+    def update(key_tuple, pdfs, state):
+        if state.exists:
+            n, s, last_us = state.get
+        else:
+            n, s, last_us = 0, 0.0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            us = int(batch_max.value // 1_000)  # ns → µs
+            last_us = us if last_us is None else max(last_us, us)
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_FEATURES_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

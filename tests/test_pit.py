@@ -146,3 +146,51 @@ def test_pit_join_with_explicit_spine_keys(spark, values):
         value_cols=["v"], tiebreak=["created_ts", "seq"], spine_keys=["row_id"],
     ).collect()
     assert len(out) == 1 and out[0].v == 9.0  # late row included at its event time
+
+
+def test_point_in_time_pivot_mixed_types_and_bounded_shuffles(spark):
+    """Fused multi-feature PIT (point_in_time_pivot): one pass resolves
+    features living in DIFFERENT typed slots; per-feature as-of and
+    timestamps are independent; the plan's shuffle count does not grow
+    with the number of features."""
+    from datetime import datetime
+
+    from feature_store_healthcare_spark import plans
+    from feature_store_healthcare_spark.operators.pit import point_in_time_pivot
+
+    T = datetime
+    values = spark.createDataFrame(
+        [
+            ("e1", "score", 1.5, None, T(2024, 1, 1), 1),
+            ("e1", "score", 2.5, None, T(2024, 1, 3), 2),   # after spine ts of row A
+            ("e1", "tier", None, "gold", T(2024, 1, 1), 3),
+            ("e2", "tier", None, "silver", T(2024, 1, 5), 4),  # future vs e2 spine
+        ],
+        "entity_id string, feature_name string, value_double double, "
+        "value_string string, event_timestamp timestamp_ntz, seq long",
+    )
+    spine = spark.createDataFrame(
+        [(1, "e1", T(2024, 1, 2)), (2, "e2", T(2024, 1, 2)), (3, "e3", T(2024, 1, 2))],
+        "row_id long, entity_id string, as_of timestamp_ntz",
+    )
+    out = point_in_time_pivot(
+        spine,
+        values,
+        on="entity_id",
+        spine_ts="as_of",
+        value_ts="event_timestamp",
+        name_col="feature_name",
+        slot_for={"score": "value_double", "tier": "value_string"},
+        tiebreak=["seq"],
+        spine_keys=["row_id"],
+    )
+    # shuffle count independent of feature count (counted on the unexecuted
+    # plan — AQE's final-plan stage framing repeats exchange nodes)
+    assert plans.count_exchanges(out) <= 3
+    rows = {r.row_id: r for r in out.collect()}
+    assert rows[1].score == 1.5                      # 2.5 is post-as_of → leak-free
+    assert rows[1].score__timestamp == T(2024, 1, 1)
+    assert rows[1].tier == "gold"
+    assert rows[2].score is None and rows[2].tier is None   # e2's tier is future
+    assert rows[3].score is None and rows[3].tier is None   # unseen entity
+    assert len(rows) == 3

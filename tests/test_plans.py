@@ -93,3 +93,45 @@ def test_metadata_stats_never_read_payload(spark, sf_dir, qs):
     schemas = plans.scan_read_schemas(df)
     assert schemas and all("content" not in s for s in schemas)
     assert all("text" in s for s in schemas)  # only the meta source column
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join layout: orders and lineitem bucketed by order key →
+    the join plan has ZERO shuffle exchanges (each task zips bucket i with
+    bucket i), vs 2-3 for the unbucketed join."""
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 4, str(tmp_path / "orders_b"))
+    write_bucketed(li, "lineitem_b", "l_orderkey", 4, str(tmp_path / "lineitem_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the shuffle-free SMJ/SHJ is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            read_table(spark, "orders_b")
+            .join(
+                read_table(spark, "lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        # one exchange for the final groupBy... which also vanishes: the
+        # join output is already distributed by the grouping key
+        assert plans.count_exchanges(joined) == 0
+        unbucketed = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        assert plans.count_exchanges(unbucketed) >= 2
+        # same results either way
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, unbucketed.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -152,3 +152,39 @@ def test_offline_append_keeps_late_rows(spark, events_dir, tmp_path):
     rows = offline.read().collect()
     assert len(rows) == 6  # every raw row, dup + late included
     assert any(r.event_id == 4 for r in rows)
+
+
+def test_stateful_running_features_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches
+    (maxFilesPerTrigger=1 → two batches); the LAST emitted row per user
+    equals the batch aggregate over all files."""
+    stream = sp.stream_events(spark, events_dir, max_files_per_trigger=1)
+    feats = sp.stateful_running_features(stream)
+    _run_available_now(
+        feats.writeStream.format("memory").queryName("running_out").outputMode("update"),
+        tmp_path,
+        "running",
+    )
+    rows = spark.table("running_out").collect()
+    # updates are appended per batch; the final state per user is the max n
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+    batch = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).json(events_dir)
+    want = {
+        r.user_id: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u].n_events == want[u].n_events
+        assert abs(final[u].sum_value - want[u].sum_value) < 1e-9
+        assert final[u].last_ts == want[u].last_ts
