@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators import dedup, multimodal, similarity, text
-from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
+from feature_store_healthcare_spark.operators.pit import (
+    latest_per_key,
+    point_in_time_join,
+    point_in_time_pivot,
+)
 from feature_store_healthcare_spark.sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1444,4 +1448,58 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(big), "l_orderkey", "left_semi")
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_dsum("l_quantity", "total_qty"))
+    )
+
+
+@query(
+    "pit_multi_feature_fused",
+    """
+    WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id,
+           arg_max(v.value, v.ts) FILTER (WHERE v.event_type = 'click') AS click_value,
+           max(v.ts)              FILTER (WHERE v.event_type = 'click') AS click_value__timestamp,
+           arg_max(v.value, v.ts) FILTER (WHERE v.event_type = 'view') AS view_value,
+           max(v.ts)              FILTER (WHERE v.event_type = 'view') AS view_value__timestamp
+    FROM spine s
+    LEFT JOIN events v
+      ON v.user_id = s.user_id AND v.ts <= s.ts
+         AND v.event_type IN ('click', 'view')
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def pit_multi_feature_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16+OP-12 fused (point_in_time_pivot): ALL features resolved in
+    ONE join + ONE aggregate — per purchase, the user's latest click AND
+    view values as of the purchase's own timestamp.  2 shuffles total
+    however many features; the reference loops features×spine×values.
+    Event timestamps are µs-unique per user in this data, so ts alone is
+    the (deterministic) ordering; the operator's tiebreak parameter covers
+    data where it is not."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    vals = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_double"),
+        F.col("ts").alias("event_timestamp"),
+    )
+    out = point_in_time_pivot(
+        spine,
+        vals,
+        on="user_id",
+        spine_ts="ts",
+        value_ts="event_timestamp",
+        name_col="feature_name",
+        slot_for={"click": "value_double", "view": "value_double"},
+        spine_keys=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click").alias("click_value"),
+        F.col("click__timestamp").alias("click_value__timestamp"),
+        F.col("view").alias("view_value"),
+        F.col("view__timestamp").alias("view_value__timestamp"),
     )

@@ -400,6 +400,44 @@ class FeatureRegistry:
                 raise ValueError(
                     f"embedding dim {len(value)} != declared {feature.schema.embedding_dim}"
                 )
+        if feature.schema.validation_rules:
+            # §2.10: the reference declares validation_rules but never
+            # evaluates them (feature_registry.py:82 — dead config).  Here
+            # each rule is a Spark SQL boolean expression over `value`,
+            # evaluated by the engine itself so single-value ingest and the
+            # bulk path share one semantics.
+            one = self.spark.createDataFrame(
+                [(value,)],
+                T.StructType([T.StructField("value", SPARK_TYPE_FOR[vt], True)]),
+            )
+            ok_df, bad_df = self.apply_validation_rules(one, feature, "value")
+            if bad_df.limit(1).count() > 0:
+                raise ValueError(
+                    f"value {value!r} violates validation_rules "
+                    f"{feature.schema.validation_rules} for {feature.feature_id}"
+                )
+
+    def apply_validation_rules(
+        self, df: DataFrame, feature: Feature, value_col: str = "value"
+    ):
+        """Split ``df`` into (valid, violations) by the feature's declared
+        validation rules — each a SQL boolean expression over ``value``
+        (e.g. ``"value >= 0 AND value <= 200"``).  The bulk-ingest
+        quarantine path: violations are kept, not dropped, mirroring
+        ``badRecordsPath`` semantics."""
+        rules = feature.schema.validation_rules
+        if not rules:
+            return df, df.limit(0)
+        probe = df if value_col == "value" else df.withColumn("value", F.col(value_col))
+        cond = None
+        for rule in rules:
+            c = F.expr(rule)  # rules are written against the column `value`
+            cond = c if cond is None else cond & c
+        valid = probe.where(cond)
+        bad = probe.where(~F.coalesce(cond, F.lit(False)))  # NULL rule → violation
+        if value_col != "value":
+            valid, bad = valid.drop("value"), bad.drop("value")
+        return valid, bad
 
     def ingest_feature_value(
         self,
@@ -443,6 +481,52 @@ class FeatureRegistry:
             row["seq"] = self._seq
             self._seq += 1
             self._buffer.append(tuple(row[n] for n in VALUES_SCHEMA.fieldNames()))
+
+    def materialize_derived_feature(
+        self,
+        feature_id: str,
+        source_df: DataFrame,
+        entity_col: str,
+        ts_col: str,
+    ) -> DataFrame:
+        """§2.10: execute a derived feature's ``transformation_logic`` — a
+        Spark SQL expression over the source columns (the reference stores
+        this string but never runs it, feature_registry.py:104).  Returns
+        the VALUES_SCHEMA-shaped rows (validated + rule-checked) ready for
+        :meth:`ingest_values_df`; violations are dropped here because bulk
+        callers quarantine via :meth:`apply_validation_rules` themselves
+        when they need the rejects."""
+        feature = self.get_feature(feature_id)
+        logic = (feature.source.transformation_logic or "").strip()
+        if feature.source.source_type != "derived" or not logic:
+            raise ValueError(
+                f"feature {feature_id} has no derived transformation_logic"
+            )
+        slot = SLOT_FOR[feature.schema.value_type]
+        now = _utcnow()
+        out = source_df.select(
+            F.lit(feature.feature_id).alias("feature_id"),
+            F.lit(feature.name).alias("feature_name"),
+            F.lit(feature.schema.entity_type).alias("entity_type"),
+            F.col(entity_col).cast("string").alias("entity_id"),
+            F.expr(logic).cast(SPARK_TYPE_FOR[feature.schema.value_type]).alias("value"),
+            F.col(ts_col).cast("timestamp_ntz").alias("event_timestamp"),
+        )
+        valid, _bad = self.apply_validation_rules(out, feature, "value")
+        row_cols = []
+        for name in VALUES_SCHEMA.fieldNames():
+            if name == slot:
+                row_cols.append(F.col("value").alias(slot))
+            elif name in ("feature_id", "feature_name", "entity_type", "entity_id", "event_timestamp"):
+                row_cols.append(F.col(name))
+            elif name == "created_timestamp":
+                row_cols.append(F.lit(now).cast("timestamp_ntz").alias(name))
+            elif name == "seq":
+                row_cols.append(F.monotonically_increasing_id().alias(name))
+            else:
+                field_type = VALUES_SCHEMA[name].dataType
+                row_cols.append(F.lit(None).cast(field_type).alias(name))
+        return valid.select(*row_cols)
 
     def ingest_values_df(self, df: DataFrame) -> None:
         """Bulk ingest: a DataFrame already in VALUES_SCHEMA layout is

@@ -1,0 +1,83 @@
+"""Z-order layout tests: the clustered write must let parquet skip most
+files for point-gets on EITHER interleaved dimension — the online-table
+locality story (SURVEY.md §4.3) measured, not assumed.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.layout import zorder_value, zorder_write
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 64×64 grid of (x, y) — every combination once, shuffled
+    return (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .orderBy(F.rand(seed=7))
+    )
+
+
+def _files_containing(path, col, lo, hi):
+    """Files whose row-group min/max interval intersects [lo, hi] — what a
+    reader must open for `col BETWEEN lo AND hi`."""
+    hits = 0
+    files = glob.glob(f"{path}/*.parquet")
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            stats = {
+                meta.row_group(rg).column(i).path_in_schema: meta.row_group(rg).column(i).statistics
+                for i in range(meta.row_group(rg).num_columns)
+            }
+            s = stats[col]
+            if s.min <= hi and s.max >= lo:
+                hits += 1
+                break
+    return hits, len(files)
+
+
+def test_zorder_skips_on_both_dims(spark, grid, tmp_path):
+    path = str(tmp_path / "zordered")
+    zorder_write(grid, path, ["x", "y"], n_files=16)
+    # a point-get slab on x must touch a minority of files; same for y —
+    # a single-column sort could only achieve this for ONE of them
+    x_hits, n = _files_containing(path, "x", 10, 13)
+    y_hits, _ = _files_containing(path, "y", 10, 13)
+    assert n >= 8
+    assert x_hits <= n // 2, f"x slab hit {x_hits}/{n} files"
+    assert y_hits <= n // 2, f"y slab hit {y_hits}/{n} files"
+    # data intact
+    back = spark.read.parquet(path)
+    assert back.count() == 64 * 64
+    assert back.agg(F.sum("payload")).first()[0] == grid.agg(F.sum("payload")).first()[0]
+
+
+def test_single_sort_fails_one_dim(spark, grid, tmp_path):
+    """Control: sorting by x alone clusters x but leaves y unclustered —
+    every file spans the full y range."""
+    path = str(tmp_path / "xsorted")
+    (
+        grid.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    y_hits, n = _files_containing(path, "y", 10, 13)
+    assert y_hits >= n - 1  # no skipping on the unsorted dim
+
+
+def test_zorder_value_is_deterministic(spark, grid):
+    a = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
+    b = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
+    assert a == b

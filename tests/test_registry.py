@@ -166,3 +166,123 @@ def test_parquet_persistence_roundtrip(spark, tmp_path):
     # buffer ∪ persisted view sees both
     assert reg.values_df().count() == 2
     assert reg.get_feature_value(f.feature_id, "p1") == 6.5
+
+
+def test_validation_rules_enforced_at_ingest(spark, tmp_path):
+    """§2.10: validation_rules (dead config in the reference) are evaluated
+    as Spark SQL boolean expressions over `value`."""
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry, FeatureSchema, FeatureSource, FeatureStatus, FeatureValueType,
+    )
+
+    reg = FeatureRegistry(spark, storage_dir=str(tmp_path / "reg"))
+    f = reg.register_feature(
+        name="hba1c",
+        schema=FeatureSchema(
+            name="hba1c", value_type=FeatureValueType.FLOAT64,
+            entity_type="patient", category="laboratory",
+            validation_rules=["value >= 3.0 AND value <= 20.0"],
+        ),
+        source=FeatureSource(source_type="batch"),
+        owner="t",
+    )
+    reg.update_feature_status(f.feature_id, FeatureStatus.ACTIVE)
+    reg.ingest_feature_value(f.feature_id, "p1", 6.5)  # in range → ok
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="validation_rules"):
+        reg.ingest_feature_value(f.feature_id, "p1", 99.0)  # out of range
+
+
+def test_apply_validation_rules_quarantine_split(spark):
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry, FeatureSchema, FeatureSource, FeatureValueType,
+    )
+
+    reg = FeatureRegistry(spark)
+    f = reg.register_feature(
+        name="bp_sys",
+        schema=FeatureSchema(
+            name="bp_sys", value_type=FeatureValueType.INT64,
+            entity_type="patient",
+            validation_rules=["value > 0", "value < 300"],
+        ),
+        source=FeatureSource(source_type="batch"),
+        owner="t",
+    )
+    df = spark.createDataFrame([(120,), (0,), (500,), (90,)], "reading long")
+    ok, bad = reg.apply_validation_rules(df, f, "reading")
+    assert sorted(r.reading for r in ok.collect()) == [90, 120]
+    assert sorted(r.reading for r in bad.collect()) == [0, 500]
+
+
+def test_materialize_derived_feature_runs_transformation_logic(spark, sf_dir, tmp_path):
+    """§2.10: transformation_logic (stored-but-never-run in the reference)
+    executes as a SQL expression over a source DataFrame."""
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry, FeatureSchema, FeatureSource, FeatureStatus, FeatureValueType,
+    )
+    from feature_store_healthcare_spark.sources import load_table
+
+    reg = FeatureRegistry(spark, storage_dir=str(tmp_path / "reg"))
+    f = reg.register_feature(
+        name="order_value_eur",
+        schema=FeatureSchema(
+            name="order_value_eur", value_type=FeatureValueType.FLOAT64,
+            entity_type="customer", validation_rules=["value >= 0"],
+        ),
+        source=FeatureSource(
+            source_type="derived",
+            transformation_logic="o_totalprice * 0.92",
+        ),
+        owner="t",
+    )
+    orders = load_table(spark, sf_dir, "orders").limit(50)
+    rows_df = reg.materialize_derived_feature(
+        f.feature_id, orders, entity_col="o_custkey", ts_col="o_orderdate"
+    )
+    rows = rows_df.collect()
+    assert len(rows) == 50
+    import collections
+    want = collections.Counter(
+        (str(r.o_custkey), round(r.o_totalprice * 0.92, 6)) for r in orders.collect()
+    )
+    got = collections.Counter(
+        (r.entity_id, round(r.value_double, 6)) for r in rows
+    )
+    assert got == want
+    assert all(r.feature_id == f.feature_id for r in rows)
+    from pyspark.sql import functions as F
+    reg.update_feature_status(f.feature_id, FeatureStatus.ACTIVE)
+    reg.ingest_values_df(rows_df)
+    assert reg.values_df().where(F.col("feature_id") == f.feature_id).count() == 50
+
+
+def test_values_store_partition_pruning(spark, tmp_path):
+    """The persisted value store is partitioned by event_date; a dated
+    as-of read must prune partitions at the scan (the 100 TB contract)."""
+    from datetime import datetime
+
+    from feature_store_healthcare_spark import plans
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry, FeatureSchema, FeatureSource, FeatureStatus, FeatureValueType,
+    )
+
+    reg = FeatureRegistry(spark, storage_dir=str(tmp_path / "reg"))
+    f = reg.register_feature(
+        name="hr",
+        schema=FeatureSchema(name="hr", value_type=FeatureValueType.INT64,
+                             entity_type="patient"),
+        source=FeatureSource(source_type="batch"),
+        owner="t",
+    )
+    reg.update_feature_status(f.feature_id, FeatureStatus.ACTIVE)
+    for day in (1, 2, 3):
+        reg.ingest_feature_value(f.feature_id, "p1", 60 + day,
+                                 event_timestamp=datetime(2024, 1, day))
+    from pyspark.sql import functions as F
+    reg.flush()
+    pruned = reg.values_df().where(F.col("event_date") == "2024-01-02")
+    plan = plans.physical_plan(pruned)
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert pruned.count() == 1
