@@ -109,7 +109,7 @@ def test_cosine_self_similarity(spark):
         "vec_id long, embedding array<double>",
     )
     q = df.where(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = {r.vec_id: r.cosine for r in similarity.cosine_topk(q, df, k=3).collect()}
+    out = {r.vec_id: r.cosine for r in similarity.cosine_topk(q, df, k=3, dim=2).collect()}
     assert math.isclose(out[2], 1.0)
     assert math.isclose(out[3], 0.0, abs_tol=1e-12)
     assert math.isclose(out[4], -1.0)
