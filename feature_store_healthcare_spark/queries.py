@@ -1893,3 +1893,62 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             len({_TOKENS_SQL}) AS n_tokens,
+             len(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(regexp_extract_all(text, '[0-9]'))
+               / greatest(length(text), 1) AS digit_ratio
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.10 AND digit_ratio <= 0.20
+    ),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) = 1
+    )
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+    FROM deduped GROUP BY lang, source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ End-to-end training-data curation (OP-48+OP-51 composed): quality
+    gates (min length, punctuation/digit ratio caps) → exact dedup on the
+    normalized-text fingerprint (deterministic keeper = min doc_id) →
+    per-(lang, source) survivor report.  The single-pipeline shape a
+    100 TB pre-training corpus pass runs: all gates evaluate in one scan
+    projection, the dedup is one partial-aggregatable shuffle on the
+    fingerprint, the report re-aggregates on low-cardinality keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        text.token_count(c).alias("n_tokens"),
+        (
+            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("punct_ratio"),
+        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
+            "digit_ratio"
+        ),
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.10)
+        & (F.col("digit_ratio") <= 0.20)
+    ).withColumn("__fp", F.md5(dedup.normalize_text("text")))
+    deduped = dedup.exact_dedup_keep_min(kept, ["__fp"], "doc_id")
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
