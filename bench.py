@@ -40,6 +40,9 @@ HEADLINE = [
     "text_quality_scores",
     "embedding_topk_bruteforce",
     "multimodal_image_features",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "corpus_curation_pipeline",
 ]
 
 
