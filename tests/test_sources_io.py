@@ -1,0 +1,55 @@
+"""Generic source/sink roundtrips: format fidelity, schema enforcement, and
+partitioned-write pruning (the directory layout the offline store relies on).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark import plans
+from feature_store_healthcare_spark.sources import load_table, read_source, write_sink
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).limit(200)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_sink(sample, path, fmt=fmt)
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    back = read_source(spark, path, fmt=fmt, schema=schema)
+    assert back.count() == 200
+    a = sample.agg(F.sum("o_totalprice"), F.sum("o_orderkey")).first()
+    b = back.agg(F.sum("o_totalprice"), F.sum("o_orderkey")).first()
+    assert a == b
+
+
+def test_csv_infers_without_schema(spark, sample, tmp_path):
+    path = str(tmp_path / "csv_infer")
+    write_sink(sample, path, fmt="csv")
+    back = read_source(spark, path, fmt="csv")
+    assert back.count() == 200
+    assert dict(back.dtypes)["o_orderkey"] in ("int", "bigint")
+
+
+def test_partitioned_write_prunes(spark, sample, tmp_path):
+    path = str(tmp_path / "by_status")
+    write_sink(sample, path, fmt="parquet", partition_by=["o_orderstatus"])
+    back = read_source(spark, path).where(F.col("o_orderstatus") == "O")
+    plan = plans.physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    want = sample.where(F.col("o_orderstatus") == "O").count()
+    assert back.count() == want
+
+
+def test_unknown_format_rejected(spark, sample, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_source(spark, "/nope", fmt="avro")
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_sink(sample, str(tmp_path / "x"), fmt="xml")
