@@ -26,6 +26,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark.operators.pit import latest_per_key
 
@@ -137,3 +138,86 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table by catalog name (bucket metadata only survives
     the catalog path — reading the parquet files directly loses it)."""
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# KV export — the documented online-latency gap (SURVEY.md §4.2), closed
+# ---------------------------------------------------------------------------
+
+#: default bucket count for the exported KV layout; at 100 TB size so each
+#: bucket directory holds one or a few row groups (≤ ~128 MB).
+KV_BUCKETS = 64
+
+
+def kv_bucket_py(entity_type: str, entity_id: str, n_buckets: int = KV_BUCKETS) -> int:
+    """The bucket a key lands in — computed WITHOUT Spark (hashlib.md5), so
+    a point-get client needs no cluster round-trip to locate its partition.
+    Must stay in lockstep with :func:`kv_bucket_col`."""
+    import hashlib
+
+    digest = hashlib.md5(f"{entity_type}:{entity_id}".encode()).hexdigest()
+    return int(digest[:8], 16) % n_buckets
+
+
+def kv_bucket_col(
+    entity_type_col: str = "entity_type",
+    entity_id_col: str = "entity_id",
+    n_buckets: int = KV_BUCKETS,
+):
+    """Spark-side twin of :func:`kv_bucket_py`: first 8 hex chars of
+    md5("type:id") mod n.  md5 (not xxhash64) because the client side must
+    reproduce it in plain Python."""
+    key = F.concat_ws(":", F.col(entity_type_col), F.col(entity_id_col))
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+
+
+def export_online_kv(
+    latest_df: DataFrame,
+    path: str,
+    n_buckets: int = KV_BUCKETS,
+    entity_type_col: str = "entity_type",
+    entity_id_col: str = "entity_id",
+) -> None:
+    """Export the online latest table to a hash-bucketed directory layout
+    for O(1)-ish point reads — the job that fronts Spark with a KV-shaped
+    store (the reference's 100 ms online SLA, feature_server.py:105, is out
+    of reach for a full-table Spark job; a point-get against one bucket
+    directory of a local/object store is not).
+
+    Layout: ``path/__kvb=<bucket>/part-*.parquet``, rows sorted by key
+    within each bucket so row-group min/max statistics prune within the
+    bucket too."""
+    out = latest_df.withColumn(
+        "__kvb", kv_bucket_col(entity_type_col, entity_id_col, n_buckets)
+    )
+    (
+        out.repartition(n_buckets, F.col("__kvb"))
+        .sortWithinPartitions(entity_type_col, entity_id_col)
+        .write.mode("overwrite")
+        .partitionBy("__kvb")
+        .parquet(path)
+    )
+
+
+def kv_point_get(
+    spark: SparkSession,
+    path: str,
+    entity_type: str,
+    entity_id: str,
+    n_buckets: int = KV_BUCKETS,
+) -> DataFrame:
+    """Point read from an exported KV layout: the bucket is computed
+    client-side (no Spark job), so the scan's PartitionFilters prune to ONE
+    bucket directory before any I/O; min/max stats then skip row groups
+    within it."""
+    bucket = kv_bucket_py(entity_type, entity_id, n_buckets)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("__kvb") == bucket)
+        .where(
+            (F.col("entity_type") == entity_type) & (F.col("entity_id") == entity_id)
+        )
+        .drop("__kvb")
+    )
