@@ -173,6 +173,11 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
         sh = sh.join(F.broadcast(freq.where(F.col("__f") <= max_shingle_freq)), "shingle").drop("__f")
+    # The shingle table feeds THREE consumers (probe side, build side, doc
+    # sizes); without materialization each re-runs the scan+explode — three
+    # corpus passes at scale.  persist() computes it once here; a 100 TB run
+    # would write it to a (bucketed) table instead, same plan downstream.
+    sh = sh.persist()
     # spread probe rows by doc so pair generation parallelism is data-size-,
     # not key-distribution-, bound
     parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
