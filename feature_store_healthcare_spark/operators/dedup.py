@@ -122,6 +122,9 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
     ).select(id_col, "b.band", "b.bkey")
+    # banded feeds both join sides; persist so the signature computation
+    # (scan → shingle explode → 16-way min agg) runs once, not twice.
+    banded = banded.persist()
     left = banded.alias("l")
     # One row per (doc, band) — tiny relative to the corpus text, so
     # broadcast the build side: no shuffle, no hot-band skew.
