@@ -264,6 +264,9 @@ def simhash_pairs(
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("b")
     ).select(id_col, "simhash", "b.chunk", "b.cval")
+    # banded feeds both join sides — persist so the simhash computation
+    # runs once, not twice (same pattern as minhash_lsh_pairs).
+    banded = banded.persist()
     l = banded.alias("l")
     # (doc, chunk) rows are signature-sized — broadcast the build side to
     # keep hot low-cardinality chunk values from skewing a shuffled join.

@@ -207,6 +207,9 @@ def embedding_near_dup_pairs(
         corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
         .withColumn("n", _norm(F.col("v"), dim=dim))
         .withColumn("bucket", _bucket_bits(F.col("v"), planes))
+        # base feeds the probe explode AND the build side of the self-join —
+        # persist so the bucket kernel runs once over the corpus, not twice
+        .persist()
     )
     probes = base.select(
         "id",
