@@ -1952,3 +1952,23 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
     )
+
+
+@query(
+    "simhash_near_pairs",
+    f"""
+    WITH sigs AS ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49 (SimHash pair variant): near-dup pairs with Hamming ≤ 2 via
+    pigeonhole chunk banding (operators.dedup.simhash_pairs) — exact by the
+    pigeonhole principle (3 disjoint chunks, ≤2 differing bits → ≥1 clean
+    chunk), so it matches the oracle's O(n²) XOR-popcount scan while the
+    engine only scores candidates sharing a chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2)
