@@ -310,6 +310,47 @@ class FeatureRegistry:
             raise KeyError(f"unknown feature: {feature_id}")
         return self._features[feature_id]
 
+    def materialization_order(self, feature_ids: list[str] | None = None) -> list[str]:
+        """Topological order over the dependency DAG (Kahn's algorithm):
+        every feature appears after all of its ``dependencies``, so derived
+        features (:meth:`materialize_derived_feature`) can be built in one
+        forward pass.  The reference stores the dependency list but never
+        orders by it (feature_registry.py:131).
+
+        ``feature_ids`` restricts the result to those features plus their
+        transitive dependencies.  Deterministic: ready features are emitted
+        in sorted id order.  Raises on cycles (registration validates that
+        dependencies exist, but a later re-registration under a new version
+        could close a loop)."""
+        if feature_ids is None:
+            wanted = set(self._features)
+        else:
+            wanted: set[str] = set()
+            stack = list(feature_ids)
+            while stack:
+                fid = stack.pop()
+                if fid in wanted:
+                    continue
+                wanted.add(fid)
+                stack.extend(self.get_feature(fid).dependencies)
+        pending = {
+            fid: {d for d in self._features[fid].dependencies if d in wanted}
+            for fid in wanted
+        }
+        order: list[str] = []
+        while pending:
+            ready = sorted(fid for fid, deps in pending.items() if not deps)
+            if not ready:
+                raise ValueError(
+                    f"dependency cycle among features: {sorted(pending)}"
+                )
+            for fid in ready:
+                order.append(fid)
+                del pending[fid]
+            for deps in pending.values():
+                deps.difference_update(ready)
+        return order
+
     def get_feature_by_name(
         self, name: str, version: str = "1.0.0", entity_type: str | None = None
     ) -> Feature:

@@ -286,3 +286,46 @@ def test_values_store_partition_pruning(spark, tmp_path):
     plan = plans.physical_plan(pruned)
     assert "PartitionFilters" in plan and "2024-01-02" in plan
     assert pruned.count() == 1
+
+
+def test_materialization_order_topological(spark):
+    """Dependencies materialize before dependents; deterministic order;
+    cycles rejected."""
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry, FeatureSchema, FeatureSource, FeatureValueType,
+    )
+
+    reg = FeatureRegistry(spark)
+
+    def mk(name, deps=()):
+        return reg.register_feature(
+            name=name,
+            schema=FeatureSchema(name=name, value_type=FeatureValueType.FLOAT64,
+                                 entity_type="patient"),
+            source=FeatureSource(source_type="derived" if deps else "batch",
+                                 transformation_logic="value * 1.0" if deps else None),
+            owner="t",
+            dependencies=list(deps),
+        )
+
+    base_a = mk("base_a")
+    base_b = mk("base_b")
+    mid = mk("mid", [base_a.feature_id, base_b.feature_id])
+    top = mk("top", [mid.feature_id, base_a.feature_id])
+
+    order = reg.materialization_order()
+    pos = {fid: i for i, fid in enumerate(order)}
+    assert pos[base_a.feature_id] < pos[mid.feature_id]
+    assert pos[base_b.feature_id] < pos[mid.feature_id]
+    assert pos[mid.feature_id] < pos[top.feature_id]
+
+    # restricted: top pulls its transitive closure only
+    sub = reg.materialization_order([top.feature_id])
+    assert set(sub) == {base_a.feature_id, base_b.feature_id, mid.feature_id, top.feature_id}
+    assert sub == reg.materialization_order([top.feature_id])  # deterministic
+
+    # cycle detection: close a loop behind the validator's back
+    reg.get_feature(base_a.feature_id).dependencies.append(top.feature_id)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cycle"):
+        reg.materialization_order()
