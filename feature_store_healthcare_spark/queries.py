@@ -1896,6 +1896,423 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_type = 'SMALL' AND p_size <= 10
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+                           FROM ps ps2, supplier s2, nation n2, region r2
+                           WHERE ps2.ps_partkey = p_partkey
+                             AND s2.s_suppkey = ps2.ps_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region
+    (adapted: no partsupp table, so supply cost := the minimum observed
+    unit price `l_extendedprice / l_quantity` per (part, supplier) from
+    lineitem).  The correlated min subquery decorrelates into a window
+    min over the region-filtered pair table; MIN over doubles is
+    order-independent, and the IEEE division is bit-identical on both
+    engines, so the equality keeps exactly the oracle's rows.  Scale: the
+    pair agg partial-aggregates map-side; the part/supplier prunes are
+    broadcast semi-filters applied BEFORE the window shuffle."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("part", "supplier", "nation", "region", "lineitem")}
+    part = t["part"].where((F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)).select(
+        "p_partkey", "p_name"
+    )
+    eur = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = t["lineitem"].groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(eur), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, {_DSUM_SQL.format(expr='amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year (adapted: no partsupp, so cost := `p_retailprice *
+    l_quantity * 0.1`).  part/supplier/nation broadcast; the only
+    shuffles are the lineitem⋈orders join and the final low-cardinality
+    agg — the 100 TB plan is scan-dominated."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("part", "supplier", "orders", "nation", "lineitem")}
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum("amount", "sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH sv AS (
+      SELECT l_partkey AS ps_partkey,
+             {_DSUM_SQL.format(expr='l_extendedprice * l_quantity')} AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, value FROM sv
+    WHERE value > (SELECT 1.5 * ({_DSUM_SQL.format(expr='value')} / COUNT(*)) FROM sv)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    region's stock value (adapted: value := sum of `l_extendedprice *
+    l_quantity` shipped by the region's suppliers, no partsupp; the cut
+    is relative — above 1.5× the mean part value — so it is scale-free
+    across SFs).  The scalar global-mean subquery becomes a broadcast
+    single-row nested-loop join; the per-part table is persisted so the
+    two consumers (mean + filter) share one computation."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("supplier", "nation", "region", "lineitem")}
+    sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    sv = (
+        t["lineitem"]
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
+        .persist()
+    )
+    total = sv.agg(
+        (
+            F.lit(1.5)
+            * (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*"))
+        ).alias("__threshold")
+    )
+    return sv.join(F.broadcast(total), F.col("value") > F.col("__threshold")).select(
+        "ps_partkey", "value"
+    )
+
+
+@query(
+    "q12_late_lines_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of late-shipped lines (adapted: no
+    l_shipmode/commitdate/receiptdate — "late" := shipped >90 days after
+    the order date, classified by l_returnflag).  The ship-window
+    predicate pushes to the lineitem scan; the row-vs-row lateness
+    predicate evaluates post-join in codegen; integer conditional counts
+    need no decimal accumulation."""
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per excluded-brand part
+    class (adapted: supplier relation from lineitem instead of partsupp;
+    the NOT-IN complaint subquery := suppliers with negative balance).
+    NOT IN over a non-null key compiles to a broadcast anti-join; the
+    count-distinct expands (brand, type, size, suppkey) then re-aggs —
+    two shuffles total."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    f"""
+    WITH q AS (
+      SELECT l_suppkey, {_DSUM_SQL.format(expr='l_quantity')} AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM q
+      WHERE qty > (SELECT 1.2 * ({_DSUM_SQL.format(expr='qty')} / COUNT(*)) FROM q))
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an outsized volume of a part
+    line in a year (adapted: availability from lineitem shipments; the
+    cut is relative — above 1.2× the mean per-supplier quantity — so it
+    is scale-free across SFs).  The nested INs become broadcast
+    left-semi joins; the qualifying table is persisted for its two
+    consumers (mean + cut); decimal-sums keep the qualifying set exact."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("supplier", "part", "lineitem")}
+    small = t["part"].where(F.col("p_name").like("small%")).select("p_partkey")
+    q = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(_dsum("l_quantity", "__qty"))
+        .persist()
+    )
+    mean = q.agg(
+        (
+            F.lit(1.2)
+            * (F.sum(F.col("__qty").cast("decimal(25,6)")).cast("double") / F.count("*"))
+        ).alias("__threshold")
+    )
+    qual = q.join(F.broadcast(mean), F.col("__qty") > F.col("__threshold")).select("l_suppkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F' AND r_name = 'EUROPE'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole final shipper on
+    overdue multi-supplier orders (adapted: no receipt/commit dates —
+    "waiting" := shipped >60 days after the order date, and "last" by
+    l_shipdate; region-scoped so the result is populated at every SF).
+    EXISTS → left-semi, NOT EXISTS → left-anti, both with non-equi
+    conjuncts; the two self-joins and the l1 build all hash-partition
+    on l_orderkey, so the exchange is reused, and the per-key loop is
+    bounded by lines-per-order (~13), which holds at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    t = {n: load_table(spark, sf_dir, n) for n in ("supplier", "orders", "nation", "region")}
+    sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    return (
+        l1.join(l2, (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")), "left_semi")
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey"))
+            & (F.col("s3") != F.col("l_suppkey"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           {_DSUM_SQL.format(expr='c_acctbal')} AS totacctbal
+    FROM (
+      SELECT substr(c_name, -1, 1) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE substr(c_name, -1, 1) IN ('1', '3', '5', '7', '9')
+        AND c_acctbal > (SELECT {_DSUM_SQL.format(expr='c_acctbal')} / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.00)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by "country code" (adapted: no c_phone column — the
+    code := last digit of c_name; "no orders" is vacuous here since
+    every customer ordered, so the anti-join excludes customers with
+    orders SINCE 2000).  The scalar average broadcasts as a single-row
+    join; the average itself is decimal-accumulated so the cut is
+    bit-identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    code = F.substring(F.col("c_name"), -1, 1)
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "__avg_bal"
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.withColumn("cntrycode", code)
+        .where(F.col("cntrycode").isin("1", "3", "5", "7", "9"))
+        .join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"), _dsum("c_acctbal", "totacctbal"))
+    )
+
+
+@query(
     "corpus_curation_pipeline",
     f"""
     WITH scored AS (

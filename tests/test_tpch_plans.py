@@ -22,7 +22,21 @@ SWEEP = [
     ("q15_top_supplier", 5),
     ("q17_small_quantity_revenue", 4),
     ("q19_disjunctive_predicates", 2),
+    ("q2_min_cost_supplier", 6),
+    ("q9_product_type_profit", 5),
+    ("q11_important_stock", 9),
+    ("q12_late_lines_priority", 2),
+    ("q16_supplier_part_counts", 4),
+    ("q20_potential_promotion", 6),
+    ("q21_suppliers_kept_waiting", 7),
+    ("q22_global_sales_opportunity", 3),
 ]
+
+
+def test_q2_and_q21_use_take_ordered(spark, sf_dir):
+    for name in ("q2_min_cost_supplier", "q21_suppliers_kept_waiting"):
+        df = catalog.queries()[name](spark, sf_dir)
+        assert plans.uses_take_ordered(df), f"{name}: sort+limit must collapse to top-k"
 
 
 @pytest.mark.parametrize("name,max_exchanges", SWEEP)
