@@ -1,0 +1,97 @@
+"""Deterministic sampling / splitting operators for training-data curation
+(★ driver-extension surface, BASELINE.json:6 — no reference implementation;
+closest analog is the reference's batch chunking, feature_server.py:106).
+
+Training pipelines need reproducible membership decisions — the same
+document must land in the same split on every run, on every cluster size,
+with no RNG state.  Both operators here derive membership purely from
+``md5`` of a salted key, which is available and bit-identical in Spark and
+DuckDB, so every decision is oracle-checkable:
+
+- **hash_split**: train/val/test assignment by comparing a fixed-width
+  lowercase-hex md5 prefix against precomputed hex thresholds.  Lowercase
+  hex sorts lexicographically in numeric order (``'0'..'9' < 'a'..'f'``),
+  so a string comparison IS the numeric bucket test — no hex→int
+  conversion (which the two engines spell differently) is needed.  The
+  operator is a pure projection: no shuffle, scales linearly, and a
+  resized cluster or re-partitioned input cannot move a row between
+  splits.
+- **stratified_sample**: exactly-k-per-stratum deterministic sample via
+  ``row_number`` over ``md5`` order — one shuffle on the strata columns;
+  per-stratum state is O(k).  The md5 ordering is a fixed pseudo-random
+  permutation, so growing the corpus only perturbs membership near the
+  cut, and reruns are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5-prefix width used for bucket decisions; 8 hex digits = 32 bits of
+#: uniformity, plenty for split fractions while keeping thresholds short.
+_PREFIX = 8
+
+
+def split_thresholds(weights: dict[str, float], prefix: int = _PREFIX) -> list[tuple[str, str]]:
+    """[(label, upper_hex_bound)] with cumulative bounds; last bound is the
+    all-'f' sentinel so every row matches exactly one label."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive number")
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label] / total
+        bound = min(int(acc * (16**prefix)), 16**prefix - 1)
+        out.append((label, format(bound, f"0{prefix}x")))
+    out.append((labels[-1], "f" * prefix))
+    return out
+
+
+def split_key(key: Column | str, salt: str) -> Column:
+    """The salted md5 prefix a row's split decision is made on."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat_ws(":", F.lit(salt), c.cast("string"))), 1, _PREFIX)
+
+
+def split_label(key: Column | str, weights: dict[str, float], salt: str = "split") -> Column:
+    """CASE expression assigning one of ``weights``' labels per row."""
+    h = split_key(key, salt)
+    expr = None
+    for label, bound in split_thresholds(weights):
+        cond = h <= F.lit(bound)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr
+
+
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Tag every row with a deterministic ``split`` column (no shuffle)."""
+    return df.withColumn("split", split_label(key, weights, salt))
+
+
+def split_label_sql(key_sql: str, weights: dict[str, float], salt: str = "split") -> str:
+    """The DuckDB-equivalent CASE for :func:`split_label` (oracle side)."""
+    h = f"substr(md5('{salt}:' || CAST({key_sql} AS VARCHAR)), 1, {_PREFIX})"
+    arms = "".join(
+        f" WHEN {h} <= '{bound}' THEN '{label}'"
+        for label, bound in split_thresholds(weights)
+    )
+    return f"CASE{arms} END"
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], key: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """At most ``k`` rows per stratum, chosen by the md5 permutation; ties
+    (md5 collisions) broken by the key itself so the cut is total-ordered."""
+    h = split_key(key, salt)
+    w = Window.partitionBy(*strata).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

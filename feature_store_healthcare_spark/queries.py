@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
-from feature_store_healthcare_spark.operators import dedup, multimodal, similarity, text
+from feature_store_healthcare_spark.operators import dedup, multimodal, sampling, similarity, text
 from feature_store_healthcare_spark.operators.pit import (
     latest_per_key,
     point_in_time_join,
@@ -2309,6 +2309,54 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("cntrycode")
         .agg(F.count("*").alias("numcust"), _dsum("c_acctbal", "totacctbal"))
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "train_test_split_report",
+    f"""
+    SELECT {sampling.split_label_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_test_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Deterministic train/val/test split (operators.sampling.hash_split):
+    membership := salted-md5 prefix vs hex thresholds, a pure projection —
+    no RNG state, no shuffle before the report agg, and a row can never
+    change split under repartitioning or cluster resize.  Lowercase-hex
+    string order equals numeric order, so the same CASE runs on both
+    engines byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Deterministic stratified sample (operators.sampling
+    .stratified_sample): exactly ≤20 docs per language, ordered by the md5
+    permutation with the raw key as tie-break — one shuffle on the strata
+    key, O(k) per-stratum state, reproducible across runs and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, ["lang"], "doc_id", 20).select(
+        "doc_id", "lang", "source"
     )
 
 

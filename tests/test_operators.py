@@ -230,3 +230,46 @@ def test_dot_unrolled_matches_fold(spark):
     )
     # bit-identical: same multiplications, same left-to-right accumulation
     assert both.where(F.col("fold") != F.col("unrolled")).count() == 0
+
+
+def test_hash_split_disjoint_complete_deterministic(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    tagged = sampling.hash_split(docs, "doc_id", w)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # complete: every row gets exactly one label
+    assert set(counts) <= set(w)
+    # deterministic: same assignment on a re-built, re-partitioned lineage
+    again = sampling.hash_split(docs.repartition(7), "doc_id", w)
+    assert tagged.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+    # ratios roughly honored (binomial tolerance at n=500)
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.08
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = {"a": 0.5, "b": 0.5}
+    s1 = sampling.hash_split(docs, "doc_id", w).select("doc_id", "split")
+    s2 = sampling.hash_split(docs, "doc_id", w, salt="other").select("doc_id", "split")
+    assert s1.exceptAll(s2).count() > 0
+
+
+def test_stratified_sample_exact_k_and_stable(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    k = 5
+    samp = sampling.stratified_sample(docs, ["lang"], "doc_id", k)
+    per = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_avail in avail.items():
+        assert per.get(lang, 0) == min(k, n_avail)
+    # membership is a subset of the source and stable across runs
+    assert samp.join(docs, "doc_id", "left_anti").count() == 0
+    again = sampling.stratified_sample(docs.repartition(5), ["lang"], "doc_id", k)
+    assert samp.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
