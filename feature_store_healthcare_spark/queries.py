@@ -1220,6 +1220,31 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cube_stats",
+    f"""
+    SELECT event_type, year(ts) AS y,
+           GROUPING(event_type) AS g_type, GROUPING(year(ts)) AS g_year,
+           COUNT(*) AS n_events, {_DSUM_SQL.format(expr='value')} AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, year(ts))
+    """,
+)
+def events_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-25 extension: full CUBE over (event_type, year) — all four
+    grouping-set combinations in one pass, with GROUPING() flags so real
+    NULL keys stay distinguishable from subtotal rows.  Like rollup, the
+    cube expansion partial-aggregates map-side before its single
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").withColumn("y", F.year("ts"))
+    return ev.cube("event_type", "y").agg(
+        F.grouping("event_type").alias("g_type"),
+        F.grouping("y").alias("g_year"),
+        F.count("*").alias("n_events"),
+        _dsum("value", "sum_value"),
+    )
+
+
+@query(
     "bpe_token_estimate",
     r"""
     SELECT doc_id,
