@@ -166,6 +166,77 @@ def point_in_time_join(
     return out
 
 
+def trailing_window_agg(
+    spine: DataFrame,
+    values: DataFrame,
+    on: Sequence[str] | str,
+    spine_ts: str,
+    value_ts: str,
+    window: str | Column,
+    aggs: Sequence[Column] = (),
+    count_alias: str = "n_window",
+    spine_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-spine-row trailing-window aggregation — the "aggregation feature
+    view" pattern (an engine extension of OP-16: instead of the single
+    newest value, aggregate ALL values in a window ending at the spine
+    row's own timestamp).
+
+    For each spine row, aggregates the ``values`` rows matching on ``on``
+    with ``spine_ts - window <= value_ts < spine_ts`` — window start
+    inclusive, end exclusive, so the feature never sees the labeled event
+    itself (leak-free, the same invariant as feature_registry.py:483 but
+    over a bounded range).  Spine rows with no eligible value keep the
+    aggregate's empty-input result (count 0, sums NULL).
+
+    ``window`` is an interval SQL string (``"INTERVAL 7 DAYS"``) or Column.
+    ``aggs`` are ordinary aggregate expressions over the value columns,
+    which keep their original names; the match count is always emitted as
+    ``count_alias``.  Internally the join keys and ``value_ts`` are
+    prefixed to avoid collisions, so value payload columns must not shadow
+    spine columns.
+
+    Plan shape: one equi-join shuffle on the entity key (the range
+    conjuncts evaluate post-probe in codegen) + one partial-aggregated
+    shuffle on the spine key.  Per-key pair blowup is bounded by values
+    per entity inside the window; at 100 TB the standard mitigation is a
+    two-level plan — pre-aggregate values into aligned time buckets first,
+    then window-join the buckets — trading exactness of unaligned edges;
+    this operator keeps the exact semantics and relies on AQE skew
+    splitting for hot entities.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    win = F.expr(window) if isinstance(window, str) else window
+
+    drop_key = False
+    if spine_keys is None:
+        spine = spine.withColumn("__spine_id", F.monotonically_increasing_id())
+        spine_keys = ["__spine_id"]
+        drop_key = True
+    spine_keys = list(spine_keys)
+
+    payload = [c for c in values.columns if c not in on and c != value_ts]
+    v = values.select(
+        *[F.col(c).alias(f"__w_{c}") for c in on],
+        F.col(value_ts).alias("__w_ts"),
+        *[F.col(c) for c in payload],
+    )
+    cond = [spine[c] == v[f"__w_{c}"] for c in on]
+    cond.append(v["__w_ts"] >= spine[spine_ts] - win)
+    cond.append(v["__w_ts"] < spine[spine_ts])
+    joined = spine.join(v, on=cond, how="left")
+
+    carry = [c for c in spine.columns if c not in spine_keys]
+    out = joined.groupBy(*spine_keys).agg(
+        *[F.first(F.col(c)).alias(c) for c in carry],
+        F.count(F.col("__w_ts")).alias(count_alias),
+        *aggs,
+    )
+    if drop_key:
+        out = out.drop("__spine_id")
+    return out
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

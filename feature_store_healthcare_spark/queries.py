@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
-from feature_store_healthcare_spark.operators import dedup, multimodal, sampling, similarity, text
+from feature_store_healthcare_spark.operators import (
+    dedup,
+    multimodal,
+    pit,
+    sampling,
+    similarity,
+    text,
+)
 from feature_store_healthcare_spark.operators.pit import (
     latest_per_key,
     point_in_time_join,
@@ -1217,6 +1224,44 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.rollup("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+@query(
+    "pit_trailing_window_features",
+    f"""
+    WITH spine AS (
+      SELECT user_id, max(ts) AS spine_ts FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, s.spine_ts,
+           COUNT(e.ts) AS n_events_7d,
+           {_DSUM_SQL.format(expr='e.value')} AS sum_value_7d
+    FROM spine s LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.spine_ts - INTERVAL 7 DAY
+     AND e.ts <  s.spine_ts
+    GROUP BY s.user_id, s.spine_ts
+    """,
+)
+def pit_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation feature view (operators.pit.trailing_window_agg): for
+    each user's latest event time (the spine), the count and exact sum of
+    event values in the trailing 7 days STRICTLY BEFORE that time — the
+    leak-free rolling-aggregate feature a training pipeline joins next to
+    PIT point lookups.  One equi-join shuffle on user_id + one
+    partial-aggregated shuffle on the spine key."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.groupBy("user_id").agg(F.max("ts").alias("spine_ts"))
+    return pit.trailing_window_agg(
+        spine,
+        ev.select("user_id", "ts", "value"),
+        on="user_id",
+        spine_ts="spine_ts",
+        value_ts="ts",
+        window="INTERVAL 7 DAYS",
+        aggs=[_dsum("value", "sum_value_7d")],
+        count_alias="n_events_7d",
+        spine_keys=["user_id"],
+    ).select("user_id", "spine_ts", "n_events_7d", "sum_value_7d")
 
 
 @query(

@@ -194,3 +194,32 @@ def test_point_in_time_pivot_mixed_types_and_bounded_shuffles(spark):
     assert rows[2].score is None and rows[2].tier is None   # e2's tier is future
     assert rows[3].score is None and rows[3].tier is None   # unseen entity
     assert len(rows) == 3
+
+
+def test_trailing_window_agg_boundaries(spark):
+    from feature_store_healthcare_spark.operators.pit import trailing_window_agg
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    spine = spark.createDataFrame(
+        [("u1", ts("2024-01-08T00:00:00")), ("u2", ts("2024-01-08T00:00:00"))],
+        "entity string, spine_ts timestamp_ntz",
+    )
+    vals = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T00:00:00"), 1.0),   # exactly window start: IN
+            ("u1", ts("2024-01-07T12:00:00"), 2.0),   # inside: IN
+            ("u1", ts("2024-01-08T00:00:00"), 4.0),   # exactly spine time: OUT (leak-free)
+            ("u1", ts("2023-12-31T23:59:59"), 8.0),   # before window: OUT
+            ("u3", ts("2024-01-07T00:00:00"), 16.0),  # other entity: OUT
+        ],
+        "entity string, ts timestamp_ntz, value double",
+    )
+    out = trailing_window_agg(
+        spine, vals, on="entity", spine_ts="spine_ts", value_ts="ts",
+        window="INTERVAL 7 DAYS", aggs=[F.sum("value").alias("sum_v")],
+        count_alias="n", spine_keys=["entity"],
+    )
+    rows = {r["entity"]: r for r in out.collect()}
+    assert rows["u1"]["n"] == 2 and rows["u1"]["sum_v"] == 3.0
+    # spine row with no eligible values: count 0, sum NULL
+    assert rows["u2"]["n"] == 0 and rows["u2"]["sum_v"] is None
