@@ -99,6 +99,7 @@ def point_in_time_join(
     tiebreak: Sequence[str] = (),
     spine_keys: Sequence[str] | None = None,
     ts_suffix: str = "__timestamp",
+    tolerance: str | Column | None = None,
 ) -> DataFrame:
     """OP-16: leak-free per-row as-of join (feature_server.py:355-408).
 
@@ -113,6 +114,13 @@ def point_in_time_join(
     ``spine_keys``: columns that uniquely identify a spine row.  When None, a
     synthetic unique id is derived (monotonically_increasing_id), the
     aggregate groups on it, and it is dropped on output.
+
+    ``tolerance``: optional maximum staleness (interval SQL string or
+    Column).  When set, only values with ``value_ts >= spine_ts -
+    tolerance`` qualify — the join-time form of the reference's freshness
+    SLA (feature_server.py:585-594): instead of serving a value and
+    tagging it expired, a too-old value is simply not joined (NULL fill),
+    which is what a bounded-staleness training join wants.
 
     Plan shape: equi-join on ``on`` → range predicate → max_by aggregate on
     the spine key.  One shuffle for the join (AQE broadcast/skew handles
@@ -139,6 +147,9 @@ def point_in_time_join(
 
     join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
     join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        join_cond.append(v["__v_ts"] >= spine[spine_ts] - tol)
     joined = spine.join(v, on=join_cond, how="left")
 
     group_cols = [c for c in spine.columns]  # spine columns all survive

@@ -1227,6 +1227,49 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pit_tolerance_join",
+    """
+    WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    vals AS (SELECT user_id, value, ts, event_id FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT s.event_id, s.user_id, s.ts,
+             v.value AS click_value, v.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY s.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM spine s LEFT JOIN vals v
+        ON v.user_id = s.user_id AND v.ts <= s.ts
+       AND v.ts >= s.ts - INTERVAL 3 DAY
+    )
+    SELECT event_id, user_id, ts, click_value,
+           click_ts AS click_value__timestamp
+    FROM j WHERE rn = 1
+    """,
+)
+def pit_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16 with bounded staleness: same as pit_training_join but a click
+    older than 3 days at spine time does not qualify — NULL fill instead.
+    This is the reference's freshness SLA (feature_server.py:585-594)
+    enforced at join time rather than tagged after the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    vals = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("value").alias("click_value"), "ts", "event_id")
+    )
+    return point_in_time_join(
+        spine,
+        vals,
+        on="user_id",
+        spine_ts="ts",
+        value_ts="ts",
+        value_cols=["click_value"],
+        tiebreak=["event_id"],
+        spine_keys=["event_id"],
+        tolerance="INTERVAL 3 DAYS",
+    )
+
+
+@query(
     "pit_trailing_window_features",
     f"""
     WITH spine AS (

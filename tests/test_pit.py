@@ -223,3 +223,27 @@ def test_trailing_window_agg_boundaries(spark):
     assert rows["u1"]["n"] == 2 and rows["u1"]["sum_v"] == 3.0
     # spine row with no eligible values: count 0, sum NULL
     assert rows["u2"]["n"] == 0 and rows["u2"]["sum_v"] is None
+
+
+def test_pit_join_tolerance_null_fills_stale(spark):
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    spine = spark.createDataFrame(
+        [(1, "u1", ts("2024-01-10T00:00:00")), (2, "u2", ts("2024-01-10T00:00:00"))],
+        "sid long, entity string, sts timestamp_ntz",
+    )
+    vals = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-09T00:00:00"), 1.0, 10),  # 1 day old: qualifies
+            ("u2", ts("2024-01-01T00:00:00"), 2.0, 11),  # 9 days old: too stale
+        ],
+        "entity string, vts timestamp_ntz, v double, vid long",
+    )
+    out = point_in_time_join(
+        spine, vals, on="entity", spine_ts="sts", value_ts="vts",
+        value_cols=["v"], tiebreak=["vid"], spine_keys=["sid"],
+        tolerance="INTERVAL 3 DAYS",
+    )
+    rows = {r["sid"]: r for r in out.collect()}
+    assert rows[1]["v"] == 1.0
+    # without tolerance u2 would get 2.0; with it the stale value is dropped
+    assert rows[2]["v"] is None and rows[2]["v__timestamp"] is None
