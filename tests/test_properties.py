@@ -195,3 +195,63 @@ def test_salted_join_equals_plain_join(spark, facts, dim):
         map(tuple, salted_join(f, d, on="k", n_salts=4).select("k", "v", "name").collect())
     )
     assert plain == salted
+
+
+# trailing-window rows: (entity 0..2, value, ts-offset hours 0..48, seq)
+window_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(-5, 5),
+        st.integers(0, 48),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(rows=window_rows, spine_offsets=st.lists(st.integers(0, 48), min_size=1, max_size=5))
+def test_trailing_window_agg_matches_naive(spark, rows, spine_offsets):
+    """trailing_window_agg == the O(spine×values) python scan: count and
+    sum of values with spine_ts - W <= ts < spine_ts per entity."""
+    from feature_store_healthcare_spark.operators.pit import trailing_window_agg
+
+    W = timedelta(hours=12)
+    vals = [(f"e{e}", BASE + timedelta(hours=h), float(v)) for e, v, h in rows]
+    spine = [(f"e{i % 3}", BASE + timedelta(hours=h)) for i, h in enumerate(spine_offsets)]
+    spine = list(dict.fromkeys(spine))  # unique (entity, ts) spine keys
+
+    spine_df = spark.createDataFrame(spine, "entity string, sts timestamp_ntz")
+    vals_df = spark.createDataFrame(vals, "entity string, ts timestamp_ntz, value double")
+    out = trailing_window_agg(
+        spine_df, vals_df, on="entity", spine_ts="sts", value_ts="ts",
+        window="INTERVAL 12 HOURS", aggs=[F.sum("value").alias("s")],
+        count_alias="n", spine_keys=["entity", "sts"],
+    )
+    got = {(r["entity"], r["sts"]): (r["n"], r["s"]) for r in out.collect()}
+    assert set(got) == set(spine)
+    for ent, sts in spine:
+        match = [v for e2, t2, v in vals if e2 == ent and sts - W <= t2 < sts]
+        want = (len(match), sum(match) if match else None)
+        assert got[(ent, sts)] == want, (ent, sts, got[(ent, sts)], want)
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    w=st.tuples(st.floats(0.1, 5), st.floats(0.1, 5), st.floats(0.1, 5)),
+)
+def test_hash_split_partition_properties(spark, keys, w):
+    """hash_split is a partition: every key gets exactly one label, labels
+    come from the weight dict, and assignment depends only on (key, salt)."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    weights = {"a": w[0], "b": w[1], "c": w[2]}
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = sampling.hash_split(df, "k", weights).collect()
+    assert len(out) == len(keys)
+    assert {r["split"] for r in out} <= set(weights)
+    # pure function of the key: recomputing row-by-row agrees
+    again = {r["k"]: r["split"] for r in sampling.hash_split(df, "k", weights).collect()}
+    for r in out:
+        assert again[r["k"]] == r["split"]
