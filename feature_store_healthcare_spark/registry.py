@@ -693,10 +693,19 @@ class FeatureRegistry:
         as_of: datetime | str | None = None,
         user_id: str | None = None,
         user_roles: list[str] | None = None,
+        system_time: datetime | str | None = None,
     ) -> Any:
         """OP-15 (ref :443-496): newest value with event_ts <= as_of for one
         (feature, entity); deterministic tie-break (event_ts, created_ts,
-        seq) desc.  Returns the typed value or None."""
+        seq) desc.  Returns the typed value or None.
+
+        ``system_time``: bitemporal ingestion-time travel (SURVEY §1.2 — the
+        Delta/Iceberg snapshot-read analog on the EAV log): only values
+        INGESTED at or before ``system_time`` are visible, so a read issued
+        with the same (as_of, system_time) pair reproduces exactly what a
+        job running at ``system_time`` saw, even after late data or
+        corrections landed.  The append-only store makes this a pure filter
+        on ``created_timestamp``."""
         feature = self.get_feature(feature_id)
         self._check_access(feature, user_id, user_roles)
         df = self.values_df().where(
@@ -704,6 +713,7 @@ class FeatureRegistry:
             & (F.col("entity_id") == str(entity_id))
         )
         df = as_of_filter(df, "event_timestamp", as_of)
+        df = as_of_filter(df, "created_timestamp", system_time)
         latest = latest_per_key(
             df,
             ["feature_id", "entity_id"],
@@ -724,6 +734,7 @@ class FeatureRegistry:
         as_of: datetime | str | None = None,
         user_id: str | None = None,
         user_roles: list[str] | None = None,
+        system_time: datetime | str | None = None,
     ) -> dict[str, Any]:
         """OP-12 (ref :498-535): name→value dict; denied PHI features are
         nulled, not raised (ref :526-528)."""
@@ -732,7 +743,8 @@ class FeatureRegistry:
             feature = self.get_feature(fid)
             try:
                 out[feature.name] = self.get_feature_value(
-                    fid, entity_id, as_of=as_of, user_id=user_id, user_roles=user_roles
+                    fid, entity_id, as_of=as_of, user_id=user_id,
+                    user_roles=user_roles, system_time=system_time,
                 )
             except PermissionError:
                 out[feature.name] = None

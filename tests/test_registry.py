@@ -329,3 +329,33 @@ def test_materialization_order_topological(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="cycle"):
         reg.materialization_order()
+
+
+def test_system_time_travel_reproduces_past_reads(registry):
+    """Bitemporal ingestion-time travel: a (as_of, system_time) read pair
+    reproduces what the system knew at system_time, even after a late
+    correction re-states the same event time with a new value."""
+    import time
+    from datetime import datetime, timezone
+
+    f = _register(registry, name="glucose")
+    registry.ingest_feature_value(f.feature_id, "p1", 100.0,
+                                  event_timestamp="2024-03-01T10:00:00")
+    time.sleep(0.002)
+    t_between = datetime.now(timezone.utc).replace(tzinfo=None)
+    time.sleep(0.002)
+    # late correction: same event time, new value, ingested later
+    registry.ingest_feature_value(f.feature_id, "p1", 105.0,
+                                  event_timestamp="2024-03-01T10:00:00")
+
+    as_of = "2024-03-01T12:00:00"
+    # current read sees the correction (created_ts tie-break)
+    assert registry.get_feature_value(f.feature_id, "p1", as_of=as_of) == 105.0
+    # replay as of t_between: the correction is invisible
+    assert registry.get_feature_value(
+        f.feature_id, "p1", as_of=as_of, system_time=t_between
+    ) == 100.0
+    # replay before anything was ingested: nothing known
+    assert registry.get_feature_value(
+        f.feature_id, "p1", as_of=as_of, system_time="2020-01-01T00:00:00"
+    ) is None
