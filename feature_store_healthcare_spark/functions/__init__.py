@@ -115,3 +115,41 @@ def acl_allowed(
 def json_long(col: Column | str, path: str) -> Column:
     """Extract an integer JSON field (driver events.props, OP-42)."""
     return F.get_json_object(_as_col(col), path).cast("long")
+
+
+# -- PHI/PII text redaction (engine extension of the PHI model,
+#    feature_registry.py:286 phi_level; applied to free-text columns) ------
+
+#: (pattern, replacement) pairs applied in order.  Java-regex syntax that
+#: is also valid RE2, so the same patterns run engine-side and in audits.
+PHI_PATTERNS: list[tuple[str, str]] = [
+    # emails before phones: an email's digits must not be half-redacted
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    (r"\bMRN[:# ]?\s*\d{6,10}\b", "[MRN]"),
+    (r"\b\d{4}-\d{2}-\d{2}\b", "[DATE]"),
+]
+
+
+def redact_phi(text: Column | str, patterns: Sequence[tuple[str, str]] | None = None) -> Column:
+    """Replace PHI-shaped spans (emails, SSNs, phone numbers, MRN ids,
+    ISO dates) with bracketed placeholders.  Pure chained
+    ``regexp_replace`` — JVM-side, codegen-friendly, no UDF — so it can
+    run inside the same projection as quality gates over a 100 TB corpus.
+    Pattern order matters (emails first so their digits are not split by
+    the phone rule); pass ``patterns`` to extend or restrict the set."""
+    c = _as_col(text)
+    for pat, repl in patterns or PHI_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def phi_hit_count(text: Column | str, patterns: Sequence[tuple[str, str]] | None = None) -> Column:
+    """How many PHI-shaped spans the redactor would replace — the audit
+    metric for a redaction pass (0 means the text is clean)."""
+    c = _as_col(text)
+    total = F.lit(0)
+    for pat, _ in patterns or PHI_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total

@@ -273,3 +273,29 @@ def test_stratified_sample_exact_k_and_stable(spark):
     assert samp.join(docs, "doc_id", "left_anti").count() == 0
     again = sampling.stratified_sample(docs.repartition(5), ["lang"], "doc_id", k)
     assert samp.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_redact_phi_patterns(spark):
+    rows = [
+        ("contact jane.doe+x@example.org or 555-123-4567", "contact [EMAIL] or [PHONE]"),
+        ("SSN 123-45-6789 on file", "SSN [SSN] on file"),
+        ("MRN: 00123456 admitted 2024-03-01", "[MRN] admitted [DATE]"),
+        ("call (555) 123-4567 today", "call [PHONE] today"),
+        ("no phi here", "no phi here"),
+    ]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    out = df.select(
+        fx.redact_phi("text").alias("got"),
+        "expected",
+        fx.phi_hit_count("text").alias("hits"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["expected"], (r["got"], r["expected"])
+    hits = [r["hits"] for r in out]
+    assert hits == [2, 1, 2, 1, 0]
+
+
+def test_redact_phi_email_digits_not_split_by_phone_rule(spark):
+    df = spark.createDataFrame([("mail 555-123-4567@clinic.example.com now",)], "text string")
+    got = df.select(fx.redact_phi("text").alias("t")).first()["t"]
+    assert got == "mail [EMAIL] now"
