@@ -120,6 +120,45 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = "1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch PIT /
+    trailing-window joins: each purchase is enriched with the same user's
+    clicks from the trailing ``interval`` ending at (and including) the
+    purchase time.
+
+    Both sides are watermarked and the join condition time-bounds the
+    click relative to the purchase, so Spark can expire buffered state for
+    both streams (state ∝ events inside watermark+interval, not the full
+    history) — the requirement for an unbounded 100 TB/day feed.  Inner
+    join ⇒ append output mode."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts",
+        "purchase_value", "click_id", "c_ts", "click_value",
+    )
+
+
 def streaming_online_upsert(
     stream: DataFrame,
     store,

@@ -188,3 +188,35 @@ def test_stateful_running_features_across_batches(spark, events_dir, tmp_path):
         assert final[u].n_events == want[u].n_events
         assert abs(final[u].sum_value - want[u].sum_value) < 1e-9
         assert final[u].last_ts == want[u].last_ts
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Each purchase picks up only the same user's clicks in the trailing
+    hour (inclusive end): earlier, later, and other-user clicks stay out."""
+    d = tmp_path / "ssj_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 100, "ts": "2024-01-01T11:00:00", "user_id": 1, "event_type": "purchase", "value": 100.0, "props": "{}"},
+        {"event_id": 10, "ts": "2024-01-01T10:10:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},  # in window
+        {"event_id": 11, "ts": "2024-01-01T09:30:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},  # too old
+        {"event_id": 12, "ts": "2024-01-01T11:30:00", "user_id": 1, "event_type": "click", "value": 3.0, "props": "{}"},  # after purchase
+        {"event_id": 13, "ts": "2024-01-01T10:50:00", "user_id": 2, "event_type": "click", "value": 4.0, "props": "{}"},  # other user
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    purchases = sp.stream_events(spark, str(d)).where(F.col("event_type") == "purchase")
+    clicks = sp.stream_events(spark, str(d)).where(F.col("event_type") == "click")
+    joined = sp.stream_stream_interval_join(purchases, clicks)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_out").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["purchase_id"] == 100 and r["click_id"] == 10 and r["click_value"] == 1.0
