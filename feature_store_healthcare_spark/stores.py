@@ -53,11 +53,18 @@ class AppendStore:
 
 
 class LatestStore:
-    """Latest-value table with versioned-snapshot merge (parquet MERGE)."""
+    """Latest-value table with versioned-snapshot merge (parquet MERGE).
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``keep_versions`` retains that many superseded snapshots after each
+    merge (default 1 → current only), enabling Delta-style table time
+    travel on the ONLINE side: ``read(version=n)`` / ``versions()`` answer
+    "what was being served at version n" — the serving-layer complement of
+    the registry's ``system_time`` travel over the append-only EAV log."""
+
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 1):
         self.spark = spark
         self.path = path
+        self.keep_versions = max(1, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -74,11 +81,26 @@ class LatestStore:
     def _snapshot_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:06d}")
 
-    def read(self) -> DataFrame | None:
-        version = self._current_version()
-        if version is None:
+    def versions(self) -> list[int]:
+        """Snapshot versions still on disk, oldest first."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to a retained ``version``."""
+        if version is not None:
+            if version not in self.versions():
+                raise ValueError(
+                    f"version {version} not retained (have {self.versions()})"
+                )
+            return self.spark.read.parquet(self._snapshot_dir(version))
+        current = self._current_version()
+        if current is None:
             return None
-        return self.spark.read.parquet(self._snapshot_dir(version))
+        return self.spark.read.parquet(self._snapshot_dir(current))
 
     def merge(
         self,
@@ -102,8 +124,10 @@ class LatestStore:
         with open(tmp, "w") as fh:
             fh.write(str(new))
         os.replace(tmp, self._pointer)  # atomic pointer flip
-        if old is not None:
-            shutil.rmtree(self._snapshot_dir(old), ignore_errors=True)
+        # retain the newest keep_versions snapshots (incl. current)
+        for stale in self.versions()[: -self.keep_versions]:
+            if stale != new:
+                shutil.rmtree(self._snapshot_dir(stale), ignore_errors=True)
 
 
 def write_bucketed(

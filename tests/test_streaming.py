@@ -220,3 +220,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert r["purchase_id"] == 100 and r["click_id"] == 10 and r["click_value"] == 1.0
+
+
+def test_latest_store_version_time_travel(spark, tmp_path):
+    """keep_versions retains superseded snapshots: read(version=) shows the
+    value being served BEFORE a later merge, and older snapshots expire."""
+    store = LatestStore(spark, str(tmp_path / "latest_tt"), keep_versions=2)
+    df1 = spark.createDataFrame(
+        [("u1", "2024-01-01T10:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df2 = spark.createDataFrame(
+        [("u1", "2024-01-01T11:00:00", 2.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    store.merge(df1, ["k"], "ts")
+    store.merge(df2, ["k"], "ts")
+    assert store.versions() == [1, 2]
+    assert store.read().first()["v"] == 2.0
+    assert store.read(version=1).first()["v"] == 1.0
+    # a third merge expires version 1 (keep_versions=2)
+    df3 = spark.createDataFrame(
+        [("u1", "2024-01-01T12:00:00", 3.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    store.merge(df3, ["k"], "ts")
+    assert store.versions() == [2, 3]
+    with pytest.raises(ValueError, match="not retained"):
+        store.read(version=1)
