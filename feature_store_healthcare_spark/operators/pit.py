@@ -286,6 +286,7 @@ def point_in_time_pivot(
     tiebreak: Sequence[str] = (),
     spine_keys: Sequence[str] | None = None,
     ts_suffix: str = "__timestamp",
+    tolerance: str | Column | None = None,
 ) -> DataFrame:
     """OP-16 + OP-12 fused: leak-free as-of join of MANY features in ONE
     pass (feature_server.py:355-408 loops features; the per-feature
@@ -299,6 +300,10 @@ def point_in_time_pivot(
     ``max_by`` ignores, so one hash aggregate resolves every feature at
     once.  Output: spine columns + one typed column per feature + its
     ``{name}{ts_suffix}`` companion.
+
+    ``tolerance``: optional maximum staleness, as in
+    :func:`point_in_time_join` — values older than ``spine_ts - tolerance``
+    do not qualify and null-fill instead.
     """
     on = [on] if isinstance(on, str) else list(on)
     names = list(slot_for)
@@ -320,6 +325,9 @@ def point_in_time_pivot(
     )
     join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
     join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        join_cond.append(v["__v_ts"] >= spine[spine_ts] - tol)
     joined = spine.join(v, on=join_cond, how="left")
 
     aggs = []

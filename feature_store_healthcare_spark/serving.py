@@ -282,10 +282,14 @@ class FeatureServer:
         feature_names: list[str],
         entity_column: str = "entity_id",
         timestamp_column: str = "event_timestamp",
+        tolerance: str | None = None,
     ) -> DataFrame:
         """OP-16 (ref :355-408): leak-free per-row as-of join, one feature
         column + one {name}__timestamp companion per requested feature; all
-        spine columns preserved."""
+        spine columns preserved.  ``tolerance`` (interval SQL string, e.g.
+        ``"INTERVAL 1 HOUR"``) bounds staleness: a value older than that at
+        the spine row's time null-fills instead of serving stale — the
+        freshness SLA (ref :585-594) enforced at join time."""
         values = self.registry.values_df()
         spine = entity_df
         if dict(spine.dtypes).get(timestamp_column) == "string":
@@ -317,6 +321,7 @@ class FeatureServer:
                 slot_for={n: SLOT_FOR[features[n].schema.value_type] for n in known},
                 tiebreak=["created_timestamp", "seq"],
                 spine_keys=["__row_id"],
+                tolerance=tolerance,
             )
         for name in feature_names:
             if name not in features:  # unknown feature → null-fill columns

@@ -102,6 +102,21 @@ def test_point_in_time_training_join(server):
     assert "bp__timestamp" in out.columns
 
 
+def test_point_in_time_join_with_tolerance(server):
+    fid = _fid(server, "bp")
+    server.registry.ingest_feature_value(fid, "p1", 110.0, "2024-01-01 00:00:00")
+    spine = server.spark.createDataFrame(
+        [("p1", "2024-01-02 00:00:00", 1), ("p1", "2024-01-20 00:00:00", 0)],
+        "entity_id string, event_timestamp string, label int",
+    )
+    out = server.get_point_in_time_features(
+        spine, ["bp"], tolerance="INTERVAL 7 DAYS"
+    )
+    got = {str(r.event_timestamp): r.bp for r in out.collect()}
+    assert got["2024-01-02 00:00:00"] == 110.0     # 1 day old: fresh enough
+    assert got["2024-01-20 00:00:00"] is None      # 19 days old: null-fill
+
+
 def test_freshness_report(server):
     now = utcnow()
     server.registry.ingest_feature_value(_fid(server, "age"), "p1", 1, now - timedelta(seconds=30))
