@@ -6,6 +6,7 @@ from feature_store_healthcare_spark.sources.tables import (
     TABLE_NAMES,
     load_table,
     load_tables,
+    register_views,
 )
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_source", "write_sink"]
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_source", "register_views", "write_sink"]

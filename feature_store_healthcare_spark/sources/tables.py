@@ -116,3 +116,15 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register every testdata table as a temp view so users can run raw
+    ``spark.sql`` against the catalog (the SQL front door the reference
+    never had — its "queries" were Python methods).  Views are lazy; the
+    nanos-ts normalization and small-file spreading of :func:`load_table`
+    apply to every SQL reader for free."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

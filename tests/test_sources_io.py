@@ -53,3 +53,22 @@ def test_unknown_format_rejected(spark, sample, tmp_path):
         read_source(spark, "/nope", fmt="avro")
     with pytest.raises(ValueError, match="unsupported format"):
         write_sink(sample, str(tmp_path / "x"), fmt="xml")
+
+
+def test_register_views_enables_raw_sql(spark, sf_dir):
+    from feature_store_healthcare_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+        ORDER BY n DESC, o_orderpriority LIMIT 1
+        """
+    ).first()
+    assert row["n"] > 0
+    # events view carries the nanos→micros normalization
+    ts_type = dict(spark.table("events").dtypes)["ts"]
+    assert ts_type == "timestamp_ntz"
