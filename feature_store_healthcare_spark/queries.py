@@ -72,6 +72,8 @@ def _dsum(col: str | F.Column, alias: str) -> F.Column:
 
 _DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
 
 # ---------------------------------------------------------------------------
 # Relational core: scan/filter/project/join/agg/window/sort/set (OP-8..31, §2.7)
@@ -1308,6 +1310,68 @@ def pit_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_set_builder",
+    f"""
+    WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    vals AS (SELECT user_id, value, ts, event_id FROM events WHERE event_type = 'click'),
+    pit AS (
+      SELECT event_id, click_value FROM (
+        SELECT s.event_id, v.value AS click_value,
+               ROW_NUMBER() OVER (PARTITION BY s.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM spine s LEFT JOIN vals v ON v.user_id = s.user_id AND v.ts <= s.ts
+      ) WHERE rn = 1
+    ),
+    win AS (
+      SELECT s.event_id, COUNT(e.ts) AS n_events_7d,
+             {_DSUM_SQL.format(expr='e.value')} AS sum_value_7d
+      FROM spine s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.ts >= s.ts - INTERVAL 7 DAY AND e.ts < s.ts
+      GROUP BY s.event_id
+    )
+    SELECT s.event_id, s.user_id, s.ts, p.click_value,
+           w.n_events_7d, w.sum_value_7d,
+           {sampling.split_label_sql('s.event_id', _SPLIT_WEIGHTS)} AS split
+    FROM spine s JOIN pit p ON p.event_id = s.event_id
+                JOIN win w ON w.event_id = s.event_id
+    """,
+)
+def training_set_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ The end-to-end training-set pipeline, composed from the operator
+    library in one plan: purchase spine → leak-free PIT click lookup
+    (point_in_time_join) → trailing-7-day activity aggregates
+    (trailing_window_agg) → deterministic train/val/test tag (hash_split).
+    Everything shuffles on user_id or the spine key; the split tag is a
+    pure projection — the whole feature table materializes in one job,
+    which is the shape a 100 TB feature-engineering run wants (no
+    per-feature passes over the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("value").alias("click_value"), "ts", "event_id")
+    )
+    with_pit = point_in_time_join(
+        spine, clicks, on="user_id", spine_ts="ts", value_ts="ts",
+        value_cols=["click_value"], tiebreak=["event_id"], spine_keys=["event_id"],
+    ).drop("click_value__timestamp")
+    with_win = pit.trailing_window_agg(
+        with_pit,
+        ev.select("user_id", "ts", "value"),
+        on="user_id",
+        spine_ts="ts",
+        value_ts="ts",
+        window="INTERVAL 7 DAYS",
+        aggs=[_dsum("value", "sum_value_7d")],
+        count_alias="n_events_7d",
+        spine_keys=["event_id"],
+    )
+    return sampling.hash_split(with_win, "event_id", _SPLIT_WEIGHTS).select(
+        "event_id", "user_id", "ts", "click_value", "n_events_7d", "sum_value_7d", "split"
+    )
+
+
+@query(
     "events_cube_stats",
     f"""
     SELECT event_type, year(ts) AS y,
@@ -2423,9 +2487,6 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(F.count("*").alias("numcust"), _dsum("c_acctbal", "totacctbal"))
     )
-
-
-_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
 @query(
