@@ -211,6 +211,127 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs into connected components:
+    ``(id, component)`` where ``component`` is the minimum id transitively
+    reachable from ``id``.  This is the step that turns pairwise dedup
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs) into
+    cluster-level dedup — keep ONE canonical doc per component, not one per
+    pair, so A~B, B~C collapses all three even when A~C was never a
+    candidate pair.
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round does (1) ``label(v) ← min(label(v), min over neighbors u of
+    label(u))`` — one equi-join + partial-aggregatable min — then
+    (2) ``label(v) ← label(label(v))`` (pointer jump), which halves label
+    chains and makes convergence O(log diameter) rounds instead of
+    O(diameter) — the same round structure as large-star/small-star CC.
+    Lineage is truncated every round with ``localCheckpoint`` so the plan
+    stays flat no matter how many rounds run; convergence is detected by a
+    cheap ``limit(1).count`` probe for any still-decreasing label.
+
+    Scale: every round is two shuffles on uniformly-distributed id keys
+    (no skew) over a labels table with one row per *clustered* doc — tiny
+    relative to the corpus.  Only ids that appear in a pair participate;
+    singletons are the caller's trivial left-join fill.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("ncomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("min_neigh"))
+        )
+        new = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("min_neigh", "component")
+                ).alias("component"),
+            )
+        )
+        # pointer jump: component(v) ← component(component(v))
+        parent = new.select(
+            F.col("id").alias("component"), F.col("component").alias("jump")
+        )
+        new = (
+            new.join(parent, "component", "left")
+            .select("id", F.coalesce("jump", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        still_decreasing = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if still_decreasing == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-level dedup verdict for every doc: ``(id_col, component,
+    cluster_size, is_keeper)``.  Docs in no pair are their own singleton
+    component; the deterministic keeper is the minimum id per component.
+
+    The components table holds only clustered docs (≪ corpus), so the
+    join back to the full corpus broadcasts.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
+        "id", id_col
+    )
+    labeled = (
+        df.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(F.broadcast(sizes), "component")
+        .select(
+            id_col,
+            "component",
+            "cluster_size",
+            (F.col(id_col) == F.col("component")).alias("is_keeper"),
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

@@ -113,6 +113,66 @@ def quality_features(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_token_cut: float = 0.7,
+    top_bigram_cut: float = 0.18,
+    min_tokens_for_bigram_rule: int = 4,
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard filters
+    for machine-generated / boilerplate text in pre-training corpora (Rae
+    et al. 2021 §A1.1): fraction of repeated tokens and the share of the
+    single most-frequent word bigram.
+
+    Output: (id_col, n_tokens, n_distinct_tokens, dup_token_frac,
+    top_bigram, top_bigram_count, top_bigram_frac, is_repetitive).
+
+    Deterministic: the top bigram breaks count ties by the
+    lexicographically greatest bigram (struct-max ordering).  Token-level
+    signals are in-row array expressions (codegen, no shuffle); the bigram
+    argmax is one explode + two partial-aggregatable aggregations.
+    """
+    from feature_store_healthcare_spark.operators.dedup import shingles
+
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).withColumn(
+        "dup_token_frac",
+        (F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens"),
+    )
+    bigrams = shingles(df, id_col, text_col, n=2, distinct=False)
+    counts = bigrams.groupBy(id_col, "shingle").agg(F.count("*").alias("cnt"))
+    top = (
+        counts.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("shingle"))).alias("top"),
+            F.sum("cnt").alias("total_bigrams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("top.shingle").alias("top_bigram"),
+            F.col("top.cnt").alias("top_bigram_count"),
+            (F.col("top.cnt") / F.col("total_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.join(top, id_col)
+        .withColumn(
+            "is_repetitive",
+            (F.col("dup_token_frac") > dup_token_cut)
+            | (
+                (F.col("n_tokens") >= min_tokens_for_bigram_rule)
+                & (F.col("top_bigram_frac") > top_bigram_cut)
+            ),
+        )
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text —
     the exact-dedup key that survives whitespace/case jitter."""

@@ -299,3 +299,58 @@ def test_redact_phi_email_digits_not_split_by_phone_rule(spark):
     df = spark.createDataFrame([("mail 555-123-4567@clinic.example.com now",)], "text string")
     got = df.select(fx.redact_phi("text").alias("t")).first()["t"]
     assert got == "mail [EMAIL] now"
+
+
+# ------------------------------------------- connected components / clustering
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (transitive cluster), island pair 10-11, plus 20-21-22
+    # joined through a hub: A~B, B~C but never A~C.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path graph needs pointer jumping to converge within the
+    # iteration budget (plain propagation would need ~40 rounds)
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs, max_iterations=10).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_cluster_survivors_keepers_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup.cluster_survivors(docs, pairs, "doc_id").collect()}
+    assert len(rows) == 7
+    assert [rows[i].component for i in range(7)] == [0, 1, 1, 1, 4, 5, 5]
+    assert [rows[i].cluster_size for i in range(7)] == [1, 3, 3, 3, 1, 2, 2]
+    assert [rows[i].is_keeper for i in range(7)] == [True, True, False, False, True, True, False]
+
+
+def test_repetition_features_flags_spam(spark):
+    rows = [
+        (1, "buy now buy now buy now buy now buy now"),
+        (2, "a quick brown fox jumps over one lazy dog today"),
+        (3, "word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_features(df, "doc_id", "text").collect()}
+    spam, clean, single = out[1], out[2], out[3]
+    # 10 tokens, 2 distinct -> 0.8 repeated; "buy now" dominates bigrams
+    assert spam.n_tokens == 10 and spam.n_distinct_tokens == 2
+    assert spam.dup_token_frac == pytest.approx(0.8)
+    assert spam.top_bigram == "buy now" and spam.top_bigram_count == 5
+    assert spam.is_repetitive
+    assert clean.dup_token_frac == 0.0 and not clean.is_repetitive
+    # single-token doc degrades gracefully: one pseudo-bigram, no flag
+    assert single.n_tokens == 1 and single.top_bigram == "word"
+    assert not single.is_repetitive
