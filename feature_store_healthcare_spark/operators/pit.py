@@ -248,6 +248,150 @@ def trailing_window_agg(
     return out
 
 
+def intervalize(
+    values: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    lead_cols: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2-style materialization of an append-only EAV log: one window pass
+    turns each value version into a validity interval ``[valid_from,
+    valid_to)`` (``valid_to`` NULL = current version).  Ties on ``ts_col``
+    are ordered by ``tiebreak``; a superseded same-timestamp version gets an
+    empty interval ``[ts, ts)`` that no containment probe can match, so the
+    interval table encodes the engine's deterministic tie-breaking
+    structurally.
+
+    ``lead_cols`` additionally carries the NEXT version's columns as
+    ``next_{col}`` — what interpolating readers need (see
+    :func:`interpolated_asof`).
+
+    Scale: this is the amortization trade for as-of reads — one window
+    shuffle at materialization time, then every subsequent point-in-time
+    query is a single containment equi-join with NO per-query argmax
+    aggregate (compare :func:`point_in_time_join`'s 2 shuffles per query).
+    Partition the materialized table by the entity key for co-located
+    probes.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    out = values.withColumn(valid_from, F.col(ts_col)).withColumn(
+        valid_to, F.lead(ts_col).over(w)
+    )
+    for c in lead_cols:
+        out = out.withColumn(f"next_{c}", F.lead(c).over(w))
+    return out
+
+
+def point_in_time_interval_join(
+    spine: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] | str,
+    spine_ts: str,
+    value_cols: Sequence[str],
+    ts_suffix: str = "__timestamp",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """OP-16, interval strategy: as-of join against a pre-materialized
+    validity-interval table (:func:`intervalize`).  For each spine row the
+    containing interval — ``valid_from <= spine_ts < valid_to`` (open
+    current version matches everything after its start) — IS the as-of
+    value, so the plan is one left equi-join on the entity key with the
+    containment conjuncts evaluated post-probe in codegen.  No aggregate,
+    no window: exactly one interval can contain any instant per key.
+
+    Returns the same shape as :func:`point_in_time_join`: all spine
+    columns, each value column, and a ``{col}{ts_suffix}`` companion
+    carrying the value's observation time.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    v = intervals.select(
+        *[F.col(c).alias(f"__i_{c}") for c in on],
+        F.col(valid_from).alias("__i_from"),
+        F.col(valid_to).alias("__i_to"),
+        *[F.col(c).alias(f"__i_{c}") for c in value_cols],
+    )
+    cond = [spine[c] == v[f"__i_{c}"] for c in on]
+    cond.append(v["__i_from"] <= spine[spine_ts])
+    cond.append(v["__i_to"].isNull() | (spine[spine_ts] < v["__i_to"]))
+    joined = spine.join(v, on=cond, how="left")
+    out_cols = [spine[c] for c in spine.columns]
+    for c in value_cols:
+        out_cols.append(F.col(f"__i_{c}").alias(c))
+        out_cols.append(F.col("__i_from").alias(f"{c}{ts_suffix}"))
+    return joined.select(*out_cols)
+
+
+def interpolated_asof(
+    spine: DataFrame,
+    values: DataFrame,
+    on: Sequence[str] | str,
+    spine_ts: str,
+    value_ts: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """As-of read with linear interpolation between the bracketing values —
+    the time-series variant a healthcare feature store needs for sampled
+    vitals/labs: at time t, estimate the signal from the newest value at or
+    before t and the first value after t.
+
+    Semantics per spine row, per entity key:
+    - both neighbors exist → ``prev + (next - prev) * (t - t_prev) /
+      (t_next - t_prev)`` (t == t_prev gives exactly ``prev``);
+    - only a previous value (t at/after the last observation) → hold last;
+    - no previous value (t before the first observation) → NULL.
+
+    One containment join against the :func:`intervalize` table (with
+    ``lead_cols`` carrying the next version) supplies prev AND next in a
+    single probe — no second join, no window at read time.  Output adds
+    ``prev_value, prev_ts, next_value, next_ts, interp_value``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    iv = intervalize(
+        values.select(*on, value_ts, value_col, *tiebreak),
+        on,
+        value_ts,
+        tiebreak=tiebreak,
+        lead_cols=[value_col],
+    ).select(
+        *on,
+        F.col(value_col).alias("prev_value"),
+        F.col("valid_from"),
+        F.col("valid_to").alias("next_ts"),
+        F.col(f"next_{value_col}").alias("next_value"),
+    )
+    # next_ts rides along as a "value" column; its redundant __ivts
+    # companion (== valid_from) is dropped, prev's companion becomes prev_ts.
+    joined = point_in_time_interval_join(
+        spine,
+        iv,
+        on,
+        spine_ts,
+        ["prev_value", "next_value", "next_ts"],
+        ts_suffix="__ivts",
+        valid_to="next_ts",
+    )
+    out = joined.withColumnRenamed("prev_value__ivts", "prev_ts").drop(
+        "next_value__ivts", "next_ts__ivts"
+    )
+
+    def micros(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    frac = (micros(spine_ts) - micros("prev_ts")) / (
+        micros("next_ts") - micros("prev_ts")
+    )
+    interp = F.when(F.col("next_value").isNull(), F.col("prev_value")).otherwise(
+        F.col("prev_value") + (F.col("next_value") - F.col("prev_value")) * frac
+    )
+    return out.withColumn("interp_value", interp)
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

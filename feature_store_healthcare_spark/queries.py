@@ -2756,3 +2756,89 @@ def feature_scaling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "eav_validity_intervals",
+    """
+    SELECT user_id, event_type, value, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to
+    FROM events
+    """,
+)
+def eav_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-15 materialized as SCD2: the append-only EAV log intervalized
+    into ``[valid_from, valid_to)`` version windows (operators.pit.
+    intervalize) — one window shuffle at build time, after which every
+    as-of read is a single containment join (see pit_interval_join).
+    Same-timestamp ties get empty intervals, encoding the engine's
+    deterministic tie-breaking structurally."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    iv = pit.intervalize(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    return iv.select("user_id", "event_type", "value", "valid_from", "valid_to")
+
+
+@query("pit_interval_join", _PIT_JOIN_SQL)
+def pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16, second physical strategy: the SAME leak-free training join as
+    pit_training_join (identical oracle), but answered from the
+    intervalized value table — one containment equi-join, no argmax
+    aggregate at read time.  The strategy to pick when many spines read
+    the same features: the window shuffle is paid once at materialization,
+    then each query is one shuffle instead of two."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value"), "ts", "event_id"
+    )
+    iv = pit.intervalize(clicks, ["user_id"], "ts", tiebreak=["event_id"]).select(
+        "user_id", "click_value", "valid_from", "valid_to"
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit.point_in_time_interval_join(spine, iv, "user_id", "ts", ["click_value"])
+
+
+@query(
+    "pit_interpolated_lookup",
+    """
+    WITH iv AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER w AS next_ts, LEAD(value) OVER w AS next_value
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id, s.ts,
+           iv.value AS prev_value, iv.ts AS prev_ts,
+           iv.next_value, iv.next_ts,
+           CASE WHEN iv.next_value IS NULL THEN iv.value
+                ELSE iv.value + (iv.next_value - iv.value) *
+                     ((epoch_us(CAST(s.ts AS TIMESTAMP)) - epoch_us(CAST(iv.ts AS TIMESTAMP)))
+                      / (epoch_us(CAST(iv.next_ts AS TIMESTAMP)) - epoch_us(CAST(iv.ts AS TIMESTAMP))))
+           END AS interp_value
+    FROM spine s LEFT JOIN iv
+      ON s.user_id = iv.user_id AND iv.ts <= s.ts
+         AND (iv.next_ts IS NULL OR s.ts < iv.next_ts)
+    """,
+)
+def pit_interpolated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-15 time-series variant: as-of read with linear interpolation
+    between the bracketing observations (operators.pit.interpolated_asof)
+    — the sampled-vitals/labs read a healthcare store serves.  Hold-last
+    after the final observation, NULL before the first.  One containment
+    join against the intervalized table supplies prev AND next in a single
+    probe."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit.interpolated_asof(
+        spine, clicks, "user_id", "ts", "ts", "value", tiebreak=["event_id"]
+    )

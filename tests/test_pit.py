@@ -247,3 +247,80 @@ def test_pit_join_tolerance_null_fills_stale(spark):
     assert rows[1]["v"] == 1.0
     # without tolerance u2 would get 2.0; with it the stale value is dropped
     assert rows[2]["v"] is None and rows[2]["v__timestamp"] is None
+
+
+# --------------------------------------- interval strategy + interpolation
+
+def test_interval_join_equals_argmax_join(spark, values):
+    from feature_store_healthcare_spark.operators import pit
+
+    spine = spark.createDataFrame(
+        [
+            ("e1", ts("2024-01-04 00:00:00")),  # between values
+            ("e1", ts("2024-01-05 00:00:00")),  # exactly on a value ts
+            ("e2", ts("2024-01-04 00:00:00")),  # on the tie pair
+            ("e2", ts("2024-01-01 00:00:00")),  # before first -> nulls
+            ("e3", ts("2024-01-04 00:00:00")),  # unknown entity -> nulls
+        ],
+        "entity_id string, t timestamp_ntz",
+    )
+    vals = values.where(F.col("feature_id") == "f1").select(
+        "entity_id", "value", "event_ts", "seq"
+    )
+    base = point_in_time_join(
+        spine, vals, "entity_id", "t", "event_ts", ["value"], tiebreak=["seq"],
+        spine_keys=["entity_id", "t"],
+    )
+    iv = pit.intervalize(vals, ["entity_id"], "event_ts", tiebreak=["seq"])
+    alt = pit.point_in_time_interval_join(
+        spine, iv.select("entity_id", "value", "valid_from", "valid_to"),
+        "entity_id", "t", ["value"],
+    )
+    got = {(r.entity_id, r.t): (r.value, r["value__timestamp"]) for r in alt.collect()}
+    want = {(r.entity_id, r.t): (r.value, r["value__timestamp"]) for r in base.collect()}
+    assert got == want and len(got) == 5
+
+
+def test_intervalize_tie_gets_empty_interval(spark, values):
+    from feature_store_healthcare_spark.operators import pit
+
+    tied = values.where(
+        (F.col("entity_id") == "e2") & (F.col("feature_id") == "f1")
+    ).select("entity_id", "value", "event_ts", "seq")
+    iv = {r.value: r for r in pit.intervalize(tied, ["entity_id"], "event_ts", tiebreak=["seq"]).collect()}
+    # superseded same-ts version: [ts, ts) — empty, unmatchable
+    assert iv[10.0].valid_from == iv[10.0].valid_to == ts("2024-01-04 00:00:00")
+    # tie winner holds the open interval
+    assert iv[11.0].valid_to is None
+
+
+def test_interpolated_asof_semantics(spark):
+    from feature_store_healthcare_spark.operators import pit
+
+    vals = spark.createDataFrame(
+        [
+            ("p1", 10.0, ts("2024-01-01 00:00:00"), 0),
+            ("p1", 20.0, ts("2024-01-03 00:00:00"), 1),
+            ("p1", 50.0, ts("2024-01-07 00:00:00"), 2),
+        ],
+        "patient string, hr double, obs_ts timestamp_ntz, seq long",
+    )
+    spine = spark.createDataFrame(
+        [
+            ("p1", ts("2024-01-02 00:00:00")),  # midpoint of 10 -> 20
+            ("p1", ts("2024-01-03 00:00:00")),  # exactly on an observation
+            ("p1", ts("2024-01-06 00:00:00")),  # 3/4 of 20 -> 50
+            ("p1", ts("2024-01-09 00:00:00")),  # after last -> hold
+            ("p1", ts("2023-12-25 00:00:00")),  # before first -> null
+        ],
+        "patient string, t timestamp_ntz",
+    )
+    out = pit.interpolated_asof(spine, vals, "patient", "t", "obs_ts", "hr", tiebreak=["seq"])
+    got = {r.t: r for r in out.collect()}
+    assert got[ts("2024-01-02 00:00:00")].interp_value == pytest.approx(15.0)
+    assert got[ts("2024-01-03 00:00:00")].interp_value == pytest.approx(20.0)
+    assert got[ts("2024-01-06 00:00:00")].interp_value == pytest.approx(42.5)
+    hold = got[ts("2024-01-09 00:00:00")]
+    assert hold.interp_value == 50.0 and hold.next_value is None
+    before = got[ts("2023-12-25 00:00:00")]
+    assert before.interp_value is None and before.prev_value is None
