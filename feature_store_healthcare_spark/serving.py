@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators.pit import (
+    interpolated_asof,
     latest_per_key,
     point_in_time_join,
     point_in_time_pivot,
@@ -329,6 +330,59 @@ class FeatureServer:
                     f"{name}__timestamp", F.lit(None).cast("timestamp_ntz")
                 )
         return out.drop("__row_id")
+
+    def get_interpolated_features(
+        self,
+        entity_df: DataFrame,
+        feature_name: str,
+        entity_column: str = "entity_id",
+        timestamp_column: str = "event_timestamp",
+    ) -> DataFrame:
+        """Interpolated as-of read of one numeric feature (the sampled
+        vitals/labs read): for each spine row, linear interpolation between
+        the bracketing observations — hold-last after the final
+        observation, NULL before the first.  An engine extension of OP-15;
+        the reference can only serve the raw latest value
+        (feature_registry.py:486-490).
+
+        Output adds ``{name}`` (the interpolated estimate) plus
+        ``{name}__prev / __prev_ts / __next / __next_ts`` provenance
+        columns.  Raises for non-numeric feature types.
+        """
+        feature = self.registry.get_feature_by_name(feature_name)
+        slot = SLOT_FOR[feature.schema.value_type]
+        if slot not in ("value_long", "value_double"):
+            raise ValueError(
+                f"interpolation needs a numeric feature; {feature_name} is "
+                f"{feature.schema.value_type.value}"
+            )
+        vals = (
+            self.registry.values_df()
+            .where(F.col("feature_id") == feature.feature_id)
+            .select(
+                F.col("entity_id").alias(entity_column),
+                F.col(slot).cast("double").alias("__signal"),
+                "event_timestamp",
+                "created_timestamp",
+                "seq",
+            )
+        )
+        out = interpolated_asof(
+            entity_df,
+            vals,
+            on=entity_column,
+            spine_ts=timestamp_column,
+            value_ts="event_timestamp",
+            value_col="__signal",
+            tiebreak=["created_timestamp", "seq"],
+        )
+        return (
+            out.withColumnRenamed("interp_value", feature_name)
+            .withColumnRenamed("prev_value", f"{feature_name}__prev")
+            .withColumnRenamed("prev_ts", f"{feature_name}__prev_ts")
+            .withColumnRenamed("next_value", f"{feature_name}__next")
+            .withColumnRenamed("next_ts", f"{feature_name}__next_ts")
+        )
 
     # -- writes (ref :410-455, OP-4) --------------------------------------
 

@@ -124,3 +124,42 @@ def test_freshness_report(server):
     server.registry.ingest_feature_value(_fid(server, "age"), "p3", 3, now - timedelta(days=3))
     got = {r.entity_id: r.freshness for r in server.freshness_report(now).collect()}
     assert got == {"p1": "fresh", "p2": "stale", "p3": "expired"}
+
+
+def test_interpolated_feature_read(server, spark):
+    base = datetime(2024, 1, 1)
+    for day, v in [(1, 100.0), (5, 120.0)]:
+        server.registry.ingest_feature_value(
+            _fid(server, "bp"), "p1", v, base.replace(day=day)
+        )
+    spine = spark.createDataFrame(
+        [
+            ("p1", datetime(2024, 1, 3)),   # midpoint of 100 -> 120
+            ("p1", datetime(2024, 1, 9)),   # after last -> hold
+            ("p1", datetime(2023, 12, 1)),  # before first -> null
+        ],
+        "entity_id string, event_timestamp timestamp_ntz",
+    )
+    out = {r.event_timestamp: r for r in
+           server.get_interpolated_features(spine, "bp").collect()}
+    assert out[datetime(2024, 1, 3)].bp == pytest.approx(110.0)
+    assert out[datetime(2024, 1, 3)].bp__prev == 100.0
+    assert out[datetime(2024, 1, 9)].bp == 120.0
+    assert out[datetime(2023, 12, 1)].bp is None
+
+
+def test_interpolated_feature_rejects_non_numeric(spark):
+    registry = FeatureRegistry(spark)
+    registry.register_feature(
+        name="note",
+        schema=FeatureSchema(name="note", value_type=FeatureValueType.STRING, entity_type="patient"),
+        source=FeatureSource(),
+        owner="t",
+        status=FeatureStatus.ACTIVE,
+    )
+    srv = FeatureServer(registry)
+    spine = spark.createDataFrame(
+        [("p1", datetime(2024, 1, 1))], "entity_id string, event_timestamp timestamp_ntz"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        srv.get_interpolated_features(spine, "note")
