@@ -43,6 +43,8 @@ HEADLINE = [
     "q6_revenue_forecast",
     "q10_returned_items",
     "corpus_curation_pipeline",
+    "pit_interval_join",
+    "text_repetition_signals",
 ]
 
 

@@ -35,6 +35,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime row-level filtering for shuffle joins between large tables
+    # (fact⋈fact at 100 TB): build a bloom filter from the selective side's
+    # join keys and push it into the other side's scan — the runtime
+    # complement of static predicate pushdown.  Explicit, not default-
+    # dependent, because the 100 TB plans rely on it.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
