@@ -1,6 +1,7 @@
-"""Table maintenance: retention enforcement and compaction (SURVEY.md §4.2
-"Freshness/TTL pruning"; ref Feature.retention_days=2555 at
-feature_registry.py:136 — declared but never enforced in the reference).
+"""Table maintenance: retention enforcement, compaction, and incremental
+aggregate maintenance (SURVEY.md §4.2 "Freshness/TTL pruning"; ref
+Feature.retention_days=2555 at feature_registry.py:136 — declared but never
+enforced in the reference).
 
 Both jobs are plain batch plans over the stores, meant to run on a
 schedule.  At 100 TB:
@@ -88,6 +89,110 @@ def apply_retention(store, registry: DataFrame, now: datetime | None = None) -> 
         shutil.rmtree(store.path)
         shutil.move(tmp, store.path)
     return removed
+
+
+#: mergeable aggregate states supported by incremental_agg / merge_agg_states.
+#: Each maps to (state build expr, state merge expr) — all are commutative,
+#: associative and partial-aggregatable, so batch states combine exactly.
+_MERGEABLE = ("count", "sum", "min", "max", "hll")
+
+
+def incremental_agg(
+    batch: DataFrame, keys: list[str], value_col: str, specs: list[str] | None = None
+) -> DataFrame:
+    """Aggregate one batch into a MERGEABLE state table: per key, the
+    partial-aggregate states for ``specs`` (count/sum/min/max and an ``hll``
+    Datasketches HyperLogLog for distinct values).
+
+    This is incremental materialized-view maintenance: a 100 TB rollup is
+    never recomputed from history — each new partition/micro-batch folds
+    its tiny state table into the running one via
+    :func:`merge_agg_states`, and finalized metrics (avg = sum/count,
+    distinct ≈ hll_sketch_estimate) derive at read time.  Exactness: all
+    states are commutative+associative; sum uses decimal accumulation so
+    merging in any order is bit-stable.
+    """
+    specs = list(specs or _MERGEABLE)
+    v = F.col(value_col)
+    aggs = []
+    for s in specs:
+        if s == "count":
+            aggs.append(F.count(v).alias("state_count"))
+        elif s == "sum":
+            aggs.append(F.sum(v.cast("decimal(25,6)")).alias("state_sum"))
+        elif s == "min":
+            aggs.append(F.min(v).alias("state_min"))
+        elif s == "max":
+            aggs.append(F.max(v).alias("state_max"))
+        elif s == "hll":
+            aggs.append(F.hll_sketch_agg(v.cast("string")).alias("state_hll"))
+        else:
+            raise ValueError(f"unsupported mergeable spec: {s}")
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_states(
+    existing: DataFrame, batch_states: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a new batch's state table into the running one: full outer join
+    on the keys, then the per-state merge function (count/sum add, min/max
+    re-min/max, HLL sketches union).  Output schema == input schema, so the
+    merge is closed under composition — `merge(merge(a,b),c) ==
+    merge(a, merge(b,c))` row-for-row."""
+    state_cols = [c for c in existing.columns if c not in keys]
+    e = existing.alias("e")
+    b = batch_states.alias("b")
+    out_keys = [F.coalesce(F.col(f"e.{k}"), F.col(f"b.{k}")).alias(k) for k in keys]
+    merged = []
+    for c in state_cols:
+        ec, bc = F.col(f"e.{c}"), F.col(f"b.{c}")
+        if c == "state_count":
+            merged.append((F.coalesce(ec, F.lit(0)) + F.coalesce(bc, F.lit(0))).alias(c))
+        elif c == "state_sum":
+            merged.append(
+                F.when(ec.isNull(), bc)
+                .when(bc.isNull(), ec)
+                .otherwise(ec + bc)
+                .alias(c)
+            )
+        elif c == "state_min":
+            merged.append(F.least(ec, bc).alias(c))
+        elif c == "state_max":
+            merged.append(F.greatest(ec, bc).alias(c))
+        elif c == "state_hll":
+            merged.append(
+                F.when(ec.isNull(), bc)
+                .when(bc.isNull(), ec)
+                .otherwise(F.hll_union(ec, bc))
+                .alias(c)
+            )
+        else:
+            raise ValueError(f"unknown state column: {c}")
+    cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
+    return e.join(b, on=cond, how="full_outer").select(*out_keys, *merged)
+
+
+def finalize_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the served metrics from a state table: n, total, min, max,
+    avg (exact), n_distinct_est (HLL estimate).  Read-time only — states
+    stay mergeable forever."""
+    cols = [F.col(k) for k in keys]
+    have = set(states.columns)
+    if "state_count" in have:
+        cols.append(F.col("state_count").alias("n"))
+    if "state_sum" in have:
+        cols.append(F.col("state_sum").cast("double").alias("total"))
+        if "state_count" in have:
+            cols.append(
+                (F.col("state_sum").cast("double") / F.col("state_count")).alias("avg")
+            )
+    if "state_min" in have:
+        cols.append(F.col("state_min").alias("min_value"))
+    if "state_max" in have:
+        cols.append(F.col("state_max").alias("max_value"))
+    if "state_hll" in have:
+        cols.append(F.hll_sketch_estimate("state_hll").alias("n_distinct_est"))
+    return states.select(*cols)
 
 
 def compact(store, target_partitions: int | None = None) -> None:

@@ -78,3 +78,72 @@ def test_compact_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{store.path}/*.parquet"))
     assert after <= 2 < before
     assert store.read().count() == 500
+
+
+# ------------------------------- incremental aggregate maintenance (IVM)
+
+def _events_batches(spark):
+    rows = [
+        (uid % 3, f"u{uid % 17}", float(uid % 50)) for uid in range(600)
+    ]
+    df = spark.createDataFrame(rows, "grp long, user string, v double")
+    return df, [
+        df.where(F.col("v") < 10),
+        df.where((F.col("v") >= 10) & (F.col("v") < 33)),
+        df.where(F.col("v") >= 33),
+    ]
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    full, batches = _events_batches(spark)
+    running = maintenance.incremental_agg(batches[0], ["grp"], "v")
+    for b in batches[1:]:
+        running = maintenance.merge_agg_states(
+            running, maintenance.incremental_agg(b, ["grp"], "v"), ["grp"]
+        )
+    got = {
+        r.grp: r
+        for r in maintenance.finalize_agg_states(running, ["grp"]).collect()
+    }
+    want = {
+        r.grp: r
+        for r in full.groupBy("grp")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("total"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.countDistinct("v").alias("nd"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g].n == want[g].n
+        assert got[g].total == want[g].total  # decimal states: exact under any merge order
+        assert got[g].avg == want[g].total / want[g].n
+        assert got[g].min_value == want[g].min_value
+        assert got[g].max_value == want[g].max_value
+        # 50 distinct values per group: Datasketches HLL is exact in sparse mode
+        assert abs(got[g].n_distinct_est - want[g].nd) / want[g].nd < 0.05
+
+
+def test_merge_agg_states_associative_and_handles_new_keys(spark):
+    _, batches = _events_batches(spark)
+    s = [maintenance.incremental_agg(b, ["grp"], "v") for b in batches]
+    left = maintenance.merge_agg_states(
+        maintenance.merge_agg_states(s[0], s[1], ["grp"]), s[2], ["grp"]
+    )
+    right = maintenance.merge_agg_states(
+        s[0], maintenance.merge_agg_states(s[1], s[2], ["grp"]), ["grp"]
+    )
+    fl = maintenance.finalize_agg_states(left, ["grp"]).collect()
+    fr = maintenance.finalize_agg_states(right, ["grp"]).collect()
+    assert sorted(map(tuple, fl)) == sorted(map(tuple, fr))
+    # a batch introducing an unseen key survives a merge with NULL states
+    extra = spark.createDataFrame([(99, "new", 1.0)], "grp long, user string, v double")
+    merged = maintenance.merge_agg_states(
+        s[0], maintenance.incremental_agg(extra, ["grp"], "v"), ["grp"]
+    )
+    row = {r.grp: r for r in maintenance.finalize_agg_states(merged, ["grp"]).collect()}[99]
+    assert row.n == 1 and row.total == 1.0 and row.min_value == 1.0
