@@ -2759,6 +2759,35 @@ def feature_scaling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_lineitem_metrics",
+    f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n, {_DSUM_SQL.format(expr='value')} AS total
+    FROM long GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of OP-12's pivot — what feature
+    ingest does to a wide source table before the EAV store): native
+    ``DataFrame.unpivot`` over the lineitem metric columns, then a
+    per-metric rollup.  Unpivot is a zero-shuffle projection (each input
+    row expands in place); only the rollup exchanges.  The melt∘pivot
+    round-trip identity is property-tested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "metric", "value"
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"), _dsum("value", "total")
+    )
+
+
+@query(
     "eav_validity_intervals",
     """
     SELECT user_id, event_type, value, ts AS valid_from,

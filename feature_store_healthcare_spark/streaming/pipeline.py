@@ -193,6 +193,56 @@ def streaming_online_upsert(
     return writer
 
 
+def streaming_incremental_rollup(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str | None = None,
+    queryName: str = "incremental_rollup",
+):
+    """Incremental materialized-view maintenance under Structured
+    Streaming: each micro-batch is reduced to its mergeable aggregate
+    states (maintenance.incremental_agg — count / decimal-exact sum /
+    min / max / HLL-distinct) and folded into the persistent state table
+    at ``state_path`` (maintenance.merge_agg_states).  The rollup a
+    dashboard reads is ``finalize_agg_states`` over that tiny table — the
+    100 TB stream is touched exactly once per event, never rescanned.
+
+    The swap is atomic-enough for local parquet (write tmp → move); on
+    Delta/Iceberg the merge would be a single MERGE INTO transaction.
+    """
+    from feature_store_healthcare_spark import maintenance
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_states = maintenance.incremental_agg(batch_df, keys, value_col)
+        import os
+        import shutil
+
+        if os.path.exists(state_path):
+            existing = spark.read.parquet(state_path)
+            merged = maintenance.merge_agg_states(existing, batch_states, keys)
+        else:
+            merged = batch_states
+        tmp = state_path.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        shutil.move(tmp, state_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 RUNNING_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

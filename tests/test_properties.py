@@ -255,3 +255,28 @@ def test_hash_split_partition_properties(spark, keys, w):
     again = {r["k"]: r["split"] for r in sampling.hash_split(df, "k", weights).collect()}
     for r in out:
         assert again[r["k"]] == r["split"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_unpivot_pivot_roundtrip(spark, rows):
+    """melt ∘ pivot = identity (SURVEY §5.2 item 4) for unique-keyed wide
+    tables — native unpivot then groupBy().pivot(first) reconstructs the
+    original wide frame exactly."""
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    long = df.unpivot(["id"], ["a", "b"], "k", "v")
+    wide = (
+        long.groupBy("id").pivot("k", ["a", "b"]).agg(F.first("v"))
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, df.collect()))

@@ -245,3 +245,27 @@ def test_latest_store_version_time_travel(spark, tmp_path):
     assert store.versions() == [2, 3]
     with pytest.raises(ValueError, match="not retained"):
         store.read(version=1)
+
+
+def test_streaming_incremental_rollup_matches_batch_agg(spark, events_dir, tmp_path):
+    """IVM under streaming: folding each micro-batch's mergeable states
+    into the persistent state table yields exactly the batch rollup of the
+    full backlog (including the late row — merges are order-independent)."""
+    from feature_store_healthcare_spark import maintenance
+
+    state = str(tmp_path / "rollup_state")
+    stream = sp.stream_events(spark, events_dir, max_files_per_trigger=1)
+    writer = sp.streaming_incremental_rollup(
+        stream, state, keys=["user_id"], value_col="value"
+    )
+    _run_available_now(writer, tmp_path, "ivm")
+    got = {
+        r.user_id: r
+        for r in maintenance.finalize_agg_states(
+            spark.read.parquet(state), ["user_id"]
+        ).collect()
+    }
+    # user 1: 10.0 + 20.0 + late 99.0 ; user 2: 5.0 (x2 dup rows) + 7.0
+    assert got[1].n == 3 and got[1].total == 129.0 and got[1].max_value == 99.0
+    assert got[2].n == 3 and got[2].total == 17.0 and got[2].min_value == 5.0
+    assert round(got[2].n_distinct_est) == 2
