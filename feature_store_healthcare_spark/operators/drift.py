@@ -1,0 +1,129 @@
+"""Feature-distribution monitoring: histograms, Shannon entropy, and PSI
+drift (engine extension of the reference's freshness-only monitoring,
+feature_server.py:585-594 — a production feature store also has to notice
+when a feature's VALUE distribution moves, not just its age).
+
+All operators are built-in column expressions over two aggregation passes:
+per-key bin edges (tiny, broadcast back) → bucket counts → the metric.
+At 100 TB both passes are partial-aggregatable single shuffles; the
+metric tables are per-feature-sized (tiny) and feed dashboards/alerts.
+
+Determinism: bucket assignment is pure double arithmetic with one fixed
+expression tree; entropy/PSI end in natural logs, which are not required
+to be correctly rounded by IEEE 754 — metric outputs are rounded to 6
+decimals so values are engine-portable (same recipe as the similarity
+scores in the query catalog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
+    )
+
+
+def _bucket(value: Column, vmin: Column, vmax: Column, nbins: int) -> Column:
+    """Fixed-width bin index in [0, nbins): floor((v - vmin)/(vmax - vmin)
+    * nbins), clamped — values outside the edge range (possible when edges
+    come from a reference window) land in the boundary bins."""
+    raw = F.floor(((value - vmin) / (vmax - vmin)) * nbins).cast("int")
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return F.when(vmax == vmin, F.lit(0)).otherwise(clamped)
+
+
+def histogram(
+    df: DataFrame, keys: Sequence[str], value_col: str, nbins: int = 10
+) -> DataFrame:
+    """Per-key fixed-width histogram: (keys..., bucket, cnt).  Bin edges are
+    the key's own min/max (broadcast back over the scan)."""
+    edges = _edges(df, keys, value_col)
+    b = df.join(F.broadcast(edges), list(keys)).select(
+        *keys,
+        _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins).alias(
+            "bucket"
+        ),
+    )
+    return b.groupBy(*keys, "bucket").agg(F.count("*").alias("cnt"))
+
+
+def entropy(
+    df: DataFrame, keys: Sequence[str], value_col: str, nbins: int = 10
+) -> DataFrame:
+    """Shannon entropy (nats, rounded to 6 decimals) of each key's value
+    histogram, plus the occupied-bucket count.  Low entropy = the feature
+    collapsed to a few values; a sudden change is a pipeline bug signal."""
+    c = histogram(df, keys, value_col, nbins=nbins)
+    t = c.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(F.broadcast(t), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.count("*").alias("n_buckets"),
+        )
+    )
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per key between an ``expected`` (reference
+    window) and ``actual`` (current window) sample:
+
+        PSI = Σ_buckets (p_exp - p_act) · ln(p_exp / p_act)
+
+    Bin edges come from the EXPECTED side (the trained-on distribution);
+    actual values outside them clamp into the boundary bins.  Counts are
+    Laplace-smoothed — p = (cnt + 0.5) / (total + nbins/2) — so empty
+    buckets contribute finitely instead of blowing up the log.  Rule of
+    thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain.
+
+    Output: (keys..., psi, n_expected, n_actual), psi rounded to 6
+    decimals.  Keys present only in ``actual`` are dropped (no reference
+    distribution to compare against).
+    """
+    edges = _edges(expected, keys, value_col)
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        b = df.join(F.broadcast(edges), list(keys)).select(
+            *keys,
+            _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins).alias(
+                "bucket"
+            ),
+        )
+        return b.groupBy(*keys, "bucket").agg(F.count("*").alias(alias))
+
+    ce = counts(expected, "cnt_e")
+    ca = counts(actual, "cnt_a")
+    spark = expected.sparkSession
+    scaffold = edges.select(*keys).crossJoin(
+        spark.range(nbins).select(F.col("id").cast("int").alias("bucket"))
+    )
+    grid = (
+        scaffold.join(ce, [*keys, "bucket"], "left")
+        .join(ca, [*keys, "bucket"], "left")
+        .fillna(0, subset=["cnt_e", "cnt_a"])
+    )
+    t = grid.groupBy(*keys).agg(
+        F.sum("cnt_e").alias("tot_e"), F.sum("cnt_a").alias("tot_a")
+    )
+    g = grid.join(F.broadcast(t), list(keys))
+    pe = (F.col("cnt_e") + F.lit(0.5)) / (F.col("tot_e") + F.lit(nbins / 2.0))
+    pa = (F.col("cnt_a") + F.lit(0.5)) / (F.col("tot_a") + F.lit(nbins / 2.0))
+    return g.groupBy(*keys).agg(
+        F.round(F.sum((pe - pa) * F.log(pe / pa)), 6).alias("psi"),
+        F.first("tot_e").alias("n_expected"),
+        F.first("tot_a").alias("n_actual"),
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators import (
     dedup,
+    drift,
     multimodal,
     pit,
     sampling,
@@ -2756,6 +2757,92 @@ def feature_scaling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+_BUCKET_SQL = (
+    "CASE WHEN s.vmax = s.vmin THEN 0 ELSE "
+    "LEAST(GREATEST(CAST(FLOOR(((e.value - s.vmin) / (s.vmax - s.vmin)) * 10) "
+    "AS INT), 0), 9) END"
+)
+
+
+@query(
+    "feature_entropy_stats",
+    f"""
+    WITH s AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+               FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e JOIN s ON e.event_type = s.event_type
+    ),
+    c AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY event_type, bucket),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           ROUND(-SUM((cnt / total) * LN(cnt / total)), 6) AS entropy_nats,
+           COUNT(*) AS n_buckets
+    FROM c JOIN t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+)
+def feature_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Distribution monitoring (operators.drift.entropy): Shannon entropy
+    of each feature's 10-bin value histogram — the collapsed-distribution
+    alarm.  Two partial-aggregatable shuffles; the log lives in a rounded
+    final projection (natural logs are not IEEE-correctly-rounded across
+    engines, so metrics round to 6 decimals)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return drift.entropy(ev, ["event_type"], "value", nbins=10)
+
+
+@query(
+    "feature_drift_psi",
+    f"""
+    WITH s AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+               FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+               GROUP BY event_type),
+    be AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE e.ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ba AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ce AS (SELECT event_type, bucket, COUNT(*) AS cnt_e FROM be GROUP BY event_type, bucket),
+    ca AS (SELECT event_type, bucket, COUNT(*) AS cnt_a FROM ba GROUP BY event_type, bucket),
+    grid AS (
+      SELECT s.event_type, r.i AS bucket,
+             COALESCE(ce.cnt_e, 0) AS cnt_e, COALESCE(ca.cnt_a, 0) AS cnt_a
+      FROM s CROSS JOIN (SELECT UNNEST(range(0, 10)) AS i) r
+      LEFT JOIN ce ON ce.event_type = s.event_type AND ce.bucket = r.i
+      LEFT JOIN ca ON ca.event_type = s.event_type AND ca.bucket = r.i
+    ),
+    t AS (SELECT event_type, CAST(SUM(cnt_e) AS BIGINT) AS tot_e,
+                 CAST(SUM(cnt_a) AS BIGINT) AS tot_a
+          FROM grid GROUP BY event_type)
+    SELECT g.event_type,
+           ROUND(SUM(((g.cnt_e + 0.5) / (t.tot_e + 5.0) - (g.cnt_a + 0.5) / (t.tot_a + 5.0))
+                 * LN(((g.cnt_e + 0.5) / (t.tot_e + 5.0)) / ((g.cnt_a + 0.5) / (t.tot_a + 5.0)))), 6) AS psi,
+           MAX(t.tot_e) AS n_expected, MAX(t.tot_a) AS n_actual
+    FROM grid g JOIN t ON g.event_type = t.event_type
+    GROUP BY g.event_type
+    """,
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Drift detection (operators.drift.psi): Population Stability Index
+    per feature between the first and second half of January — bin edges
+    from the expected window, Laplace-smoothed bucket shares, the
+    0.1/0.25 rule-of-thumb thresholds documented on the operator.  The
+    engine extension of the reference's freshness-only monitoring
+    (feature_server.py:585-594): value-distribution movement, not just
+    age."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    expected = ev.where(F.col("ts") < cutoff).select("event_type", "value")
+    actual = ev.where(F.col("ts") >= cutoff).select("event_type", "value")
+    return drift.psi(expected, actual, ["event_type"], "value", nbins=10)
 
 
 @query(

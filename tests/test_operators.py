@@ -354,3 +354,34 @@ def test_repetition_features_flags_spam(spark):
     # single-token doc degrades gracefully: one pseudo-bigram, no flag
     assert single.n_tokens == 1 and single.top_bigram == "word"
     assert not single.is_repetitive
+
+
+# ------------------------------------------------- drift monitoring
+
+def test_entropy_constant_and_uniform(spark):
+    import math
+    from feature_store_healthcare_spark.operators import drift
+
+    rows = [("flat", 5.0)] * 20 + [("uni", float(v)) for v in range(10)] * 3
+    df = spark.createDataFrame(rows, "feature string, value double")
+    got = {r.feature: r for r in drift.entropy(df, ["feature"], "value").collect()}
+    assert got["flat"].entropy_nats == 0.0 and got["flat"].n_buckets == 1
+    assert got["uni"].n_buckets == 10
+    assert got["uni"].entropy_nats == pytest.approx(math.log(10), abs=1e-6)
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from feature_store_healthcare_spark.operators import drift
+
+    base = [("f", float(v % 50)) for v in range(400)]
+    expected = spark.createDataFrame(base, "feature string, value double")
+    same = spark.createDataFrame(base, "feature string, value double")
+    shifted = spark.createDataFrame(
+        [("f", 45.0 + (v % 5)) for v in range(400)], "feature string, value double"
+    )
+    assert drift.psi(expected, same, ["feature"], "value").first().psi == 0.0
+    moved = drift.psi(expected, shifted, ["feature"], "value").first()
+    assert moved.psi > 0.25 and moved.n_expected == 400 and moved.n_actual == 400
+    # actual-only keys have no reference distribution -> dropped
+    alien = spark.createDataFrame([("ghost", 1.0)], "feature string, value double")
+    assert drift.psi(expected, alien, ["feature"], "value").count() == 1
