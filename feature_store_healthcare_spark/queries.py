@@ -2759,6 +2759,68 @@ def feature_scaling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"{_DSUM_SQL.format(expr=c)} AS s_{c}")
+        sums.append(f"{_DSUM_SQL.format(expr=f'{c}*{c}')} AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"{_DSUM_SQL.format(expr=f'{a}*{b}')} AS sp_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        corr = (
+            f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {corr} AS pearson_corr FROM s"
+        )
+    return "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(rows)
+
+
+@query("feature_correlation_matrix", _corr_oracle())
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Feature-redundancy analysis: exact pairwise Pearson correlations
+    over the lineitem metric columns in ONE scan — every moment
+    (sum, sum-of-squares, cross-products) decimal-accumulated so the
+    matrix is partitioning-independent and bit-identical cross-engine;
+    the 6 pair rows are a driver-side-free explode of the single moment
+    row.  At 100 TB this is the cheapest possible shape: one
+    partial-aggregatable pass, O(k²) state for k features."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(_dsum(c, f"s_{c}"))
+        aggs.append(_dsum(F.col(c) * F.col(c), f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(_dsum(F.col(a) * F.col(b), f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+    n = F.col("n")
+    entries = []
+    for a, b in _CORR_PAIRS:
+        corr = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+            F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        entries.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                corr.alias("pearson_corr"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_x", "e.col_y", "e.pearson_corr")
+    )
+
+
 _BUCKET_SQL = (
     "CASE WHEN s.vmax = s.vmin THEN 0 ELSE "
     "LEAST(GREATEST(CAST(FLOOR(((e.value - s.vmin) / (s.vmax - s.vmin)) * 10) "

@@ -135,3 +135,30 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_interval_join_no_smj_and_bounded_exchanges(spark, sf_dir, qs):
+    """The SCD2 containment join must broadcast its (pre-reduced) interval
+    side, never sort-merge; total exchanges stay at the strategy's 2
+    (one-time window materialization + the probe-side spread)."""
+    df = qs["pit_interval_join"](spark, sf_dir)
+    assert plans.count_sort_merge_joins(df) == 0
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_corr_matrix_is_single_pass(spark, sf_dir, qs):
+    """All pairwise moments reduce in one partial-aggregated scan: exactly
+    one exchange (to the single final-agg row), no joins at all."""
+    df = qs["feature_correlation_matrix"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    p = plans.physical_plan(df, "simple")
+    assert "Join" not in p, p
+
+
+def test_drift_psi_broadcasts_edges_and_grid(spark, sf_dir, qs):
+    """PSI's bin edges / totals / scaffold are all tiny — every join must
+    broadcast; a sort-merge join anywhere means a stats table shuffled
+    the fact scan."""
+    df = qs["feature_drift_psi"](spark, sf_dir)
+    assert plans.count_sort_merge_joins(df) == 0
+    assert plans.count_broadcast_joins(df) >= 3
