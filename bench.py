@@ -45,6 +45,8 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "pit_interval_join",
     "text_repetition_signals",
+    "feature_drift_psi",
+    "feature_correlation_matrix",
 ]
 
 

@@ -72,6 +72,53 @@ def entropy(
     )
 
 
+def bucketize(
+    df: DataFrame, value_col: str, nbins: int = 10, out_col: str = "bucket"
+) -> DataFrame:
+    """Global fixed-width bucket column over ``value_col`` (edges from the
+    full frame, broadcast back — one tiny agg + one scan)."""
+    edges = df.agg(F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax"))
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(
+            out_col, _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins)
+        )
+        .drop("__vmin", "__vmax")
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information (nats, rounded to 6 decimals) between two
+    categorical columns:  MI = Σ_cells p_xy · ln(p_xy / (p_x · p_y)) over
+    observed cells — the feature-selection signal (how much a bucketed
+    feature says about a label).  Bucket a continuous column first with
+    :func:`bucketize`.
+
+    One joint-count aggregation over the data; marginals and the total
+    derive from the joint table (tiny) and broadcast back — the fact scan
+    is touched once.  Output: (mutual_info_nats, n_rows, n_cells).
+    """
+    joint = df.groupBy(x_col, y_col).agg(F.count("*").alias("c_xy"))
+    cx = joint.groupBy(x_col).agg(F.sum("c_xy").alias("c_x"))
+    cy = joint.groupBy(y_col).agg(F.sum("c_xy").alias("c_y"))
+    tot = joint.agg(F.sum("c_xy").alias("n"))
+    j = (
+        joint.join(F.broadcast(cx), x_col)
+        .join(F.broadcast(cy), y_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("c_xy") / F.col("n")
+    p_x = F.col("c_x") / F.col("n")
+    p_y = F.col("c_y") / F.col("n")
+    return j.agg(
+        F.round(F.sum(p_xy * F.log(p_xy / (p_x * p_y))), 6).alias(
+            "mutual_info_nats"
+        ),
+        F.max("n").alias("n_rows"),
+        F.count("*").alias("n_cells"),
+    )
+
+
 def psi(
     expected: DataFrame,
     actual: DataFrame,

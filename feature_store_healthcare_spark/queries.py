@@ -2908,6 +2908,34 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_label_mutual_info",
+    f"""
+    WITH s AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    b AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e CROSS JOIN s
+    ),
+    j AS (SELECT event_type, bucket, COUNT(*) AS c_xy FROM b GROUP BY event_type, bucket),
+    cx AS (SELECT event_type, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM j GROUP BY event_type),
+    cy AS (SELECT bucket, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM j GROUP BY bucket),
+    t AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM j)
+    SELECT ROUND(SUM((c_xy / n) * LN((c_xy / n) / ((c_x / n) * (c_y / n)))), 6)
+             AS mutual_info_nats,
+           MAX(n) AS n_rows, COUNT(*) AS n_cells
+    FROM j JOIN cx USING (event_type) JOIN cy USING (bucket) CROSS JOIN t
+    """,
+)
+def feature_label_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Feature-selection signal (operators.drift.mutual_information): MI
+    between the event-type label and the 10-bin bucketed value — one joint
+    count over the fact scan; marginals/total derive from the tiny joint
+    table and broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = drift.bucketize(ev, "value", nbins=10)
+    return drift.mutual_information(b, "event_type", "bucket")
+
+
+@query(
     "unpivot_lineitem_metrics",
     f"""
     WITH long AS (

@@ -385,3 +385,22 @@ def test_psi_zero_on_identical_and_large_on_shift(spark):
     # actual-only keys have no reference distribution -> dropped
     alien = spark.createDataFrame([("ghost", 1.0)], "feature string, value double")
     assert drift.psi(expected, alien, ["feature"], "value").count() == 1
+
+
+def test_mutual_information_independent_and_determined(spark):
+    import math
+    from feature_store_healthcare_spark.operators import drift
+
+    # independent: label ⫫ value -> MI = 0 (uniform 2x2 grid)
+    indep = spark.createDataFrame(
+        [(l, v) for l in ("a", "b") for v in ("x", "y") for _ in range(25)],
+        "label string, bucket string",
+    )
+    assert drift.mutual_information(indep, "label", "bucket").first().mutual_info_nats == 0.0
+    # fully determined: value == label -> MI = H(label) = ln(2)
+    det = spark.createDataFrame(
+        [("a", "x")] * 50 + [("b", "y")] * 50, "label string, bucket string"
+    )
+    r = drift.mutual_information(det, "label", "bucket").first()
+    assert r.mutual_info_nats == pytest.approx(math.log(2), abs=1e-6)
+    assert r.n_rows == 100 and r.n_cells == 2

@@ -280,3 +280,39 @@ def test_unpivot_pivot_roundtrip(spark, rows):
         long.groupBy("id").pivot("k", ["a", "b"]).agg(F.first("v"))
     )
     assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, df.collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label CC ≡ sequential union-find on arbitrary small
+    graphs (chains, stars, cycles, multi-edges — whatever hypothesis finds)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # canonicalize: label every node by the min node id in its component
+    mins: dict[int, int] = {}
+    for n, r in want.items():
+        mins[r] = min(mins.get(r, n), n)
+    want = {n: mins[r] for n, r in want.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == want
