@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,17 +58,20 @@ def entropy(
 ) -> DataFrame:
     """Shannon entropy (nats, rounded to 6 decimals) of each key's value
     histogram, plus the occupied-bucket count.  Low entropy = the feature
-    collapsed to a few values; a sudden change is a pipeline bug signal."""
+    collapsed to a few values; a sudden change is a pipeline bug signal.
+
+    Uses the identity ``H = ln(N) - Σ c·ln(c) / N`` so the per-key total
+    never needs a second aggregation + join back — one histogram pass,
+    one tiny final aggregation, and the fact table is scanned exactly
+    once (the naive ``-Σ p·ln p`` form needs the total first, which
+    costs an extra self-join and a second scan of the lineage)."""
     c = histogram(df, keys, value_col, nbins=nbins)
-    t = c.groupBy(*keys).agg(F.sum("cnt").alias("total"))
-    p = F.col("cnt") / F.col("total")
-    return (
-        c.join(F.broadcast(t), list(keys))
-        .groupBy(*keys)
-        .agg(
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
-            F.count("*").alias("n_buckets"),
-        )
+    total = F.sum("cnt")
+    return c.groupBy(*keys).agg(
+        F.round(
+            F.log(total) - F.sum(F.col("cnt") * F.log("cnt")) / total, 6
+        ).alias("entropy_nats"),
+        F.count("*").alias("n_buckets"),
     )
 
 
@@ -142,31 +145,37 @@ def psi(
     distribution to compare against).
     """
     edges = _edges(expected, keys, value_col)
-
-    def counts(df: DataFrame, alias: str) -> DataFrame:
-        b = df.join(F.broadcast(edges), list(keys)).select(
-            *keys,
-            _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins).alias(
-                "bucket"
-            ),
-        )
-        return b.groupBy(*keys, "bucket").agg(F.count("*").alias(alias))
-
-    ce = counts(expected, "cnt_e")
-    ca = counts(actual, "cnt_a")
+    tagged = (
+        expected.select(*keys, value_col)
+        .withColumn("__side", F.lit("e"))
+        .unionByName(actual.select(*keys, value_col).withColumn("__side", F.lit("a")))
+    )
+    b = tagged.join(F.broadcast(edges), list(keys)).select(
+        *keys,
+        "__side",
+        _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins).alias(
+            "bucket"
+        ),
+    )
+    # Both windows count in ONE partial-aggregatable shuffle (side folded
+    # into conditional sums) instead of two separate scans + a join.
+    counts = b.groupBy(*keys, "bucket").agg(
+        F.sum(F.when(F.col("__side") == "e", 1).otherwise(0)).alias("cnt_e"),
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("cnt_a"),
+    )
     spark = expected.sparkSession
     scaffold = edges.select(*keys).crossJoin(
         spark.range(nbins).select(F.col("id").cast("int").alias("bucket"))
     )
-    grid = (
-        scaffold.join(ce, [*keys, "bucket"], "left")
-        .join(ca, [*keys, "bucket"], "left")
-        .fillna(0, subset=["cnt_e", "cnt_a"])
+    grid = scaffold.join(F.broadcast(counts), [*keys, "bucket"], "left").fillna(
+        0, subset=["cnt_e", "cnt_a"]
     )
-    t = grid.groupBy(*keys).agg(
-        F.sum("cnt_e").alias("tot_e"), F.sum("cnt_a").alias("tot_a")
+    # Per-key totals via a window over the tiny (keys × nbins) grid — no
+    # second aggregation branch, so the fact lineage is evaluated once.
+    w = Window.partitionBy(*keys)
+    g = grid.withColumn("tot_e", F.sum("cnt_e").over(w)).withColumn(
+        "tot_a", F.sum("cnt_a").over(w)
     )
-    g = grid.join(F.broadcast(t), list(keys))
     pe = (F.col("cnt_e") + F.lit(0.5)) / (F.col("tot_e") + F.lit(nbins / 2.0))
     pa = (F.col("cnt_a") + F.lit(0.5)) / (F.col("tot_a") + F.lit(nbins / 2.0))
     return g.groupBy(*keys).agg(

@@ -130,38 +130,65 @@ def repetition_features(
     top_bigram, top_bigram_count, top_bigram_frac, is_repetitive).
 
     Deterministic: the top bigram breaks count ties by the
-    lexicographically greatest bigram (struct-max ordering).  Token-level
-    signals are in-row array expressions (codegen, no shuffle); the bigram
-    argmax is one explode + two partial-aggregatable aggregations.
+    lexicographically greatest bigram.  The whole operator is in-row
+    array expressions — the bigram mode is found by sorting the per-doc
+    bigram array and scanning runs with one ``F.aggregate`` lambda, so
+    the plan is a single zero-shuffle projection inside whole-stage
+    codegen (the explode → groupBy → argmax-join formulation shuffles
+    every bigram of every document twice; this shuffles nothing).
     """
-    from feature_store_healthcare_spark.operators.dedup import shingles
-
     toks = F.split(normalize_text(text_col), " ")
-    base = df.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-    ).withColumn(
-        "dup_token_frac",
-        (F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens"),
+    # Same bigram construction as dedup.shingles(n=2): docs shorter than
+    # 2 tokens yield a single (short) shingle — kept, as in the oracle.
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
     )
-    bigrams = shingles(df, id_col, text_col, n=2, distinct=False)
-    counts = bigrams.groupBy(id_col, "shingle").agg(F.count("*").alias("cnt"))
-    top = (
-        counts.groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("cnt"), F.col("shingle"))).alias("top"),
-            F.sum("cnt").alias("total_bigrams"),
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_cnt"),
+        F.lit("").alias("best"),
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = (run2 > acc["best_cnt"]) | (
+            (run2 == acc["best_cnt"]) & (x > acc["best"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(bigrams), acc0, merge)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            top["best"].alias("top_bigram"),
+            top["best_cnt"].alias("top_bigram_count"),
+            (top["best_cnt"] / F.size(bigrams)).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            (F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens"),
         )
         .select(
-            F.col(id_col),
-            F.col("top.shingle").alias("top_bigram"),
-            F.col("top.cnt").alias("top_bigram_count"),
-            (F.col("top.cnt") / F.col("total_bigrams")).alias("top_bigram_frac"),
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            "dup_token_frac",
+            "top_bigram",
+            "top_bigram_count",
+            "top_bigram_frac",
         )
-    )
-    return (
-        base.join(top, id_col)
         .withColumn(
             "is_repetitive",
             (F.col("dup_token_frac") > dup_token_cut)

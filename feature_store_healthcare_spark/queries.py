@@ -2692,9 +2692,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-51 (repetition filters): Gopher-style per-document repetition
     signals — repeated-token fraction and the share of the most frequent
     word bigram (count ties broken by the lexicographically greatest
-    bigram on both sides).  Token signals are in-row array expressions
-    (codegen, zero shuffle); the bigram argmax is one explode + two
-    partial-aggregatable aggregations keyed by doc_id."""
+    bigram on both sides).  Entirely in-row array expressions: the bigram
+    mode is a sorted-array run-length scan (``F.aggregate``), so the plan
+    is one zero-shuffle projection — nothing explodes, nothing joins."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_features(docs, "doc_id", "text")
 
@@ -2837,21 +2837,22 @@ _BUCKET_SQL = (
       SELECT e.event_type, {_BUCKET_SQL} AS bucket
       FROM events e JOIN s ON e.event_type = s.event_type
     ),
-    c AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY event_type, bucket),
-    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY event_type)
-    SELECT c.event_type,
-           ROUND(-SUM((cnt / total) * LN(cnt / total)), 6) AS entropy_nats,
+    c AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY event_type, bucket)
+    SELECT event_type,
+           ROUND(LN(CAST(SUM(cnt) AS DOUBLE))
+                 - SUM(cnt * LN(CAST(cnt AS DOUBLE))) / CAST(SUM(cnt) AS DOUBLE),
+                 6) AS entropy_nats,
            COUNT(*) AS n_buckets
-    FROM c JOIN t ON c.event_type = t.event_type
-    GROUP BY c.event_type
+    FROM c GROUP BY event_type
     """,
 )
 def feature_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ Distribution monitoring (operators.drift.entropy): Shannon entropy
     of each feature's 10-bin value histogram — the collapsed-distribution
-    alarm.  Two partial-aggregatable shuffles; the log lives in a rounded
-    final projection (natural logs are not IEEE-correctly-rounded across
-    engines, so metrics round to 6 decimals)."""
+    alarm.  Two partial-aggregatable shuffles and ONE fact scan — the
+    ``ln N − Σ c·ln c / N`` identity folds the per-key total into the same
+    aggregation instead of a join-back; metrics round to 6 decimals
+    (natural logs are not IEEE-correctly-rounded across engines)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return drift.entropy(ev, ["event_type"], "value", nbins=10)
 
