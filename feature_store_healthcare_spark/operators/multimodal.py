@@ -200,8 +200,11 @@ def decode_image_features(
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size
-                    entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(arr.mean())
+                    # round to 6 decimals: canonical across engines (the SQL
+                    # oracle sums the same terms in a different order; both
+                    # land on the same 6-decimal value)
+                    entropy = round(float(-(p * np.log2(p)).sum()), 6)
+                    mean = round(float(arr.mean()), 6)
                 else:
                     entropy, mean = 0.0, 0.0
                 meta = meta if isinstance(meta, dict) else {}

@@ -145,8 +145,11 @@ def repetition_features(
         lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
     )
     zero = F.lit(0).cast("bigint")
+    # prev seeds NULL (typed) so no real bigram — including the empty-string
+    # bigram of an empty/whitespace-only doc — can ever equal the seed; the
+    # first element always takes the run=1 branch (NULL == x is NULL→false).
     acc0 = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(None).cast("string").alias("prev"),
         zero.alias("run"),
         zero.alias("best_cnt"),
         F.lit("").alias("best"),

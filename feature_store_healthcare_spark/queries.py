@@ -414,7 +414,7 @@ def serving_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(*) AS avg_k,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
@@ -916,9 +916,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len({_TOKENS_SQL})) AS sum_tokens
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS sum_tokens
     FROM documents GROUP BY lang, source
     """,
 )
@@ -1178,8 +1178,8 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM x
     )
     SELECT user_id, session_id,
@@ -1216,7 +1216,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_rollup",
     """
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY ROLLUP(lang, source)
     """,
 )
@@ -1474,9 +1475,9 @@ _MEDIA_KIND_SQL = "(['image','audio','video'])[(doc_id % 3)+1]"
              octet_length(encode(text)) AS n_bytes, length(text) AS n
       FROM documents
     )
-    SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+    SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            {_DSUM_SQL.format(expr="CASE WHEN kind='audio' THEN n/100.0 ELSE 0 END")} AS total_duration_s,
-           SUM(CASE WHEN kind='video' THEN n % 240 + 24 ELSE 0 END) AS total_frames
+           CAST(SUM(CASE WHEN kind='video' THEN n % 240 + 24 ELSE 0 END) AS BIGINT) AS total_frames
     FROM media GROUP BY kind
     """,
 )
@@ -1532,12 +1533,58 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_chunks(media, chunk_s=30.0)
 
 
-@query("multimodal_image_features")  # rows-only: numpy kernel not SQL-expressible
+@query(
+    "multimodal_image_features",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             encode(text) AS payload, length(text) AS n
+      FROM documents
+    ),
+    imgs AS (
+      SELECT media_id, lower(hex(payload)) AS h,
+             octet_length(payload) AS n_bytes,
+             CAST(n % 512 + 64 AS INT) AS width,
+             CAST(n % 256 + 64 AS INT) AS height
+      FROM media WHERE kind = 'image'
+    ),
+    b AS (
+      SELECT media_id, n_bytes,
+             UNNEST(range(1, n_bytes + 1)) AS i
+      FROM imgs
+    ),
+    bv AS (
+      SELECT b.media_id, b.n_bytes,
+             (strpos('0123456789abcdef', substr(x.h, CAST(2*b.i-1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(x.h, CAST(2*b.i AS INT), 1)) - 1) AS byte
+      FROM b JOIN imgs x ON b.media_id = x.media_id
+    ),
+    cnts AS (
+      SELECT media_id, n_bytes, byte, COUNT(*) AS c
+      FROM bv GROUP BY media_id, n_bytes, byte
+    ),
+    stats AS (
+      SELECT media_id,
+             ROUND(CAST(SUM(byte * c) AS DOUBLE) / n_bytes, 6) AS mean_byte,
+             ROUND(-SUM((c / CAST(n_bytes AS DOUBLE))
+                        * log2(c / CAST(n_bytes AS DOUBLE))), 6) AS byte_entropy
+      FROM cnts GROUP BY media_id, n_bytes
+    )
+    SELECT i.media_id, CAST(i.n_bytes AS BIGINT) AS n_bytes,
+           COALESCE(s.mean_byte, 0.0) AS mean_byte,
+           COALESCE(s.byte_entropy, 0.0) AS byte_entropy,
+           i.width, i.height
+    FROM imgs i LEFT JOIN stats s ON i.media_id = s.media_id
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-52: Arrow-batched mapInPandas decode→feature kernel over the
     binary payload (deterministic byte-statistics stub standing in for the
-    codec — container ships no Pillow).  Rows-only driver check; the
-    plumbing (schema, batching, binary transport) is the production path."""
+    codec — container ships no Pillow).  The byte-stat features are
+    deterministic, so the DuckDB oracle reproduces them from the hex
+    expansion of the same payload; both sides round to 6 decimals to
+    cancel float-summation-order noise.  The plumbing (schema, batching,
+    binary transport) is the production path."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media_table(docs)
     return multimodal.decode_image_features(media, use_fake_decoder=True)
@@ -2244,10 +2291,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines_priority",
     """
     SELECT l_returnflag AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2494,7 +2541,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_test_split_report",
     f"""
     SELECT {sampling.split_label_sql('doc_id', _SPLIT_WEIGHTS)} AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY 1
     """,
@@ -2555,7 +2602,8 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM kept
       QUALIFY row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) = 1
     )
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM deduped GROUP BY lang, source
     """,
 )
@@ -2715,8 +2763,8 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT st.event_type, st.n, st.mean_value, st.std_value,
            MIN(e.value) AS min_value, MAX(e.value) AS max_value,
-           SUM(CASE WHEN abs(e.value - st.mean_value) > 2.5 * st.std_value
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN abs(e.value - st.mean_value) > 2.5 * st.std_value
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN st ON e.event_type = st.event_type
     GROUP BY st.event_type, st.n, st.mean_value, st.std_value
     """,

@@ -6,9 +6,9 @@ Two entry points:
 - :func:`configure` applies the *runtime-settable* confs this engine relies
   on to an existing session.  The correctness driver constructs its own
   SparkSession, so every public query function calls ``configure(spark)``
-  before touching data — in particular the events table is written with
-  parquet ``TIMESTAMP(NANOS)`` which Spark only reads with
-  ``spark.sql.legacy.parquet.nanosAsLong=true``.
+  before touching data.  ``nanosAsLong`` stays set so *legacy*
+  TIMESTAMP(NANOS) events files remain readable; the loader branches on the
+  actual inferred column type (sources/tables.py).
 
 Scale notes (100 TB design point): these settings assume local[$CPUS] for
 testing; on a real cluster the same code runs unchanged, with
@@ -25,8 +25,10 @@ from pyspark.sql import SparkSession
 
 # Runtime-settable SQL confs applied to any session (including the driver's).
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet uses TIMESTAMP(NANOS,false); read as long, convert in
-    # tables.load_table. Spark has no nanosecond timestamp type.
+    # Legacy events.parquet generators used TIMESTAMP(NANOS,false), which
+    # Spark can only read as long (it has no nanos type); current testdata is
+    # TIMESTAMP(MICROS,false).  tables.load_table branches on the inferred
+    # column type, so this conf only affects genuinely-nanos files.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic timestamp semantics against the DuckDB oracle (naive UTC).
     "spark.sql.session.timeZone": "UTC",
@@ -50,8 +52,9 @@ def configure(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(key, value)
         except Exception:
-            # Conf not settable at runtime in this build — proceed; readers
-            # have fallbacks (tables.load_table handles nanos via pyarrow).
+            # Conf not settable at runtime in this build — proceed; the
+            # events loader branches on the inferred type, so only legacy
+            # nanos files would be affected.
             pass
     return spark
 

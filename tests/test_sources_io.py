@@ -55,6 +55,27 @@ def test_unknown_format_rejected(spark, sample, tmp_path):
         write_sink(sample, str(tmp_path / "x"), fmt="xml")
 
 
+def test_events_ts_matches_pyarrow_ground_truth(spark, sf_dir):
+    """Regression for the round-1 root-cause bug: a forced nanos-as-long
+    schema misread timestamp[us] files and collapsed 2024 into 1970.  The
+    loader must agree with pyarrow's read of the same file regardless of
+    which physical type the generator used."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    want_min = pc.min(t["ts"]).as_py().replace(tzinfo=None)
+    want_max = pc.max(t["ts"]).as_py().replace(tzinfo=None)
+
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    row = df.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    assert row["mn"] == want_min
+    assert row["mx"] == want_max
+    # sanity: the data spans days, not minutes (the 1970 collapse symptom)
+    assert (want_max - want_min).days >= 1
+
+
 def test_register_views_enables_raw_sql(spark, sf_dir):
     from feature_store_healthcare_spark.sources import register_views
 

@@ -6,12 +6,23 @@ row-sorted) values.  Exact comparison for everything except floats, which get
 a tiny relative tolerance *reported separately* — the goal is bit-identical,
 so any float needing tolerance is flagged.
 
+Two driver-faithfulness rules (both burned us in round 1):
+
+- The SparkSession is VANILLA — no tuned confs at build time, exactly like
+  the driver's.  Whatever a query needs must be set by the query itself via
+  ``session.configure``.  Never check against ``get_spark``'s tuned session.
+- DuckDB results are fetched through Arrow, so noncanonical result types
+  surface: a HUGEINT (``SUM(BIGINT)``) becomes Decimal and FAILS the exact
+  compare against Spark's int.  If this flags a query, fix the oracle SQL
+  (``CAST(... AS BIGINT)``), not this checker.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import pathlib
 import sys
 import time
@@ -20,10 +31,20 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 from feature_store_healthcare_spark import queries as catalog  # noqa: E402
-from feature_store_healthcare_spark.session import get_spark  # noqa: E402
 from feature_store_healthcare_spark.sources import TABLE_NAMES  # noqa: E402
+
+
+def vanilla_spark() -> SparkSession:
+    """A driver-like bare session: master only, no engine confs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -87,7 +108,7 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check", shuffle_partitions=16)
+    spark = vanilla_spark()
     con = duck_connection(sf_dir)
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
@@ -108,9 +129,10 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            duck_cols = list(tbl.column_names)
+            pylists = [c.to_pylist() for c in tbl.columns]
+            duck_rows = list(zip(*pylists)) if pylists else []
         except Exception as e:
             failed.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
