@@ -189,6 +189,28 @@ def rp_lsh_topk(
     )
 
 
+def lsh_bucket_corpus(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH index build: (id, v, n, bucket) for every corpus vector.
+
+    This is the reusable index — at scale it is written once as a bucketed
+    table (bucketed/partitioned by ``bucket``) and served to every
+    near-dup / topk query; locally, callers persist it across queries
+    instead of re-running the bucket kernel per call."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .withColumn("n", _norm(F.col("v"), dim=dim))
+        .withColumn("bucket", _bucket_bits(F.col("v"), planes))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -197,20 +219,22 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """OP-49 (embedding-cosine variant): pairs with cosine ≥ threshold,
     candidate-generated by shared LSH bucket (high-cosine pairs almost
     always share all sign bits; multiprobe of distance-1 buckets covers
-    boundary cases)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    base = (
-        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
-        .withColumn("n", _norm(F.col("v"), dim=dim))
-        .withColumn("bucket", _bucket_bits(F.col("v"), planes))
-        # base feeds the probe explode AND the build side of the self-join —
-        # persist so the bucket kernel runs once over the corpus, not twice
-        .persist()
-    )
+    boundary cases).
+
+    ``bucketed``: a prebuilt :func:`lsh_bucket_corpus` index (typically
+    persisted / stored bucketed) — passing it skips the per-call bucket
+    kernel entirely.  Without it, the index is built inline and persisted
+    for the duration of the query (it feeds both sides of the self-join),
+    then released lazily by the session's cache eviction."""
+    base = bucketed if bucketed is not None else lsh_bucket_corpus(
+        corpus, dim=dim, n_planes=n_planes, seed=seed,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    ).persist()
     probes = base.select(
         "id",
         "v",
@@ -303,6 +327,26 @@ def _nearest_centroids(
     return probe(vec)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Inverted-list build: every corpus vector tagged with its nearest
+    centroid id (``__list``) plus its precomputed norm.  This is the stored
+    IVF index — at scale, written once partitioned by ``__list`` so probes
+    prune partitions; locally, persisted and reused across queries."""
+    dim = len(centroids[0][1]) if centroids else None
+    return (
+        corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
+        .withColumn("__cn", _norm(F.col("__cv"), dim=dim))
+        .withColumn(
+            "__list", F.element_at(_nearest_centroids(F.col("__cv"), centroids, 1), 1)
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -315,6 +359,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """OP-50 (IVF variant): approximate top-k via inverted-file search.
 
@@ -325,15 +370,19 @@ def ivf_topk(
     equi-join on centroid id, then exact cosine re-ranks.  Candidate volume
     is ~``nprobe/n_centroids`` of the corpus per query vs. all of it for
     brute force.
+
+    ``centroids``/``assigned``: a prebuilt index (:func:`ivf_centroids` +
+    :func:`ivf_assign`, typically persisted) — passing both makes this
+    call pure query-path work, the amortized production shape.
     """
     cents = centroids or ivf_centroids(
         corpus, n_centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
     )
     dim = len(cents[0][1]) if cents else None
     c = (
-        corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
-        .withColumn("__cn", _norm(F.col("__cv"), dim=dim))
-        .withColumn("__list", F.element_at(_nearest_centroids(F.col("__cv"), cents, 1), 1))
+        assigned
+        if assigned is not None
+        else ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
     )
     q = (
         queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))

