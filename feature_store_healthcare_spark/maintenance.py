@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,20 @@ def retention_filter(
         )
         .drop(retention_col)
     )
+
+
+def retention_split(
+    df: DataFrame, ts_col: str, cutoff: Column, retained_flag: str = "retained"
+) -> DataFrame:
+    """Classify rows against a FIXED retention cutoff (ref semantic:
+    ``Feature.retention_days``, feature_registry.py:136) instead of
+    filtering: adds a boolean ``retained`` column so one pass feeds both
+    the audit rollup (count retained/expired) and the maintenance DELETE
+    (``df.where(~col("retained"))``).  At scale the flipped filter
+    partition-prunes when ``ts_col``'s date is a partition column (SCALE.md
+    offline layout)."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return df.withColumn(retained_flag, c >= cutoff)
 
 
 def expired_rows(

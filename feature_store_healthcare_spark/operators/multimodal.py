@@ -200,11 +200,18 @@ def decode_image_features(
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size
-                    # round to 6 decimals: canonical across engines (the SQL
-                    # oracle sums the same terms in a different order; both
-                    # land on the same 6-decimal value)
+                    # entropy: round to 6 decimals — canonical across engines
+                    # (transcendental terms can't land on a .5 tie, so the
+                    # rounding-mode difference between Python/numpy
+                    # [half-even] and SQL engines [half-away] never fires)
                     entropy = round(float(-(p * np.log2(p)).sum()), 6)
-                    mean = round(float(arr.mean()), 6)
+                    # mean: byte sums are exact integers, and an integer
+                    # mean CAN tie at 6 decimals (e.g. 95.4140625), where
+                    # half-even vs half-away rounding diverges — so floor in
+                    # exact integer micro-units instead of rounding
+                    mean = (
+                        int(arr.sum(dtype=np.int64)) * 1_000_000 // arr.size
+                    ) / 1e6
                 else:
                     entropy, mean = 0.0, 0.0
                 meta = meta if isinstance(meta, dict) else {}

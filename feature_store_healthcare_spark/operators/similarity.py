@@ -412,3 +412,42 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def int8_quantize(
+    df: DataFrame, emb_col: str = "embedding", eps: float = 1e-12
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column — the
+    standard storage-compression step before an ANN index is persisted
+    (4× smaller than float32, 8× than float64).
+
+    Adds ``q_scale`` (double: ``max|x| / 127``, floored at ``eps`` so the
+    all-zero vector quantizes to zeros instead of dividing by zero),
+    ``q_codes`` (``array<int>`` in [-127, 127]) and ``q_max_abs_err``
+    (double: max reconstruction error ``max|x - round(x/scale)*scale|`` —
+    an order-free per-row exactness witness usable in oracles).
+
+    All built-in higher-order functions over the array — no UDF, no
+    shuffle; at 100 TB this is a pure map over the corpus scan.  Every
+    arithmetic step (cast, divide, round, multiply, subtract, abs, max) is
+    exact-deterministic IEEE double given identical inputs, so results are
+    reproducible across engines and partitionings.
+    """
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(eps)
+    )
+    out = df.withColumn("__v", v).withColumn("q_scale", scale)
+    codes = F.transform(
+        F.col("__v"), lambda x: F.round(x / F.col("q_scale")).cast("int")
+    )
+    err = F.zip_with(
+        F.col("__v"),
+        codes,
+        lambda x, q: F.abs(x - q.cast("double") * F.col("q_scale")),
+    )
+    return (
+        out.withColumn("q_codes", codes)
+        .withColumn("q_max_abs_err", F.array_max(err))
+        .drop("__v")
+    )

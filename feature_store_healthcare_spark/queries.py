@@ -70,7 +70,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_nation_revenue",
     "q6_revenue_forecast",
     "q10_returned_items",
-    "q12_late_lines_priority",
     "filter_project_lineitem",
     "topk_orders",
     "semi_join_customers",
@@ -113,7 +112,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "lang_id_confusion",
     "bpe_token_estimate",
-    "text_repetition_signals",
+    # PHI content governance + retention (operators.privacy)
+    "phi_scrub_notes",
+    "retention_sweep",
     # multimodal: metadata aggregation + the decode kernel path
     "multimodal_media_stats",
     "multimodal_image_features",
@@ -1639,7 +1640,8 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT media_id,
-             ROUND(CAST(SUM(byte * c) AS DOUBLE) / n_bytes, 6) AS mean_byte,
+             CAST(SUM(byte * c) * 1000000 // n_bytes AS BIGINT) / 1000000.0
+               AS mean_byte,
              ROUND(-SUM((c / CAST(n_bytes AS DOUBLE))
                         * log2(c / CAST(n_bytes AS DOUBLE))), 6) AS byte_entropy
       FROM cnts GROUP BY media_id, n_bytes
@@ -3178,4 +3180,242 @@ def pit_interpolated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pit.interpolated_asof(
         spine, clicks, "user_id", "ts", "ts", "value", tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# PHI content governance (operators.privacy) — the content-level half of the
+# reference's PHI story: phi_level/ACL gate access (feature_registry.py:469),
+# retention_days=2555 bounds storage (feature_registry.py:136), but nothing
+# in the reference inspects VALUES for identifiers.  These queries do.
+# The note text is constructed deterministically from integer columns only
+# (no float formatting) so both engines build byte-identical input.
+# ---------------------------------------------------------------------------
+
+_NOTE_SQL = """
+         'Patient ' || c_name || ' SSN 900-' ||
+         lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         ' phone 555-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+         ' email c' || CAST(c_custkey AS VARCHAR) || '@example.org' ||
+         ' seen 2024/' || lpad(CAST((c_custkey % 12) + 1 AS VARCHAR), 2, '0') ||
+         '/' || lpad(CAST((c_custkey % 28) + 1 AS VARCHAR), 2, '0') ||
+         ' segment ' || c_mktsegment
+"""
+
+#: progressive scrub CTE chain shared by both PHI queries — counts are taken
+#: against the progressively masked text exactly like privacy.phi_hit_counts.
+_PHI_SCRUB_SQL = f"""
+    WITH notes AS (
+      SELECT c_custkey, c_mktsegment, {_NOTE_SQL} AS note FROM customer
+    ), s0 AS (
+      SELECT c_custkey, c_mktsegment,
+             len(regexp_extract_all(note, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS n_ssn,
+             regexp_replace(note, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '[SSN]', 'g') AS t0
+      FROM notes
+    ), s1 AS (
+      SELECT *, len(regexp_extract_all(t0, '[0-9]{{3}}-[0-9]{{4}}')) AS n_phone,
+             regexp_replace(t0, '[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g') AS t1 FROM s0
+    ), s2 AS (
+      SELECT *, len(regexp_extract_all(t1, '[0-9]{{9}}')) AS n_mrn,
+             regexp_replace(t1, '[0-9]{{9}}', '[MRN]', 'g') AS t2 FROM s1
+    ), s3 AS (
+      SELECT *, len(regexp_extract_all(t2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_email,
+             regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+               '[EMAIL]', 'g') AS t3 FROM s2
+    ), scrubbed AS (
+      SELECT *, len(regexp_extract_all(t3, '[0-9]{{4}}/[0-9]{{2}}/[0-9]{{2}}')) AS n_date,
+             regexp_replace(t3, '[0-9]{{4}}/[0-9]{{2}}/[0-9]{{2}}', '[DATE]', 'g') AS note
+      FROM s3
+    )
+"""
+
+
+def _patient_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    note = F.concat(
+        F.lit("Patient "), F.col("c_name"),
+        F.lit(" SSN 900-"), F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" phone 555-"), F.lpad(((k * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" email c"), k.cast("string"), F.lit("@example.org"),
+        F.lit(" seen 2024/"), F.lpad(((k % 12) + 1).cast("string"), 2, "0"),
+        F.lit("/"), F.lpad(((k % 28) + 1).cast("string"), 2, "0"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", note.alias("note")
+    )
+
+
+@query(
+    "phi_scrub_notes",
+    _PHI_SCRUB_SQL
+    + """
+    SELECT c_custkey, note, n_ssn, n_phone, n_mrn, n_email, n_date,
+           n_ssn + n_phone + n_mrn + n_email + n_date AS phi_total
+    FROM scrubbed
+    """,
+)
+def phi_scrub_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHI masking (operators.privacy.scrub_documents): detect and mask
+    SSN/phone/MRN/email/date identifiers in note text.  Counts are taken
+    against the progressively masked text so no span is double-counted.
+    Pure regexp column expressions — codegen'd single scan, the shape a
+    100 TB de-identification pass needs."""
+    from feature_store_healthcare_spark.operators import privacy
+
+    notes = _patient_notes(spark, sf_dir)
+    return privacy.scrub_documents(notes, "note").select(
+        "c_custkey", "note", "n_ssn", "n_phone", "n_mrn", "n_email", "n_date",
+        "phi_total",
+    )
+
+
+@query(
+    "phi_detection_stats",
+    _PHI_SCRUB_SQL
+    + """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_ssn + n_phone + n_mrn + n_email + n_date > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phi,
+           CAST(SUM(n_ssn) AS BIGINT) AS ssn_hits,
+           CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+           CAST(SUM(n_mrn) AS BIGINT) AS mrn_hits,
+           CAST(SUM(n_email) AS BIGINT) AS email_hits,
+           CAST(SUM(n_date) AS BIGINT) AS date_hits
+    FROM scrubbed
+    GROUP BY c_mktsegment
+    """,
+)
+def phi_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHI audit rollup: per market segment (stand-in for a PHI-exposure
+    reporting dimension), how many documents carry each identifier class.
+    Partial-aggregatable sums over the scrub projection — one shuffle on a
+    low-cardinality key."""
+    from feature_store_healthcare_spark.operators import privacy
+
+    notes = _patient_notes(spark, sf_dir)
+    scrubbed = privacy.scrub_documents(notes, "note")
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("phi_total") > 0).cast("long")).alias("docs_with_phi"),
+        F.sum("n_ssn").cast("long").alias("ssn_hits"),
+        F.sum("n_phone").cast("long").alias("phone_hits"),
+        F.sum("n_mrn").cast("long").alias("mrn_hits"),
+        F.sum("n_email").cast("long").alias("email_hits"),
+        F.sum("n_date").cast("long").alias("date_hits"),
+    )
+
+
+@query(
+    "retention_sweep",
+    """
+    WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ts >= now_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN ts >= now_ts - INTERVAL 7 DAY THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_expired
+    FROM events CROSS JOIN now_t
+    GROUP BY event_type
+    """,
+)
+def retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention classification (maintenance.retention_split; ref
+    semantic ``Feature.retention_days``, feature_registry.py:136) with a
+    7-day horizon anchored at max(ts).  The maintenance DELETE is the
+    ``~retained`` filter; expressed as a scan+filter it partition-prunes
+    when the store is laid out by event date (SCALE.md)."""
+    from feature_store_healthcare_spark import maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    flagged = maintenance.retention_split(
+        ev.crossJoin(F.broadcast(now)),
+        "ts",
+        F.expr("now_ts - INTERVAL 7 DAYS"),
+    )
+    r = F.col("retained").cast("long")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(r).alias("n_retained"),
+        F.sum(F.lit(1) - r).alias("n_expired"),
+    )
+
+
+@query(
+    "heavy_hitters_users",
+    """
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, user_id
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id ASC) <= 5
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-5 users per event type by event count —
+    partial-agg count then a per-group top-k window (deterministic
+    tie-break on user_id).  At scale the count shuffle is hash-uniform on
+    (event_type, user_id); the window partitions by event_type only but
+    consumes the already-aggregated (small) table."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+@query(
+    "embedding_quantization_stats",
+    """
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), s AS (
+      SELECT label, vec,
+             greatest(list_aggregate(list_transform(vec, x -> abs(x)), 'max')
+                      / 127.0, 1e-12) AS q_scale
+      FROM v
+    ), e AS (
+      SELECT label, q_scale,
+             list_aggregate(list_transform(vec,
+               x -> abs(x - round(x / q_scale) * q_scale)), 'max') AS max_err
+      FROM s
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(q_scale AS DECIMAL(30,15))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_scale,
+           ROUND(CAST(SUM(CAST(max_err AS DECIMAL(30,15))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_max_abs_err
+    FROM e GROUP BY label
+    """,
+)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators.similarity.int8_quantize):
+    per-label reconstruction-error profile of the 4×-compressed corpus.
+    Every per-row step is exact-deterministic IEEE double math (identical
+    across engines and partitionings); cross-row averages accumulate in
+    decimal(30,15) so they are order-independent, then round to 9 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.int8_quantize(emb)
+    dec = "decimal(30,15)"
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("q_scale").cast(dec)).cast("double") / F.count("*"), 9
+        ).alias("avg_scale"),
+        F.round(
+            F.sum(F.col("q_max_abs_err").cast(dec)).cast("double") / F.count("*"),
+            9,
+        ).alias("avg_max_abs_err"),
     )

@@ -146,7 +146,8 @@ def main() -> int:
                 print(f"      {p}")
         else:
             print(f"ok    {name} ({dt:.1f}s, {len(spark_rows)} rows)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match at {sf_dir}")
+    n_run = sum(1 for n in qs if not only or n in only)
+    print(f"\n{n_run - len(failed)}/{n_run} queries match at {sf_dir}")
     return 1 if failed else 0
 
 
