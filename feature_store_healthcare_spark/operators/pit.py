@@ -123,8 +123,15 @@ def point_in_time_join(
     which is what a bounded-staleness training join wants.
 
     Plan shape: equi-join on ``on`` → range predicate → max_by aggregate on
-    the spine key.  One shuffle for the join (AQE broadcast/skew handles
-    small or hot sides) + one partial-aggregated shuffle for the argmax.
+    (join keys + spine key).  The join keys are PREPENDED to the aggregate
+    grouping even though the spine key alone is unique: grouping on a
+    superset that includes the join's hash keys lets the aggregate reuse
+    the join's output partitioning (HashPartitioning(on) satisfies
+    ClusteredDistribution(on + spine_keys)), so the argmax runs with NO
+    second exchange — the whole operator is ONE shuffle per side for the
+    join (zero when both sides are pre-bucketed on ``on``,
+    stores.write_bucketed).  AQE broadcast/skew still applies to the join
+    itself.
     """
     on = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
@@ -160,11 +167,15 @@ def point_in_time_join(
         ),
         F.struct(F.col("__v_ts"), *[F.col(f"__v_tb_{c}") for c in tiebreak]),
     ).alias("__pit")
-    # Group by the unique spine key; carry the remaining spine columns with
-    # `first` inside the same aggregate (they are functionally dependent on
-    # the key, so this is exact, and it keeps the plan to a single agg).
-    carry = [c for c in group_cols if c not in spine_keys]
-    agged = joined.groupBy(*spine_keys).agg(
+    # Group by (join keys + unique spine key) — the extra keys don't split
+    # any group (the spine key is already unique) but make the grouping a
+    # superset of the join's hash keys, so the shuffle the join already
+    # paid is reused and the aggregate adds none.  Remaining spine columns
+    # ride along with `first` (functionally dependent on the key — exact).
+    agg_keys = [c for c in on if c in spine.columns]
+    agg_keys += [c for c in spine_keys if c not in agg_keys]
+    carry = [c for c in group_cols if c not in agg_keys]
+    agged = joined.groupBy(*agg_keys).agg(
         *[F.first(F.col(c)).alias(c) for c in carry], payload
     )
     out_cols = [F.col(c) for c in group_cols if c != "__spine_id"]
@@ -208,8 +219,10 @@ def trailing_window_agg(
     spine columns.
 
     Plan shape: one equi-join shuffle on the entity key (the range
-    conjuncts evaluate post-probe in codegen) + one partial-aggregated
-    shuffle on the spine key.  Per-key pair blowup is bounded by values
+    conjuncts evaluate post-probe in codegen); the count/agg groups on
+    (join keys + spine key) so it reuses the join's partitioning and adds
+    NO second exchange (same trick as :func:`point_in_time_join`).
+    Per-key pair blowup is bounded by values
     per entity inside the window; at 100 TB the standard mitigation is a
     two-level plan — pre-aggregate values into aligned time buckets first,
     then window-join the buckets — trading exactness of unaligned edges;
@@ -237,8 +250,10 @@ def trailing_window_agg(
     cond.append(v["__w_ts"] < spine[spine_ts])
     joined = spine.join(v, on=cond, how="left")
 
-    carry = [c for c in spine.columns if c not in spine_keys]
-    out = joined.groupBy(*spine_keys).agg(
+    agg_keys = [c for c in on if c in spine.columns]
+    agg_keys += [c for c in spine_keys if c not in agg_keys]
+    carry = [c for c in spine.columns if c not in agg_keys]
+    out = joined.groupBy(*agg_keys).agg(
         *[F.first(F.col(c)).alias(c) for c in carry],
         F.count(F.col("__w_ts")).alias(count_alias),
         *aggs,
@@ -483,8 +498,12 @@ def point_in_time_pivot(
         )  # NULL for other features → ignored by max_by
         payload = F.struct(F.col(f"__v_{slot}").alias("v"), F.col("__v_ts").alias("t"))
         aggs.append(F.max_by(payload, ordering).alias(f"__pit_{name}"))
-    carry = [c for c in spine.columns if c not in spine_keys]
-    agged = joined.groupBy(*spine_keys).agg(
+    # group on (join keys + spine pk) so the aggregate reuses the join's
+    # hash partitioning — no second exchange (see point_in_time_join)
+    agg_keys = [c for c in on if c in spine.columns]
+    agg_keys += [c for c in spine_keys if c not in agg_keys]
+    carry = [c for c in spine.columns if c not in agg_keys]
+    agged = joined.groupBy(*agg_keys).agg(
         *[F.first(F.col(c)).alias(c) for c in carry], *aggs
     )
     out_cols = [F.col(c) for c in spine.columns if c != "__spine_id"]

@@ -81,3 +81,54 @@ def test_zorder_value_is_deterministic(spark, grid):
     a = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
     b = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
     assert a == b
+
+
+def test_pit_join_on_bucketed_tables_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Flagship at scale: the PIT training join over spine/values both
+    bucketed on the entity key runs with ZERO exchanges — the join zips
+    bucket i with bucket i, and the argmax aggregate groups on (join keys
+    + spine pk) so it reuses that partitioning instead of re-shuffling.
+    Write once, join shuffle-free forever (SURVEY.md §4.2)."""
+    from feature_store_healthcare_spark import plans
+    from feature_store_healthcare_spark.operators.pit import point_in_time_join
+    from feature_store_healthcare_spark.sources import load_table
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select("user_id", F.col("ts").alias("vts"), "value", "event_id")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    write_bucketed(vals, "pit_vals_b", "user_id", 8, str(tmp_path / "v"), "user_id")
+    write_bucketed(spine, "pit_spine_b", "user_id", 8, str(tmp_path / "s"), "user_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the exchange count is meaningful
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def pit(s, v):
+            return point_in_time_join(
+                s, v, on="user_id", spine_ts="ts", value_ts="vts",
+                value_cols=["value"], spine_keys=["event_id"],
+                tiebreak=["event_id"],
+            )
+
+        bucketed = pit(
+            read_table(spark, "pit_spine_b"), read_table(spark, "pit_vals_b")
+        )
+        assert plans.count_exchanges(bucketed) == 0, plans.physical_plan(
+            bucketed, "simple"
+        )
+        # unbucketed control: the join shuffles both sides, but the argmax
+        # aggregate still reuses the join's partitioning (≤2 exchanges,
+        # not 3)
+        unbucketed = pit(spine, vals)
+        assert 1 <= plans.count_exchanges(unbucketed) <= 2
+        # identical results either way
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, unbucketed.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS pit_vals_b")
+        spark.sql("DROP TABLE IF EXISTS pit_spine_b")
