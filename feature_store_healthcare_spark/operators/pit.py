@@ -100,6 +100,7 @@ def point_in_time_join(
     spine_keys: Sequence[str] | None = None,
     ts_suffix: str = "__timestamp",
     tolerance: str | Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """OP-16: leak-free per-row as-of join (feature_server.py:355-408).
 
@@ -122,6 +123,16 @@ def point_in_time_join(
     tagging it expired, a too-old value is simply not joined (NULL fill),
     which is what a bounded-staleness training join wants.
 
+    ``direction``: ``"backward"`` (default — the reference's as-of
+    semantic: newest value with ``value_ts <= spine_ts``) or ``"forward"``
+    (earliest value with ``value_ts >= spine_ts`` — outcome/label
+    attachment, pandas ``merge_asof(direction='forward')`` parity).
+    Forward ties on ``value_ts`` break to the SMALLEST tiebreak (min_by),
+    mirroring backward's largest-tiebreak (max_by) — both pick the row
+    "closest to the spine instant, then most extreme tiebreak away from
+    it", and both are deterministic.  ``tolerance`` bounds staleness
+    backward and lookahead forward.
+
     Plan shape: equi-join on ``on`` → range predicate → max_by aggregate on
     (join keys + spine key).  The join keys are PREPENDED to the aggregate
     grouping even though the spine key alone is unique: grouping on a
@@ -133,6 +144,8 @@ def point_in_time_join(
     stores.write_bucketed).  AQE broadcast/skew still applies to the join
     itself.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in values.columns if c not in on and c != value_ts and c not in tiebreak
@@ -153,14 +166,21 @@ def point_in_time_join(
     )
 
     join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
-    join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    if direction == "backward":
+        join_cond.append(v["__v_ts"] <= spine[spine_ts])
+    else:
+        join_cond.append(v["__v_ts"] >= spine[spine_ts])
     if tolerance is not None:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
-        join_cond.append(v["__v_ts"] >= spine[spine_ts] - tol)
+        if direction == "backward":
+            join_cond.append(v["__v_ts"] >= spine[spine_ts] - tol)
+        else:
+            join_cond.append(v["__v_ts"] <= spine[spine_ts] + tol)
     joined = spine.join(v, on=join_cond, how="left")
 
     group_cols = [c for c in spine.columns]  # spine columns all survive
-    payload = F.max_by(
+    argpick = F.max_by if direction == "backward" else F.min_by
+    payload = argpick(
         F.struct(
             F.col("__v_ts"),
             *[F.col(f"__v_{c}") for c in value_cols],

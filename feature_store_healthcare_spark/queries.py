@@ -3419,3 +3419,85 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("avg_max_abs_err"),
     )
+
+
+@query(
+    "sliding_window_counts",
+    f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_DSUM_SQL.format(expr='value')} AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k)
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-45 (batch-equivalent): sliding 1-hour windows every 15 minutes —
+    each event lands in exactly 4 overlapping windows (Spark's ``window``
+    with a slide replicates rows before the aggregate; the oracle does the
+    same replication explicitly with a 4-element range join).  Both engines
+    align window origins to the epoch.  The same aggregation runs
+    incrementally under Structured Streaming
+    (streaming/pipeline.py:sliding_window_features)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), _dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "pit_forward_label_join",
+    """
+    WITH spine AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT s.event_id, c.value AS outcome_value, c.ts AS outcome_ts,
+             row_number() OVER (PARTITION BY s.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM spine s JOIN clicks c
+        ON s.user_id = c.user_id AND c.ts >= s.ts
+           AND c.ts <= s.ts + INTERVAL 3 DAY
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           c.outcome_value, c.outcome_ts
+    FROM spine s LEFT JOIN cand c ON c.event_id = s.event_id AND c.rn = 1
+    """,
+)
+def pit_forward_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16 forward direction: for each purchase, the EARLIEST click at or
+    after it within 3 days — outcome/label attachment (pandas
+    ``merge_asof(direction='forward')`` parity), the other half of a
+    leak-free training set: features look back, labels look forward.
+    Same one-shuffle join + min_by argmin plan as the backward join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("vts"), "value", "event_id"
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(
+        spine, clicks,
+        on="user_id", spine_ts="ts", value_ts="vts",
+        value_cols=["value"], spine_keys=["event_id"],
+        tiebreak=["event_id"], tolerance="INTERVAL 3 DAYS",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("outcome_value"),
+        F.col("value__timestamp").alias("outcome_ts"),
+    )

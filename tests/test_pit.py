@@ -324,3 +324,68 @@ def test_interpolated_asof_semantics(spark):
     assert hold.interp_value == 50.0 and hold.next_value is None
     before = got[ts("2023-12-25 00:00:00")]
     assert before.interp_value is None and before.prev_value is None
+
+
+def test_forward_asof_picks_earliest_at_or_after_with_min_tiebreak(spark):
+    vals = spark.createDataFrame(
+        [
+            ("e1", 1.0, ts("2024-01-02 00:00:00"), 1),
+            ("e1", 2.0, ts("2024-01-05 00:00:00"), 2),
+            # tie on ts: seq 3 vs 4 → forward breaks to SMALLEST tiebreak
+            ("e2", 30.0, ts("2024-01-04 00:00:00"), 4),
+            ("e2", 31.0, ts("2024-01-04 00:00:00"), 3),
+            # strictly before the spine instant → ineligible forward
+            ("e3", 9.0, ts("2024-01-01 00:00:00"), 5),
+        ],
+        "entity_id string, value double, vts timestamp_ntz, seq long",
+    )
+    spine = spark.createDataFrame(
+        [
+            (1, "e1", ts("2024-01-02 00:00:00")),  # equality is eligible
+            (2, "e2", ts("2024-01-03 00:00:00")),
+            (3, "e3", ts("2024-01-02 00:00:00")),  # only past values → NULL
+        ],
+        "row_id long, entity_id string, ts timestamp_ntz",
+    )
+    out = {
+        r.row_id: r
+        for r in point_in_time_join(
+            spine, vals, on="entity_id", spine_ts="ts", value_ts="vts",
+            value_cols=["value"], spine_keys=["row_id"], tiebreak=["seq"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[1].value == 1.0 and out[1].value__timestamp == ts("2024-01-02 00:00:00")
+    assert out[2].value == 31.0  # ts tie → seq 3 beats seq 4
+    assert out[3].value is None and out[3].value__timestamp is None
+
+
+def test_forward_asof_tolerance_bounds_lookahead(spark):
+    vals = spark.createDataFrame(
+        [("e1", 5.0, ts("2024-01-10 00:00:00"), 1)],
+        "entity_id string, value double, vts timestamp_ntz, seq long",
+    )
+    spine = spark.createDataFrame(
+        [(1, "e1", ts("2024-01-01 00:00:00"))],
+        "row_id long, entity_id string, ts timestamp_ntz",
+    )
+    kw = dict(
+        on="entity_id", spine_ts="ts", value_ts="vts", value_cols=["value"],
+        spine_keys=["row_id"], tiebreak=["seq"], direction="forward",
+    )
+    within = point_in_time_join(
+        spine, vals, tolerance="INTERVAL 10 DAYS", **kw
+    ).collect()[0]
+    beyond = point_in_time_join(
+        spine, vals, tolerance="INTERVAL 3 DAYS", **kw
+    ).collect()[0]
+    assert within.value == 5.0
+    assert beyond.value is None
+
+
+def test_asof_direction_rejects_unknown(spark):
+    with pytest.raises(ValueError, match="backward|forward"):
+        point_in_time_join(
+            spark.range(1), spark.range(1), on="id", spine_ts="id",
+            value_ts="id", direction="nearest",
+        )

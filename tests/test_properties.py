@@ -316,3 +316,46 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert got == want
+
+
+# --- PHI scrub properties ---------------------------------------------------
+
+phi_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("0123456789-. @abcZ_%+/#[]SN"),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(texts=phi_texts)
+@SETTINGS
+def test_phi_scrub_idempotent_and_clean(spark, texts):
+    """scrub(scrub(x)) == scrub(x) (mask tokens contain no digits, so a
+    second pass finds nothing), and scrubbed text never contains a raw
+    SSN/MRN-shaped span."""
+    from feature_store_healthcare_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(2)
+    once = privacy.scrub_documents(df, "text")
+    twice = privacy.scrub_documents(once.select("doc_id", "text"), "text")
+    rows = {
+        r.doc_id: r
+        for r in once.join(
+            twice.select(
+                "doc_id",
+                F.col("text").alias("text2"),
+                F.col("phi_total").alias("phi_total2"),
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows.values():
+        assert r.text2 == r.text, (r.text, r.text2)
+        assert r.phi_total2 == 0, r.text
