@@ -97,18 +97,20 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     feature says about a label).  Bucket a continuous column first with
     :func:`bucketize`.
 
-    One joint-count aggregation over the data; marginals and the total
-    derive from the joint table (tiny) and broadcast back — the fact scan
-    is touched once.  Output: (mutual_info_nats, n_rows, n_cells).
+    One joint-count aggregation over the data; marginals and the total are
+    WINDOW sums over the joint table (tiny: |x| × |y| observed cells), not
+    re-aggregations — re-deriving them with groupBy+join would re-evaluate
+    the joint's whole input lineage once per marginal (4 fact scans in the
+    unexecuted plan; Spark does not share subplans across DataFrame
+    branches).  The window form keeps the fact scan at exactly one, and the
+    window exchanges only move the tiny cell table.  Output:
+    (mutual_info_nats, n_rows, n_cells).
     """
     joint = df.groupBy(x_col, y_col).agg(F.count("*").alias("c_xy"))
-    cx = joint.groupBy(x_col).agg(F.sum("c_xy").alias("c_x"))
-    cy = joint.groupBy(y_col).agg(F.sum("c_xy").alias("c_y"))
-    tot = joint.agg(F.sum("c_xy").alias("n"))
     j = (
-        joint.join(F.broadcast(cx), x_col)
-        .join(F.broadcast(cy), y_col)
-        .crossJoin(F.broadcast(tot))
+        joint.withColumn("c_x", F.sum("c_xy").over(Window.partitionBy(x_col)))
+        .withColumn("c_y", F.sum("c_xy").over(Window.partitionBy(y_col)))
+        .withColumn("n", F.sum("c_xy").over(Window.partitionBy()))
     )
     p_xy = F.col("c_xy") / F.col("n")
     p_x = F.col("c_x") / F.col("n")

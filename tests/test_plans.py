@@ -164,3 +164,16 @@ def test_drift_psi_broadcasts_edges_and_grid(spark, sf_dir, qs):
     # edges + grid scaffold broadcast; the per-key totals now come from a
     # window over the grid instead of a third broadcast join.
     assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_mutual_info_scans_fact_once_for_joint(spark, sf_dir, qs):
+    """MI derives marginals/total as WINDOW sums over the tiny joint-cell
+    table; re-aggregating them would re-evaluate the fact lineage per
+    marginal (4 scans).  Budget: 1 scan for bin edges + 1 for the joint,
+    and the window exchanges only move the cell table."""
+    df = qs["feature_label_mutual_info"](spark, sf_dir)
+    assert len(plans.scan_read_schemas(df)) <= 2
+    assert plans.count_exchanges(df) <= 4
+    # the only join left is bucketize's broadcast of the 1-row bin edges
+    assert plans.count_sort_merge_joins(df) == 0
+    assert "BroadcastHashJoin" not in plans.physical_plan(df, "simple")
