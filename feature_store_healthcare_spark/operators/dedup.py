@@ -49,12 +49,22 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Word n-gram shingles → long table (id_col, shingle).
 
     Pure built-ins: tokenize with split, slide a window with transform over
     an index sequence, join each n-gram back into a string.
+
+    ``size_col``: also carry the per-document shingle-set size on every
+    exploded row.  Costs one int per row; saves downstream consumers a
+    groupBy + join back (the set size is known BEFORE the explode — don't
+    re-derive it after).
     """
     tokens = F.split(normalize_text(text_col), " ")
     ngrams = F.transform(
@@ -63,7 +73,10 @@ def shingles(
     )
     # Docs shorter than n tokens yield a single (short) shingle — keep it.
     arr = F.array_distinct(ngrams) if distinct else ngrams
-    return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    cols = [F.col(id_col)]
+    if size_col is not None:
+        cols.append(F.size(arr).alias(size_col))
+    return df.select(*cols, F.explode(arr).alias("shingle"))
 
 
 def minhash_signatures(
@@ -172,35 +185,34 @@ def ngram_jaccard_pairs(
     skew-join splitting — stop-shingle removal is what bounds the blow-up
     at 100 TB, exactly as common-word removal does in production pipelines.
     """
-    sh = shingles(df, id_col, text_col, n=n)
+    # Set sizes ride along on every exploded row (known before the explode)
+    # so no groupBy-and-join-back is needed to compute Jaccard denominators.
+    # Stop-shingle removal below prunes CANDIDATE GENERATION only; sizes
+    # stay full-set, so Jaccard denominators are unaffected by the guard.
+    sh = shingles(df, id_col, text_col, n=n, size_col="__sz")
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
         sh = sh.join(F.broadcast(freq.where(F.col("__f") <= max_shingle_freq)), "shingle").drop("__f")
-    # The shingle table feeds THREE consumers (probe side, build side, doc
-    # sizes); without materialization each re-runs the scan+explode — three
-    # corpus passes at scale.  persist() computes it once here; a 100 TB run
-    # would write it to a (bucketed) table instead, same plan downstream.
+    # The shingle table feeds BOTH sides of the self-join; without
+    # materialization each re-runs the scan+explode — two corpus passes at
+    # scale.  persist() computes it once here; a 100 TB run would write it
+    # to a (bucketed) table instead, same plan downstream.
     sh = sh.persist()
     # spread probe rows by doc so pair generation parallelism is data-size-,
     # not key-distribution-, bound
     parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     l = sh.repartition(parallelism, id_col).alias("l")
     r = sh.alias("r")
     build = F.broadcast(r) if broadcast_candidates else r
-    common = (
+    out = (
         l.join(build, on=[F.col("l.shingle") == F.col("r.shingle"),
                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    size_a = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "size_a")
-    size_b = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "size_b")
-    if broadcast_candidates:
-        size_a, size_b = F.broadcast(size_a), F.broadcast(size_b)
-    out = (
-        common.join(size_a, "id_a")
-        .join(size_b, "id_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("l.__sz")).alias("size_a"),
+            F.first(F.col("r.__sz")).alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
