@@ -124,14 +124,19 @@ def point_in_time_join(
     which is what a bounded-staleness training join wants.
 
     ``direction``: ``"backward"`` (default — the reference's as-of
-    semantic: newest value with ``value_ts <= spine_ts``) or ``"forward"``
+    semantic: newest value with ``value_ts <= spine_ts``), ``"forward"``
     (earliest value with ``value_ts >= spine_ts`` — outcome/label
-    attachment, pandas ``merge_asof(direction='forward')`` parity).
-    Forward ties on ``value_ts`` break to the SMALLEST tiebreak (min_by),
-    mirroring backward's largest-tiebreak (max_by) — both pick the row
-    "closest to the spine instant, then most extreme tiebreak away from
-    it", and both are deterministic.  ``tolerance`` bounds staleness
-    backward and lookahead forward.
+    attachment), or ``"nearest"`` (smallest ``|value_ts - spine_ts|``) —
+    the full pandas ``merge_asof`` direction surface.  Forward ties on
+    ``value_ts`` break to the SMALLEST tiebreak (min_by), mirroring
+    backward's largest-tiebreak (max_by) — both pick the row "closest to
+    the spine instant, then most extreme tiebreak away from it"; nearest
+    ties between an earlier and a later value at equal distance prefer the
+    earlier (leak-averse, matching pandas), then the direction's own rule.
+    ``tolerance`` bounds staleness backward and lookahead forward; for
+    ``nearest`` it is REQUIRED and bounds both sides — without it the join
+    would have no time predicate at all (every value row a candidate: a
+    full per-entity cross product at scale).
 
     Plan shape: equi-join on ``on`` → range predicate → max_by aggregate on
     (join keys + spine key).  The join keys are PREPENDED to the aggregate
@@ -144,8 +149,15 @@ def point_in_time_join(
     stores.write_bucketed).  AQE broadcast/skew still applies to the join
     itself.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and tolerance is None:
+        raise ValueError(
+            "direction='nearest' requires a tolerance — an unbounded "
+            "nearest join has no time predicate to push into the join"
+        )
     on = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in values.columns if c not in on and c != value_ts and c not in tiebreak
@@ -168,24 +180,34 @@ def point_in_time_join(
     join_cond = [spine[c] == v[f"__v_{c}"] for c in on]
     if direction == "backward":
         join_cond.append(v["__v_ts"] <= spine[spine_ts])
-    else:
+    elif direction == "forward":
         join_cond.append(v["__v_ts"] >= spine[spine_ts])
     if tolerance is not None:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
-        if direction == "backward":
+        if direction != "forward":
             join_cond.append(v["__v_ts"] >= spine[spine_ts] - tol)
-        else:
+        if direction != "backward":
             join_cond.append(v["__v_ts"] <= spine[spine_ts] + tol)
     joined = spine.join(v, on=join_cond, how="left")
 
     group_cols = [c for c in spine.columns]  # spine columns all survive
-    argpick = F.max_by if direction == "backward" else F.min_by
+    tb_cols = [F.col(f"__v_tb_{c}") for c in tiebreak]
+    if direction == "nearest":
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        dist = F.abs(us(F.col("__v_ts")) - us(F.col(spine_ts)))
+        is_forward = (F.col("__v_ts") > F.col(spine_ts)).cast("int")
+        # equal distance → prefer the earlier value (leak-averse, pandas
+        # parity), then the smallest tiebreak
+        argpick, ordering = F.min_by, F.struct(dist, is_forward, *tb_cols)
+    else:
+        argpick = F.max_by if direction == "backward" else F.min_by
+        ordering = F.struct(F.col("__v_ts"), *tb_cols)
     payload = argpick(
         F.struct(
             F.col("__v_ts"),
             *[F.col(f"__v_{c}") for c in value_cols],
         ),
-        F.struct(F.col("__v_ts"), *[F.col(f"__v_tb_{c}") for c in tiebreak]),
+        ordering,
     ).alias("__pit")
     # Group by (join keys + unique spine key) — the extra keys don't split
     # any group (the spine key is already unique) but make the grouping a

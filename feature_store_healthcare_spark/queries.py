@@ -3501,3 +3501,55 @@ def pit_forward_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("outcome_value"),
         F.col("value__timestamp").alias("outcome_ts"),
     )
+
+
+@query(
+    "pit_nearest_observation_join",
+    """
+    WITH spine AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT s.event_id, c.value AS obs_value, c.ts AS obs_ts,
+             row_number() OVER (
+               PARTITION BY s.event_id
+               ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                            - epoch_us(CAST(s.ts AS TIMESTAMP))),
+                        CASE WHEN c.ts > s.ts THEN 1 ELSE 0 END,
+                        c.event_id) AS rn
+      FROM spine s JOIN clicks c
+        ON s.user_id = c.user_id
+           AND c.ts >= s.ts - INTERVAL 1 DAY
+           AND c.ts <= s.ts + INTERVAL 1 DAY
+    )
+    SELECT s.event_id, s.user_id, s.ts, c.obs_value, c.obs_ts
+    FROM spine s LEFT JOIN cand c ON c.event_id = s.event_id AND c.rn = 1
+    """,
+)
+def pit_nearest_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-16 nearest direction: the click closest in time to each purchase
+    within ±1 day (equal distance prefers the earlier click — leak-averse,
+    pandas ``merge_asof(direction='nearest')`` parity).  The measurement
+    alignment read for irregular time series — e.g. pair each lab result
+    with the vitals reading nearest to it.  Tolerance is mandatory: it IS
+    the join's time predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("vts"), "value", "event_id"
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(
+        spine, clicks,
+        on="user_id", spine_ts="ts", value_ts="vts",
+        value_cols=["value"], spine_keys=["event_id"],
+        tiebreak=["event_id"], tolerance="INTERVAL 1 DAY",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("obs_value"),
+        F.col("value__timestamp").alias("obs_ts"),
+    )

@@ -387,5 +387,48 @@ def test_asof_direction_rejects_unknown(spark):
     with pytest.raises(ValueError, match="backward|forward"):
         point_in_time_join(
             spark.range(1), spark.range(1), on="id", spine_ts="id",
+            value_ts="id", direction="sideways",
+        )
+
+
+def test_nearest_asof_prefers_closest_then_earlier(spark):
+    vals = spark.createDataFrame(
+        [
+            # e1: -2h and +1h → +1h is closer
+            ("e1", 1.0, ts("2024-01-01 10:00:00"), 1),
+            ("e1", 2.0, ts("2024-01-01 13:00:00"), 2),
+            # e2: exactly ±1h → equal distance prefers the EARLIER value
+            ("e2", 10.0, ts("2024-01-01 11:00:00"), 3),
+            ("e2", 20.0, ts("2024-01-01 13:00:00"), 4),
+            # e3: outside the ±2h tolerance → NULL
+            ("e3", 9.0, ts("2024-01-02 00:00:00"), 5),
+        ],
+        "entity_id string, value double, vts timestamp_ntz, seq long",
+    )
+    spine = spark.createDataFrame(
+        [
+            (1, "e1", ts("2024-01-01 12:00:00")),
+            (2, "e2", ts("2024-01-01 12:00:00")),
+            (3, "e3", ts("2024-01-01 12:00:00")),
+        ],
+        "row_id long, entity_id string, ts timestamp_ntz",
+    )
+    out = {
+        r.row_id: r
+        for r in point_in_time_join(
+            spine, vals, on="entity_id", spine_ts="ts", value_ts="vts",
+            value_cols=["value"], spine_keys=["row_id"], tiebreak=["seq"],
+            tolerance="INTERVAL 2 HOURS", direction="nearest",
+        ).collect()
+    }
+    assert out[1].value == 2.0          # +1h beats -2h
+    assert out[2].value == 10.0         # tie → earlier
+    assert out[3].value is None
+
+
+def test_nearest_asof_requires_tolerance(spark):
+    with pytest.raises(ValueError, match="tolerance"):
+        point_in_time_join(
+            spark.range(1), spark.range(1), on="id", spine_ts="id",
             value_ts="id", direction="nearest",
         )
