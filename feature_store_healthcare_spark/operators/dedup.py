@@ -421,3 +421,43 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination probe: which corpus documents share word
+    n-grams with a held-out benchmark set (train/test contamination is the
+    canonical silent evaluation-inflation bug in LLM corpora — the standard
+    mitigation is exactly this n-gram overlap check before training).
+
+    Returns one row per contaminated corpus doc: ``(id_col,
+    n_shared_shingles, n_benchmark_docs)`` — how many distinct n-grams it
+    shares with the benchmark and how many benchmark docs it touches.
+    Clean docs are absent (inner semantics); thresholding/removal is a
+    downstream filter + anti-join.
+
+    Scale: the benchmark side is tiny by construction (eval sets are
+    thousands of docs) → broadcast, so the corpus-side shingle explode
+    streams through one scan with no shuffle before the final per-doc
+    aggregate.  Set ``broadcast_benchmark=False`` for benchmark sets beyond
+    broadcast range (falls back to a shuffled equi-join on the shingle).
+    """
+    left = shingles(corpus, id_col, text_col, n=n)
+    right = shingles(benchmark, id_col, text_col, n=n).withColumnRenamed(
+        id_col, "__bench_id"
+    )
+    build = F.broadcast(right) if broadcast_benchmark else right
+    return (
+        left.join(build, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__bench_id").alias("n_benchmark_docs"),
+        )
+    )

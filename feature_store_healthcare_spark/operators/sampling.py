@@ -95,3 +95,80 @@ def stratified_sample(
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def _frac_bound(frac: float, prefix: int = _PREFIX) -> str:
+    """Hex bound b such that P(md5-prefix < b) == frac (to 1/16^prefix)."""
+    return format(max(0, min(int(frac * (16**prefix)), 16**prefix)), f"0{prefix}x")
+
+
+def mix_copies(
+    key: Column | str,
+    group: Column | str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "mix",
+) -> Column:
+    """Deterministic per-row copy count for domain reweighting: a row in
+    group g with weight w gets ``floor(w)`` copies plus one more when its
+    salted md5 prefix lands below the fractional remainder — so the
+    EXPECTED multiplicity is exactly w, the decision is reproducible (no
+    RNG state), and any integer weight is exact.  ``w < 1`` downsamples,
+    ``w > 1`` upsamples — the standard LLM-corpus domain-mixing knob
+    ("books × 2.5, web × 0.4")."""
+    g = F.col(group) if isinstance(group, str) else group
+    h = split_key(key, salt)
+    expr = None
+    for label, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mix weight for {label!r}")
+        n_full, frac = int(w), w - int(w)
+        copies = F.lit(n_full) + (h < F.lit(_frac_bound(frac))).cast("int")
+        cond = g == F.lit(label)
+        expr = F.when(cond, copies) if expr is None else expr.when(cond, copies)
+    n_full, frac = int(default), default - int(default)
+    fallback = F.lit(n_full) + (h < F.lit(_frac_bound(frac))).cast("int")
+    return expr.otherwise(fallback) if expr is not None else fallback
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "mix",
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """Materialize the domain mix: each row appears ``mix_copies`` times,
+    with ``copy_col`` numbering the replicas (1..n) so downstream shuffles
+    and dedups can tell them apart.  Pure narrow projection + explode — no
+    shuffle; at 100 TB the mix runs inside the corpus scan."""
+    copies = mix_copies(key, group_col, weights, default=default, salt=salt)
+    seq = F.when(copies > 0, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
+def mix_copies_sql(
+    key_sql: str,
+    group_sql: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB-equivalent copy-count expression (oracle side)."""
+    h = f"substr(md5('{salt}:' || CAST({key_sql} AS VARCHAR)), 1, {_PREFIX})"
+    arms = ""
+    for label, w in weights.items():
+        n_full, frac = int(w), w - int(w)
+        arms += (
+            f" WHEN {group_sql} = '{label}' THEN "
+            f"{n_full} + CASE WHEN {h} < '{_frac_bound(frac)}' THEN 1 ELSE 0 END"
+        )
+    n_full, frac = int(default), default - int(default)
+    fallback = (
+        f"{n_full} + CASE WHEN {h} < '{_frac_bound(frac)}' THEN 1 ELSE 0 END"
+    )
+    return f"CASE{arms} ELSE {fallback} END" if arms else fallback

@@ -3553,3 +3553,74 @@ def pit_nearest_observation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("obs_value"),
         F.col("value__timestamp").alias("obs_ts"),
     )
+
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4, "src3": 0.0}
+
+
+@query(
+    "domain_mix_report",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_in,
+           CAST(SUM({{copies}}) AS BIGINT) AS n_out
+    FROM documents
+    GROUP BY source
+    """.format(
+        copies=sampling.mix_copies_sql("doc_id", "source", _MIX_WEIGHTS, default=1.0)
+    ),
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Domain reweighting (operators.sampling.weighted_mix): the
+    LLM-corpus mixing knob — source weights like "src0 × 2.5, src2 × 0.4,
+    src3 × 0" applied as deterministic per-row copy counts (floor(w)
+    copies + one more below the md5 fractional threshold; expected
+    multiplicity exactly w, no RNG state).  The report aggregates rows in
+    vs rows out per source; the materialization itself is
+    ``weighted_mix`` — a narrow explode inside the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = sampling.weighted_mix(docs, "source", "doc_id", _MIX_WEIGHTS)
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_in"))
+        .join(
+            mixed.groupBy("source").agg(F.count("*").alias("n_out")),
+            "source",
+            "left",
+        )
+        .withColumn("n_out", F.coalesce(F.col("n_out"), F.lit(0)))
+    )
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 20 = 0
+    ), corpus AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 20 <> 0
+    ), bsh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+      FROM bench, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS i)
+    ), csh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+      FROM corpus, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS i)
+    )
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM csh c JOIN bsh b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Decontamination probe (operators.dedup.ngram_overlap): corpus docs
+    sharing 5-gram shingles with a held-out "benchmark" subset (doc_id %
+    20 == 0 stands in for the eval set).  The benchmark side broadcasts
+    (eval sets are tiny), so the corpus shingle explode streams through
+    one scan with no pre-aggregate shuffle.  Contaminated docs then get
+    dropped with an anti-join before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.ngram_overlap(corpus, bench, "doc_id", "text", n=5)

@@ -404,3 +404,54 @@ def test_mutual_information_independent_and_determined(spark):
     r = drift.mutual_information(det, "label", "bucket").first()
     assert r.mutual_info_nats == pytest.approx(math.log(2), abs=1e-6)
     assert r.n_rows == 100 and r.n_cells == 2
+
+
+# ------------------------------------------------------------ domain mixing
+
+
+def test_weighted_mix_integer_weights_exact(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], "id long, g string"
+    )
+    mixed = sampling.weighted_mix(df, "g", "id", {"a": 3.0, "b": 0.0})
+    counts = {r.g: r.n for r in mixed.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("a") == 150  # every 'a' row exactly 3×
+    assert "b" not in counts       # weight 0 drops the domain entirely
+    # replicas are numbered so they stay distinguishable
+    copies = mixed.where(F.col("id") == 0).select("mix_copy").collect()
+    assert sorted(c.mix_copy for c in copies) == [1, 2, 3]
+
+
+def test_weighted_mix_fractional_weight_is_deterministic_and_close(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, "w") for i in range(2000)], "id long, g string")
+    m1 = sampling.weighted_mix(df, "g", "id", {"w": 0.5})
+    m2 = sampling.weighted_mix(df.repartition(7), "g", "id", {"w": 0.5})
+    ids1 = sorted(r.id for r in m1.select("id").collect())
+    ids2 = sorted(r.id for r in m2.select("id").collect())
+    assert ids1 == ids2                      # partitioning-independent
+    assert 900 <= len(ids1) <= 1100          # ~Binomial(2000, .5)
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def test_ngram_overlap_flags_only_real_overlap(spark):
+    from feature_store_healthcare_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-gram
+            (2, "one two three four five six"),           # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dd.ngram_overlap(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1}
+    assert out[1].n_shared_shingles == 1 and out[1].n_benchmark_docs == 1
