@@ -198,21 +198,28 @@ def ngram_jaccard_pairs(
     # scale.  persist() computes it once here; a 100 TB run would write it
     # to a (bucketed) table instead, same plan downstream.
     sh = sh.persist()
-    # spread probe rows by doc so pair generation parallelism is data-size-,
-    # not key-distribution-, bound
-    parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
+    # Spread probe rows by doc so pair generation parallelism is data-size-,
+    # not key-distribution-, bound.  ×4 over core count keeps each task's
+    # partial-aggregation hash map small: candidate pairs are quadratic in
+    # hot-shingle frequency, and the per-task map is the memory hot spot on
+    # small-heap executors (the map spills, but 32 concurrent tasks × big
+    # maps still spike the heap before spill kicks in).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism * 4
     l = sh.repartition(parallelism, id_col).alias("l")
     r = sh.alias("r")
     build = F.broadcast(r) if broadcast_candidates else r
     out = (
         l.join(build, on=[F.col("l.shingle") == F.col("r.shingle"),
                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(
-            F.count("*").alias("common"),
-            F.first(F.col("l.__sz")).alias("size_a"),
-            F.first(F.col("r.__sz")).alias("size_b"),
+        # sizes are functionally dependent on the ids — making them GROUP
+        # KEYS (not first() aggregates) keeps the agg buffer to one counter
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__sz").alias("size_a"),
+            F.col("r.__sz").alias("size_b"),
         )
+        .agg(F.count("*").alias("common"))
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),

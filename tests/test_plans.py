@@ -76,7 +76,9 @@ def test_pit_join_bounded_shuffles(spark, sf_dir):
 
 def test_dedup_jaccard_broadcasts_not_smj(spark, sf_dir, qs):
     df = qs["dedup_ngram_jaccard"](spark, sf_dir)
-    assert plans.count_broadcast_joins(df) >= 3  # pair join + two size joins
+    # sizes ride through the explode now — the pair self-join is the ONLY
+    # join left, and it broadcasts its build side (skew-immune)
+    assert plans.count_broadcast_joins(df) == 1
     assert plans.count_sort_merge_joins(df) == 0
 
 
