@@ -269,3 +269,33 @@ def test_streaming_incremental_rollup_matches_batch_agg(spark, events_dir, tmp_p
     assert got[1].n == 3 and got[1].total == 129.0 and got[1].max_value == 99.0
     assert got[2].n == 3 and got[2].total == 17.0 and got[2].min_value == 5.0
     assert round(got[2].n_distinct_est) == 2
+
+
+def test_sliding_window_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = sp.stream_events(spark, events_dir)
+    agg = sp.sliding_window_features(
+        stream, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    _run_available_now(
+        agg.writeStream.format("memory").queryName("sliding_out").outputMode("complete"),
+        tmp_path,
+        "sliding",
+    )
+    got = {
+        (r.window_start, r.user_id): (r.n, r.sum_value)
+        for r in spark.table("sliding_out").collect()
+    }
+    batch = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).json(events_dir)
+    want = {
+        (r.window_start, r.user_id): (r.n, r.sum_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n", "sum_value")
+        .collect()
+    }
+    assert got == want
+    # every event lands in exactly window/slide = 2 overlapping windows
+    n_events = batch.count()
+    assert sum(v[0] for v in got.values()) == 2 * n_events
