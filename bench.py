@@ -47,6 +47,10 @@ HEADLINE = [
     "text_repetition_signals",
     "feature_drift_psi",
     "feature_correlation_matrix",
+    "bm25_lexical_topk",
+    "hybrid_rrf_retrieval",
+    "doc_perplexity_quality",
+    "sequence_packing_report",
 ]
 
 

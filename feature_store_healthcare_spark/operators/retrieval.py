@@ -1,0 +1,201 @@
+"""Lexical retrieval and hybrid rank fusion over document corpora
+(★ driver-extension surface, BASELINE.json:6 — no reference implementation;
+the reference's only text search is exact dict-key lookup,
+feature_registry.py:368).
+
+Training-data pipelines retrieve documents two ways — lexically (BM25 over
+an inverted index) and semantically (embedding cosine, operators.similarity)
+— and fuse the two rankings (reciprocal-rank fusion, Cormack et al. 2009).
+A third signal, unigram-LM perplexity, is the classic cheap quality /
+outlier score (documents the corpus LM finds surprising).
+
+Scale design (100 TB corpus):
+- :func:`postings` is the inverted index: explode + partial-agg ``groupBy``
+  — one shuffle on (doc, term), hash-uniform keys.  At scale it is built
+  once and persisted as a bucketed table on ``term``.
+- :func:`bm25_topk` broadcasts the *query* side (a query batch is small by
+  construction) and semi-joins the postings down to query terms before any
+  per-term stats, so corpus-wide work is a single postings scan.
+  Per-term document frequencies are an aggregate over the semi-joined
+  postings — a small table, broadcast back.
+- :func:`rrf_fuse` is a union + partial-agg groupBy on (query, item):
+  no join of ranking against ranking, skew-free.
+- :func:`unigram_perplexity` joins postings against the corpus term-count
+  table on ``term``: Zipf makes term counts skewed, but the join is
+  *pre-aggregated* per (doc, term) so the hot keys carry one row per doc,
+  and AQE skew-join splits any residual hot partition.
+
+Determinism: scores are double-precision sums over few terms; every
+catalog-facing score is rounded (6 decimals) before ranking and ties break
+on the item id, so Spark and an external SQL oracle rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.dedup import normalize_text
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (lowercase, collapsed)."""
+    return F.split(normalize_text(col), " ")
+
+
+def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency ``tf`` and the document length ``dl`` (token count).
+
+    One explode + one partial-aggregatable groupBy; at 100 TB this is the
+    table you persist (bucketed by ``term``) and reuse across queries.
+    """
+    toks = tokens(text_col)
+    exploded = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-row (n_docs, avgdl) — broadcast into the scorer."""
+    return df.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query (Robertson/Lucene idf variant:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    ``queries`` is a small literal batch [(query_id, query_text)] —
+    broadcast; the corpus is touched by exactly one postings build.  Output:
+    (query_id, id_col, score, rank), score rounded to ``round_to`` before
+    ranking, ties broken by document id.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(queries, "query_id string, query string")
+    qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens("query"))).alias("term"),
+    )
+    terms = qterms.select("term").distinct()
+
+    post = postings(docs, id_col, text_col)
+    # semi-join the inverted index down to query terms before anything else
+    hit = post.join(F.broadcast(terms), "term")
+    # document frequency as a window count over the semi-joined postings —
+    # (doc, term) is unique, so count-per-term IS df.  A window instead of
+    # a groupBy+join-back keeps the plan to ONE corpus explode (a separate
+    # dfreq aggregate would re-execute the postings lineage).
+    hit = hit.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    stats = corpus_stats(docs, text_col)
+
+    scored = hit.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum(idf * tf_norm), round_to).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return agg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str,
+    item_col: str,
+    rank_col: str = "rank",
+    kr: int = 60,
+    k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(q, d) = Σ_r 1 / (kr + rank_r(q, d))
+    over every ranking that mentions (q, d).
+
+    Union + partial-agg groupBy — no ranking-vs-ranking join.  Output:
+    (query_col, item_col, rrf_score, n_sources, fused_rank); optionally cut
+    to the fused top-``k``.
+    """
+    contribs = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            (F.lit(1.0) / (F.lit(kr) + F.col(rank_col).cast("double"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy(query_col, item_col).agg(
+        F.round(F.sum("__c"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col)
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    return out.where(F.col("fused_rank") <= k) if k is not None else out
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own MLE unigram LM — the
+    classic cheap quality/outlier signal (high ppl ⇒ the document's word
+    distribution is unlike the corpus).
+
+    p(t) = count(t) / total_tokens over the whole corpus (every document
+    token is in-vocabulary by construction, so MLE needs no smoothing);
+    nll(doc) = -Σ tf·ln p(t) / dl, ppl = e^nll.
+
+    Plan shape: postings → per-term corpus counts (one shuffle on term)
+    → join back on term (pre-aggregated per (doc, term), AQE handles the
+    Zipf head) → partial-agg groupBy doc.  Output: (id_col, n_tokens, nll,
+    ppl) with nll rounded to ``round_to`` and ppl to 3 decimals.
+    """
+    post = postings(docs, id_col, text_col)
+    # corpus term count as a window sum over postings (one corpus explode,
+    # no groupBy+join-back re-executing the postings lineage); the total
+    # token count never needs the explode at all — it is Σ dl over docs.
+    joined = post.withColumn(
+        "ct", F.sum("tf").over(Window.partitionBy("term"))
+    )
+    total = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
+        F.sum("__dl").alias("total")
+    )
+    joined = joined.crossJoin(F.broadcast(total))
+    logp = F.log(F.col("ct").cast("double") / F.col("total").cast("double"))
+    per_doc = joined.groupBy(id_col).agg(
+        F.max("dl").alias("n_tokens"),
+        (-F.sum(F.col("tf") * logp) / F.max("dl")).alias("__nll"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("__nll"), round_to).alias("nll"),
+        F.round(F.exp(F.col("__nll")), 3).alias("ppl"),
+    )

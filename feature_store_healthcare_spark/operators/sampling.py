@@ -172,3 +172,49 @@ def mix_copies_sql(
         f"{n_full} + CASE WHEN {h} < '{_frac_bound(frac)}' THEN 1 ELSE 0 END"
     )
     return f"CASE{arms} ELSE {fallback} END" if arms else fallback
+
+
+def pack_group(key: Column | str, salt: str = "pack", chars: int = 1) -> Column:
+    """Deterministic pack group: the first ``chars`` hex digits of the
+    salted md5 — 16^chars groups, identical in Spark and DuckDB (string
+    compare, no hex→int conversion)."""
+    return F.substring(split_key(key, salt), 1, chars)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "pack",
+    group_chars: int = 1,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packing").
+
+    Docs are ordered by a salted md5 permutation *within* 16^``group_chars``
+    deterministic groups; a running token sum assigns each doc to the pack
+    its first token lands in (``pack_id = floor(cum_before / budget)``).
+    This is offset packing, not bin packing: a doc may straddle a pack
+    boundary (real packers split the doc's tokens there), but membership is
+    a pure window sum — no greedy reset state — so it is reproducible,
+    oracle-checkable, and embarrassingly parallel: each group packs
+    independently, so 100 TB packs with one hash-partitioned sort, and
+    growing the corpus only perturbs packs near each group's md5 cut.
+
+    Adds: ``pack_group`` (hex str), ``pack_seq`` (doc's order in group),
+    ``pack_offset`` (tokens before this doc), ``pack_id``.
+    """
+    h = split_key(id_col, salt)
+    out = df.withColumn("pack_group", pack_group(id_col, salt, group_chars))
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_w = Window.partitionBy("pack_group").orderBy(h, F.col(id_col))
+    cum = F.sum(tokens_col).over(w)
+    return (
+        out.withColumn("pack_seq", F.row_number().over(seq_w))
+        .withColumn("pack_offset", (cum - F.col(tokens_col)).cast("long"))
+        .withColumn("pack_id", F.floor(F.col("pack_offset") / F.lit(budget)))
+    )

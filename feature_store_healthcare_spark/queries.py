@@ -30,6 +30,7 @@ from feature_store_healthcare_spark.operators import (
     drift,
     multimodal,
     pit,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -69,14 +70,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q6_revenue_forecast",
-    "q10_returned_items",
     "filter_project_lineitem",
     "topk_orders",
     "semi_join_customers",
     "range_join_recent_clicks",
     "correlated_subquery_customer_max",
     "window_rank_orders",
-    "window_lag_gap",
     # feature-store semantics: EAV, PIT, registry, serving, freshness
     "eav_latest_per_key",
     "eav_asof_lookup",
@@ -105,13 +104,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_cluster_survivors",
     "corpus_curation_pipeline",
-    # similarity search
+    # similarity search + retrieval (lexical, hybrid fusion)
     "embedding_topk_bruteforce",
-    # text analysis
+    "bm25_lexical_topk",
+    "hybrid_rrf_retrieval",
+    # text analysis + LM-based quality + packing
     "text_stats_by_lang_source",
     "text_quality_scores",
     "lang_id_confusion",
-    "bpe_token_estimate",
+    "doc_perplexity_quality",
+    "sequence_packing_report",
     # PHI content governance + retention (operators.privacy)
     "phi_scrub_notes",
     "retention_sweep",
@@ -3624,3 +3626,219 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return dedup.ngram_overlap(corpus, bench, "doc_id", "text", n=5)
+
+
+# ── Lexical retrieval + hybrid fusion (operators.retrieval) ──────────────────
+
+#: fixed query batch for the retrieval catalog entries; 'dup' is the one
+#: rare term in the synthetic vocabulary (high idf), the rest are common.
+_BM25_QUERY_SET: list[tuple[str, str]] = [
+    ("q0", "dup merge"),
+    ("q1", "hash join"),
+    ("q2", "window agg stream"),
+    ("q3", "vector scan"),
+    ("q4", "slow query filter"),
+]
+
+
+def _bm25_ctes(k: int) -> str:
+    """DuckDB CTE chain ending in ``bm(query_id, doc_id, score, rank)`` —
+    the oracle mirror of retrieval.bm25_topk (k1=1.2, b=0.75; operand
+    grouping matches the Spark expression tree so the double arithmetic is
+    bit-identical before the 6-decimal round)."""
+    values = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERY_SET)
+    return f"""
+    q(query_id, qtext) AS (SELECT * FROM (VALUES {values})),
+    qt AS (SELECT DISTINCT query_id, u.term
+           FROM q, UNNEST(string_split(qtext, ' ')) AS u(term)),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM post
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+    ),
+    bm_scored AS (
+      SELECT qt.query_id, p.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / avgdl)))
+             ), 6) AS score
+      FROM post p JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY qt.query_id, p.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bm_scored)
+      WHERE rank <= {k}
+    )
+    """
+
+
+@query(
+    "bm25_lexical_topk",
+    f"WITH {_bm25_ctes(10)} SELECT query_id, doc_id, score, rank FROM bm",
+)
+def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Lexical retrieval (operators.retrieval.bm25_topk): BM25 top-10
+    per query over the documents corpus, Lucene idf variant.  The query
+    batch broadcasts; the corpus side is one postings build (explode +
+    partial-agg groupBy) semi-joined down to query terms before scoring —
+    at 100 TB the postings table is built once, bucketed by term, and
+    reused.  Score rounded to 6 decimals before ranking, ties by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, "doc_id", "text", _BM25_QUERY_SET, k=10)
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH {_bm25_ctes(20)},
+    qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 5),
+    cos_scored AS (
+      SELECT 'q' || CAST(qid AS VARCHAR) AS query_id, e.vec_id AS doc_id,
+             {_COSINE_SQL.format(a='qv.v', b='e.embedding')} AS cosine
+      FROM qv CROSS JOIN embeddings e WHERE qid <> e.vec_id
+    ),
+    cos AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, doc_id) AS rank
+        FROM cos_scored)
+      WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf_score,
+             COUNT(*) AS n_sources
+      FROM (SELECT query_id, doc_id, rank FROM bm
+            UNION ALL SELECT query_id, doc_id, rank FROM cos)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_sources, fused_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Hybrid retrieval (operators.retrieval.rrf_fuse): reciprocal-rank
+    fusion (Cormack et al. 2009, k=60) of the BM25 lexical top-20 with an
+    embedding-cosine top-20 (query i's vector is embeddings.vec_id == i —
+    doc and vec ids share the id space).  Fusion is union + partial-agg
+    groupBy on (query, doc) — no ranking-vs-ranking join — so it scales
+    with the candidate lists, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = retrieval.bm25_topk(docs, "doc_id", "text", _BM25_QUERY_SET, k=20)
+
+    qq = emb.where(F.col("vec_id") < 5).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("__qid"),
+        F.col("embedding").alias("__qv"),
+    )
+    cc = emb.select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cv"))
+    pairs = (
+        F.broadcast(qq)
+        .crossJoin(cc)
+        .where(F.concat(F.lit("q"), F.col("__cid").cast("string")) != F.col("__qid"))
+    )
+    cos_scored = pairs.withColumn(
+        "cosine",
+        F.round(similarity.cosine_similarity(F.col("__qv"), F.col("__cv")), 4),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    cos = (
+        cos_scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("doc_id"),
+            "rank",
+        )
+    )
+    return retrieval.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), cos],
+        "query_id",
+        "doc_id",
+        k=10,
+    )
+
+
+@query(
+    "doc_perplexity_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ct FROM post GROUP BY term),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM tc)
+    SELECT p.doc_id, MAX(p.dl) AS n_tokens,
+           ROUND(-SUM(p.tf * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)))
+                 / MAX(p.dl), 6) AS nll,
+           ROUND(exp(-SUM(p.tf * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)))
+                     / MAX(p.dl)), 3) AS ppl
+    FROM post p JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def doc_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Unigram-LM perplexity (operators.retrieval.unigram_perplexity):
+    each document scored under the corpus's own MLE unigram model — the
+    classic cheap quality/outlier signal.  Postings → per-term counts (one
+    shuffle on term) → join back pre-aggregated per (doc, term) → one
+    partial-agg groupBy per doc; the Zipf head is one row per doc after
+    pre-aggregation, AQE splits any residual skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.unigram_perplexity(docs, "doc_id", "text")
+
+
+@query(
+    "sequence_packing_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tok,
+             substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n_tok, substr(h, 1, 1) AS pack_group,
+             SUM(n_tok) OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS pack_offset
+      FROM d
+    )
+    SELECT pack_group,
+           CAST(FLOOR(pack_offset / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(pack_offset) AS BIGINT) AS first_offset
+    FROM a GROUP BY pack_group, pack_id
+    """,
+)
+def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Sequence packing (operators.sampling.pack_sequences): documents
+    assigned to fixed 2048-token training sequences by a running token sum
+    over a salted-md5 order inside 16 deterministic groups — offset
+    packing, reproducible with no RNG and no greedy reset state.  Each
+    group packs independently (one hash-partitioned sort at 100 TB); the
+    report aggregates docs/tokens per pack."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.withColumn(
+        "n_tok", F.size(retrieval.tokens("text"))
+    )
+    packed = sampling.pack_sequences(with_tok, "doc_id", "n_tok", budget=2048)
+    return packed.groupBy("pack_group", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("pack_offset").alias("first_offset"),
+    )

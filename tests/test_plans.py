@@ -179,3 +179,32 @@ def test_mutual_info_scans_fact_once_for_joint(spark, sf_dir, qs):
     # the only join left is bucketize's broadcast of the 1-row bin edges
     assert plans.count_sort_merge_joins(df) == 0
     assert "BroadcastHashJoin" not in plans.physical_plan(df, "simple")
+
+
+def test_bm25_single_corpus_explode_all_broadcast(spark, sf_dir, qs):
+    # One postings build (one Generate over the documents scan is the big
+    # cost); df via window over the semi-joined postings, never a second
+    # explode; every query-side join broadcast, none sort-merge.
+    df = qs["bm25_lexical_topk"](spark, sf_dir)
+    plan = plans._effective_plan(df, "formatted")
+    explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
+    assert explodes == 1
+    assert plans.count_sort_merge_joins(df) == 0
+    assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_perplexity_single_corpus_explode(spark, sf_dir, qs):
+    df = qs["doc_perplexity_quality"](spark, sf_dir)
+    plan = plans._effective_plan(df, "formatted")
+    explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
+    assert explodes == 1
+    assert plans.count_sort_merge_joins(df) == 0
+
+
+def test_pack_sequences_two_exchanges(spark, sf_dir, qs):
+    # one hash exchange into the per-group window sort + one for the final
+    # per-pack aggregate (plus the loader's round-robin spread of the
+    # single-row-group test file).
+    df = qs["sequence_packing_report"](spark, sf_dir)
+    assert plans.count_sort_merge_joins(df) == 0
+    assert plans.count_exchanges(df) <= 3

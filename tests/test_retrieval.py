@@ -1,0 +1,145 @@
+"""Retrieval operators: BM25, RRF fusion, unigram perplexity, packing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators import retrieval, sampling
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "hash join hash join hash"),
+        (1, "sort merge sort merge sort merge"),
+        (2, "hash partition scan"),
+        (3, "broadcast join small table"),
+        (4, "scan scan scan scan scan scan scan scan"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_postings_tf_and_dl(corpus):
+    post = retrieval.postings(corpus, "doc_id", "text").collect()
+    by_key = {(r.doc_id, r.term): (r.tf, r.dl) for r in post}
+    assert by_key[(0, "hash")] == (3, 5)
+    assert by_key[(0, "join")] == (2, 5)
+    assert by_key[(4, "scan")] == (8, 8)
+    # (doc, term) is unique
+    assert len(by_key) == len(post)
+
+
+def test_bm25_rare_term_outranks_common(corpus):
+    # "broadcast" appears only in doc 3 → its idf dwarfs "join"'s, so doc 3
+    # must win the query even though doc 0 has higher join-tf.
+    out = retrieval.bm25_topk(
+        corpus, "doc_id", "text", [("q", "broadcast join")], k=5
+    ).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert ranked[0].doc_id == 3
+    # docs without any query term never appear
+    assert {r.doc_id for r in out} <= {0, 1, 3}
+
+
+def test_bm25_tf_saturation(corpus):
+    # Both docs contain only "scan" hits for this query; doc 4 has tf=8 but
+    # also dl=8, doc 2 has tf=1, dl=3.  BM25 must still score doc 4 higher
+    # (saturating, not linear, in tf) and both scores must be positive.
+    out = retrieval.bm25_topk(corpus, "doc_id", "text", [("q", "scan")], k=5)
+    rows = {r.doc_id: r.score for r in out.collect()}
+    assert set(rows) == {2, 4}
+    assert rows[4] > rows[2] > 0
+    # saturation: 8× the tf buys far less than 8× the score
+    assert rows[4] < 3 * rows[2]
+
+
+def test_bm25_is_deterministic(corpus):
+    q = [("a", "hash scan"), ("b", "merge join")]
+    r1 = retrieval.bm25_topk(corpus, "doc_id", "text", q, k=3).collect()
+    r2 = retrieval.bm25_topk(corpus, "doc_id", "text", q, k=3).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(r1, key=key) == sorted(r2, key=key)
+
+
+def test_rrf_fuse_prefers_doubly_ranked(spark):
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id string, doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 3, 1), ("q", 9, 2)], "query_id string, doc_id int, rank int"
+    )
+    fused = {r.doc_id: r for r in retrieval.rrf_fuse([a, b], "query_id", "doc_id").collect()}
+    # doc 3 appears in both rankings → highest fused score
+    assert fused[3].fused_rank == 1
+    assert fused[3].n_sources == 2
+    expected = round(1.0 / (60 + 3) + 1.0 / (60 + 1), 6)
+    assert fused[3].rrf_score == pytest.approx(expected, abs=1e-9)
+    # singly-ranked docs keep score 1/(60+rank)
+    assert fused[1].rrf_score == pytest.approx(round(1.0 / 61, 6), abs=1e-9)
+
+
+def test_unigram_perplexity_flags_outliers(spark):
+    # 9 docs share one vocabulary; the outlier doc uses tokens seen nowhere
+    # else → every token is corpus-rare → highest nll/ppl.
+    rows = [(i, "alpha beta gamma delta") for i in range(9)]
+    rows.append((9, "zzz qqq xxx www"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in retrieval.unigram_perplexity(df, "doc_id", "text").collect()}
+    assert all(out[i].nll == out[0].nll for i in range(9))
+    assert out[9].nll > out[0].nll
+    # MLE check: common tokens have p = 9/40 → nll = -ln(9/40)
+    assert out[0].nll == pytest.approx(round(-math.log(9 / 40), 6), abs=1e-9)
+    assert out[9].nll == pytest.approx(round(-math.log(1 / 40), 6), abs=1e-9)
+    # ppl = e^nll
+    assert out[9].ppl == pytest.approx(40.0, abs=1e-2)
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 50) for i in range(200)], "doc_id int, n_tok int"
+    )
+    packed = sampling.pack_sequences(df, "doc_id", "n_tok", budget=500).collect()
+    assert len(packed) == 200  # pure tagging, no row change
+    by_group: dict[str, list] = {}
+    for r in packed:
+        by_group.setdefault(r.pack_group, []).append(r)
+    for grp, rows in by_group.items():
+        rows.sort(key=lambda r: r.pack_seq)
+        offset = 0
+        for r in rows:
+            # offsets are the exact running token sum in pack_seq order
+            assert r.pack_offset == offset
+            assert r.pack_id == offset // 500
+            offset += r.n_tok
+    # md5 grouping actually spreads the work
+    assert len(by_group) > 4
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, 64 + i % 5) for i in range(100)], "doc_id int, n_tok int"
+    )
+    a = sampling.pack_sequences(df, "doc_id", "n_tok", budget=256).collect()
+    b = sampling.pack_sequences(df.repartition(7), "doc_id", "n_tok", budget=256).collect()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_catalog_retrieval_queries_run(spark, sf_dir):
+    from feature_store_healthcare_spark import queries as catalog
+
+    qs = catalog.queries()
+    bm = qs["bm25_lexical_topk"](spark, sf_dir)
+    assert bm.columns == ["query_id", "doc_id", "score", "rank"]
+    per_q = bm.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 10 for r in per_q)
+
+    fused = qs["hybrid_rrf_retrieval"](spark, sf_dir)
+    assert fused.columns == ["query_id", "doc_id", "rrf_score", "n_sources", "fused_rank"]
+    assert fused.where(F.col("n_sources") > 2).count() == 0
+
+    ppl = qs["doc_perplexity_quality"](spark, sf_dir)
+    assert ppl.where(F.col("nll") <= 0).count() == 0
