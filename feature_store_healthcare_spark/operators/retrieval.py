@@ -15,15 +15,19 @@ Scale design (100 TB corpus):
   once and persisted as a bucketed table on ``term``.
 - :func:`bm25_topk` broadcasts the *query* side (a query batch is small by
   construction) and semi-joins the postings down to query terms before any
-  per-term stats, so corpus-wide work is a single postings scan.
-  Per-term document frequencies are an aggregate over the semi-joined
-  postings — a small table, broadcast back.
+  per-term stats.  Per-term document frequencies come from a separate
+  distinct-token explode with map-side partial aggregation — the shuffle
+  carries at most |vocab| partial rows per task regardless of corpus size,
+  and the tiny result broadcasts back.  Never a window partitioned by
+  term: the Zipf head would serialize into single partitions at scale.
 - :func:`rrf_fuse` is a union + partial-agg groupBy on (query, item):
   no join of ranking against ranking, skew-free.
 - :func:`unigram_perplexity` joins postings against the corpus term-count
   table on ``term``: Zipf makes term counts skewed, but the join is
   *pre-aggregated* per (doc, term) so the hot keys carry one row per doc,
-  and AQE skew-join splits any residual hot partition.
+  the count table is built with map-side partial aggregation (≤|vocab|
+  partial rows per task), and AQE skew-join splits any residual hot
+  partition.
 
 Determinism: scores are double-precision sums over few terms; every
 catalog-facing score is rounded (6 decimals) before ranking and ties break
@@ -95,16 +99,25 @@ def bm25_topk(
     post = postings(docs, id_col, text_col)
     # semi-join the inverted index down to query terms before anything else
     hit = post.join(F.broadcast(terms), "term")
-    # document frequency as a window count over the semi-joined postings —
-    # (doc, term) is unique, so count-per-term IS df.  A window instead of
-    # a groupBy+join-back keeps the plan to ONE corpus explode (a separate
-    # dfreq aggregate would re-execute the postings lineage).
-    hit = hit.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # Document frequency from its own cheap lineage: explode the DISTINCT
+    # tokens of each doc and map-side partial-agg count per term — the
+    # shuffle moves ≤|vocab| partial rows per task, and the tiny result
+    # broadcasts back.  NOT a window over term (one partition per term ⇒
+    # the Zipf head serializes at scale) and NOT derived from `hit` (which
+    # would re-execute the postings shuffle).
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     stats = corpus_stats(docs, text_col)
 
-    scored = hit.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
+    scored = (
+        hit.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -178,16 +191,22 @@ def unigram_perplexity(
     ppl) with nll rounded to ``round_to`` and ppl to 3 decimals.
     """
     post = postings(docs, id_col, text_col)
-    # corpus term count as a window sum over postings (one corpus explode,
-    # no groupBy+join-back re-executing the postings lineage); the total
-    # token count never needs the explode at all — it is Σ dl over docs.
-    joined = post.withColumn(
-        "ct", F.sum("tf").over(Window.partitionBy("term"))
+    # Corpus term counts from their own cheap lineage: explode tokens and
+    # map-side partial-agg count per term (shuffle carries ≤|vocab| partial
+    # rows per task; the Zipf head is combined map-side, never one
+    # partition — a window over term would serialize it at scale).  The
+    # total token count never needs the explode at all: it is Σ dl over
+    # docs.  Both are small; the term table joins back into the postings
+    # (broadcast when the vocabulary fits, shuffle join otherwise).
+    term_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
     total = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
         F.sum("__dl").alias("total")
     )
-    joined = joined.crossJoin(F.broadcast(total))
+    joined = post.join(term_counts, "term").crossJoin(F.broadcast(total))
     logp = F.log(F.col("ct").cast("double") / F.col("total").cast("double"))
     per_doc = joined.groupBy(id_col).agg(
         F.max("dl").alias("n_tokens"),

@@ -181,23 +181,34 @@ def test_mutual_info_scans_fact_once_for_joint(spark, sf_dir, qs):
     assert "BroadcastHashJoin" not in plans.physical_plan(df, "simple")
 
 
-def test_bm25_single_corpus_explode_all_broadcast(spark, sf_dir, qs):
-    # One postings build (one Generate over the documents scan is the big
-    # cost); df via window over the semi-joined postings, never a second
-    # explode; every query-side join broadcast, none sort-merge.
+def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
+    # One postings build plus one distinct-token explode for df (map-side
+    # partial agg; a window partitioned by term would serialize the Zipf
+    # head at scale — guard against its reintroduction); every query-side
+    # join broadcast, none sort-merge; the only Window is the final
+    # per-query top-k rank.
     df = qs["bm25_lexical_topk"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
     explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
-    assert explodes == 1
+    distinct_explodes = plan.count(
+        "explode(array_distinct(split(trim(regexp_replace(lower(text"
+    )
+    assert explodes == 1 and distinct_explodes == 1
+    # ≤1 logical Window node (the top-k rank); tree section lists each as
+    # "Window (n)" (WindowGroupLimit also matches the prefix — subtract).
+    assert plan.count("Window (") - plan.count("WindowGroupLimit (") <= 1
     assert plans.count_sort_merge_joins(df) == 0
-    assert plans.count_broadcast_joins(df) >= 2
+    assert plans.count_broadcast_joins(df) >= 3
 
 
-def test_perplexity_single_corpus_explode(spark, sf_dir, qs):
+def test_perplexity_no_term_window(spark, sf_dir, qs):
+    # postings explode + term-count explode; no window partitioned by term
+    # (Zipf-skew hazard), no sort-merge join.
     df = qs["doc_perplexity_quality"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
     explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
-    assert explodes == 1
+    assert explodes == 2
+    assert "Window" not in plan
     assert plans.count_sort_merge_joins(df) == 0
 
 
