@@ -51,6 +51,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "doc_perplexity_quality",
     "sequence_packing_report",
+    "cdc_apply_changes",
+    "column_profile_stats",
 ]
 
 

@@ -218,3 +218,31 @@ def pack_sequences(
         .withColumn("pack_offset", (cum - F.col(tokens_col)).cast("long"))
         .withColumn("pack_id", F.floor(F.col("pack_offset") / F.lit(budget)))
     )
+
+
+def leave_last_k_split(
+    df: DataFrame,
+    entity: str | list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+    k_test: int = 1,
+    k_val: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Temporal per-entity split: each entity's newest ``k_test`` rows are
+    'test', the next ``k_val`` are 'val', the rest 'train' — the
+    leave-last-k-out protocol for sequential models (next-event
+    prediction), where a random split would leak future rows into
+    training.  One shuffle on the entity key; deterministic given
+    ``tiebreak`` makes the ordering total.
+    """
+    entities = [entity] if isinstance(entity, str) else list(entity)
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*entities).orderBy(*order)
+    rn = F.row_number().over(w)
+    label = (
+        F.when(rn <= k_test, F.lit("test"))
+        .when(rn <= k_test + k_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, label)

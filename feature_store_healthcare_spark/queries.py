@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators import (
+    cdc,
     dedup,
     drift,
     multimodal,
     pit,
+    profile,
+    resample,
     retrieval,
     sampling,
     similarity,
@@ -81,7 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "eav_asof_lookup",
     "pit_training_join",
     "pit_interval_join",
-    "pit_interpolated_lookup",
+    "resample_daily_ffill",
     "pivot_event_type_stats",
     "null_fill_defaults",
     "freshness_classification",
@@ -92,10 +95,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cardinality_monitoring",
     "serving_metrics_rollup",
     "json_extract_events",
-    # time semantics: windows, sessions, multi-dim rollup
+    # time semantics: windows, sessions; CDC changelog materialization
     "tumbling_window_counts",
     "sessionize_events",
-    "corpus_rollup",
+    "cdc_apply_changes",
     # dedup family (exact + every near-dup variant) and curation
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
@@ -3841,4 +3844,212 @@ def sequence_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
         F.min("pack_offset").alias("first_offset"),
+    )
+
+
+# ── CDC materialization, column profiling, temporal split ────────────────────
+
+
+@query(
+    "cdc_apply_changes",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             CASE WHEN value < 1.0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM r WHERE rn = 1 AND op = 'U'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ CDC materialization (operators.cdc.apply_changes): events become a
+    changelog on key (user_id, event_type) — ``value < 1.0`` marks a
+    delete — folded in TWO phases: days 1-15 materialize into a snapshot,
+    the remainder applies on top as a delta.  The oracle folds the full
+    history in ONE pass, so the hash match proves the snapshot+delta
+    decomposition invariant (incremental == batch).  Each fold is one
+    partial-aggregatable max_by shuffle; the reference's dict overwrite
+    (feature_server.py:389) has no delete and no out-of-order guard."""
+    ev = load_table(spark, sf_dir, "events")
+    changelog = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("value") < 1.0, F.lit(cdc.DELETE_OP))
+        .otherwise(F.lit(cdc.UPSERT_OP))
+        .alias("op"),
+    )
+    cut = "2024-01-16 00:00:00"
+    keys = ["user_id", "event_type"]
+    snapshot = cdc.materialize(
+        changelog.where(F.col("ts") < cut), keys, "ts", tiebreak=["event_id"]
+    )
+    final = cdc.apply_changes(
+        snapshot,
+        changelog.where(F.col("ts") >= cut),
+        keys,
+        "ts",
+        tiebreak=["event_id"],
+    )
+    return final.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+
+
+@query(
+    "column_profile_stats",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column, COUNT(*) AS n_rows, COUNT({c}) AS n_values,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ ANALYZE-style profiling (operators.profile.column_profile): per-
+    column row/null/distinct counts and min/max in ONE aggregation pass
+    over lineitem, unpivoted via a struct-array explode (no second scan,
+    no collect).  Exact countDistinct here for the oracle; the 100 TB
+    path flips ``exact=False`` to HLL sketches with no Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.column_profile(li, list(_PROFILE_COLS))
+
+
+@query(
+    "temporal_split_report",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CASE WHEN rn <= 1 THEN 'test'
+                WHEN rn <= 2 THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MIN(ts) AS VARCHAR) AS earliest,
+           CAST(MAX(ts) AS VARCHAR) AS latest
+    FROM p GROUP BY 1
+    """,
+)
+def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Temporal split (operators.sampling.leave_last_k_split): each
+    user's newest purchase is 'test', the next 'val', the rest 'train' —
+    the leave-last-k-out protocol for sequential models, where a random
+    split leaks future rows into training.  One shuffle on user_id; the
+    report aggregates counts and time ranges per split (timestamps
+    stringified for a uniform schema)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = sampling.leave_last_k_split(
+        purchases, "user_id", "ts", tiebreak=["event_id"], k_test=1, k_val=1
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").cast("string").alias("earliest"),
+        F.max("ts").cast("string").alias("latest"),
+    )
+
+
+@query(
+    "resample_daily_ffill",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, value, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p)
+      WHERE rn = 1
+    ),
+    grid AS (
+      SELECT u.user_id, CAST(g.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM p) u,
+           (SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                          INTERVAL 1 DAY)) AS d) g
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.value,
+             CASE WHEN d.value IS NOT NULL THEN g.day END AS obs_day
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ),
+    f AS (
+      SELECT user_id, day,
+             last_value(value IGNORE NULLS) OVER w AS value,
+             last_value(obs_day IGNORE NULLS) OVER w AS obs_day
+      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, day, value, CAST(day - obs_day AS INTEGER) AS days_since_obs
+    FROM f
+    """,
+)
+def resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Resample + forward fill (operators.resample.resample_ffill): the
+    irregular purchase stream becomes one row per (user, day) over the
+    30-day window — newest observation per day, forward-filled across
+    gaps, with an explicit days-since-observation staleness feature.
+    Leak-free (fills only look backward) and scale-shaped: per-day argmax
+    is a partial-agg max_by, the calendar grid is generated (sequence +
+    explode, never stored), and the fill window is per-entity — bounded
+    and uniform, no skew."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return resample.resample_ffill(
+        purchases, "user_id", "ts", "value",
+        start="2024-01-01", end="2024-01-30", tiebreak=["event_id"],
+    )
+
+
+@query(
+    "window_distribution_ranks",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ntile(4) OVER w AS price_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-28 completeness: the distribution-rank window family — ntile,
+    percent_rank, cume_dist, dense_rank — in one window pass per priority
+    class (one shuffle + sort).  percent_rank/cume_dist are int/int
+    ratios rounded to 6 decimals for cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
     )
