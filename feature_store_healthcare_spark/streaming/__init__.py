@@ -6,9 +6,11 @@ feature_registry.py:105).  This package makes it real.
 """
 
 from feature_store_healthcare_spark.streaming.pipeline import (
+    read_cdc_state,
     session_window_features,
     sliding_window_features,
     stream_events,
+    streaming_cdc_apply,
     streaming_dedup,
     streaming_online_upsert,
     tumbling_window_features,
@@ -21,4 +23,6 @@ __all__ = [
     "session_window_features",
     "streaming_dedup",
     "streaming_online_upsert",
+    "streaming_cdc_apply",
+    "read_cdc_state",
 ]

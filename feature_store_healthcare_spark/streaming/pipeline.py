@@ -313,3 +313,69 @@ def stateful_running_features(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def streaming_cdc_apply(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak: list[str] | None = None,
+    queryName: str = "cdc_apply",
+):
+    """Streaming twin of operators.cdc: fold a CDC changelog stream
+    (upsert/delete ops) into a materialized state table, micro-batch by
+    micro-batch.
+
+    The state RETAINS winning delete rows as tombstones (read them out
+    with :func:`read_cdc_state`, which filters them): a late update older
+    than a delete must LOSE, and without the tombstone the delete's
+    timestamp would be forgotten the moment it wins.  Each micro-batch is
+    first reduced to its winning change per key (map-side combinable
+    argmax), so shuffle and state I/O scale with distinct keys per batch,
+    not rows.  On Delta/Iceberg the fold would be one MERGE INTO; on
+    plain parquet it is write-tmp → atomic move, same plan.
+    """
+    import os
+    import shutil
+
+    from feature_store_healthcare_spark.operators import cdc
+
+    tiebreak = tiebreak or []
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = cdc.latest_change(batch_df, keys, ts_col, tiebreak=tiebreak)
+        if os.path.exists(state_path):
+            existing = spark.read.parquet(state_path)
+            merged = existing.unionByName(latest.select(*existing.columns))
+            new_state = cdc.latest_change(merged, keys, ts_col, tiebreak=tiebreak)
+        else:
+            new_state = latest
+        tmp = state_path.rstrip("/") + ".tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.replace(tmp, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+
+
+def read_cdc_state(
+    spark: SparkSession, state_path: str, op_col: str = "op"
+) -> DataFrame:
+    """Live rows of a streaming_cdc_apply state (tombstones filtered)."""
+    from feature_store_healthcare_spark.operators import cdc
+
+    return (
+        spark.read.parquet(state_path)
+        .where(F.col(op_col) != cdc.DELETE_OP)
+        .drop(op_col)
+    )

@@ -299,3 +299,56 @@ def test_sliding_window_stream_matches_batch(spark, events_dir, tmp_path):
     # every event lands in exactly window/slide = 2 overlapping windows
     n_events = batch.count()
     assert sum(v[0] for v in got.values()) == 2 * n_events
+
+
+def test_streaming_cdc_apply_matches_batch_fold(spark, tmp_path):
+    """Streaming CDC fold ≡ batch materialize over the same changelog,
+    including a delete tombstone guarding a LATE update in a later batch."""
+    import json as _json
+
+    from feature_store_healthcare_spark.operators import cdc
+    from feature_store_healthcare_spark.streaming import pipeline as sp2
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "click", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T11:00:00", "user_id": 1, "event_type": "click", "value": 0.5, "props": "{}"},  # delete (value<1)
+        {"event_id": 3, "ts": "2024-01-01T10:30:00", "user_id": 2, "event_type": "click", "value": 7.0, "props": "{}"},
+    ]
+    batch2 = [
+        # LATE update for user 1, older than the delete → must stay deleted
+        {"event_id": 4, "ts": "2024-01-01T10:15:00", "user_id": 1, "event_type": "click", "value": 99.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T12:00:00", "user_id": 2, "event_type": "click", "value": 8.0, "props": "{}"},
+    ]
+    for name, rows in [("b1.json", batch1), ("b2.json", batch2)]:
+        (d / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def with_op(df):
+        return df.select(
+            "user_id", "event_type", "event_id", "ts", "value",
+            F.when(F.col("value") < 1.0, "D").otherwise("U").alias("op"),
+        )
+
+    state = str(tmp_path / "cdc_state")
+    stream = with_op(sp2.stream_events(spark, str(d)))
+    writer = sp2.streaming_cdc_apply(
+        stream, state, keys=["user_id", "event_type"], ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    _run_available_now(writer, tmp_path, "cdc")
+
+    got = sorted(
+        sp2.read_cdc_state(spark, state).collect(), key=lambda r: r.user_id
+    )
+    batch = with_op(spark.read.schema(sp2.EVENTS_STREAM_SCHEMA).json(str(d)))
+    want = sorted(
+        cdc.materialize(
+            batch, ["user_id", "event_type"], "ts", tiebreak=["event_id"]
+        ).collect(),
+        key=lambda r: r.user_id,
+    )
+    assert got == want
+    # the tombstone did its job: user 1 stays deleted despite the late 99.0
+    assert [r.user_id for r in got] == [2]
+    assert got[0].value == 8.0
