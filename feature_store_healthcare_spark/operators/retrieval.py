@@ -14,8 +14,10 @@ Scale design (100 TB corpus):
   — one shuffle on (doc, term), hash-uniform keys.  At scale it is built
   once and persisted as a bucketed table on ``term``.
 - :func:`bm25_topk` broadcasts the *query* side (a query batch is small by
-  construction) and semi-joins the postings down to query terms before any
-  per-term stats.  Per-term document frequencies come from a separate
+  construction) and pushes the query-term filter INTO the token explode,
+  so the corpus scan emits only query-relevant postings — the plan-time
+  analog of reading just the queried postings lists from an inverted
+  index.  Per-term document frequencies come from a separate
   distinct-token explode with map-side partial aggregation — the shuffle
   carries at most |vocab| partial rows per task regardless of corpus size,
   and the tiny result broadcasts back.  Never a window partitioned by
@@ -94,20 +96,32 @@ def bm25_topk(
         "query_id",
         F.explode(F.array_distinct(tokens("query"))).alias("term"),
     )
-    terms = qterms.select("term").distinct()
-
-    post = postings(docs, id_col, text_col)
-    # semi-join the inverted index down to query terms before anything else
-    hit = post.join(F.broadcast(terms), "term")
-    # Document frequency from its own cheap lineage: explode the DISTINCT
-    # tokens of each doc and map-side partial-agg count per term — the
-    # shuffle moves ≤|vocab| partial rows per task, and the tiny result
-    # broadcasts back.  NOT a window over term (one partition per term ⇒
-    # the Zipf head serializes at scale) and NOT derived from `hit` (which
-    # would re-execute the postings shuffle).
+    # The query batch is a Python literal, so the union of query terms is
+    # known at PLAN time — push it INTO the token explode as a filter.
+    # The corpus scan then emits only query-relevant postings (explode
+    # output shrinks from every token to query-term hits), the same way a
+    # real inverted index reads only the queried postings lists.
+    term_set = sorted(
+        {t for _, qt in queries for t in " ".join(qt.lower().split()).split(" ") if t}
+    )
+    toks = tokens(text_col)
+    hit_toks = F.filter(toks, lambda t: t.isin(*term_set))
+    exploded = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(hit_toks).alias("term")
+    )
+    hit = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    # Document frequency from its own cheap lineage: explode each doc's
+    # DISTINCT query-term hits and map-side partial-agg count per term —
+    # the shuffle moves ≤|terms| partial rows per task, and the tiny
+    # result broadcasts back.  NOT a window over term (one partition per
+    # term ⇒ the Zipf head serializes at scale) and NOT derived from
+    # `hit` (which would re-execute the postings shuffle).
     dfreq = (
-        docs.select(F.explode(F.array_distinct(tokens(text_col))).alias("term"))
-        .join(F.broadcast(terms), "term")
+        docs.select(
+            F.explode(F.array_distinct(hit_toks)).alias("term")
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )

@@ -189,16 +189,21 @@ def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
     # per-query top-k rank.
     df = qs["bm25_lexical_topk"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
-    explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
+    # both explodes run over the term-FILTERED token array (the plan-time
+    # pushdown of the query vocabulary into the corpus scan)
+    explodes = plan.count("explode(filter(split(trim(regexp_replace(lower(text")
     distinct_explodes = plan.count(
-        "explode(array_distinct(split(trim(regexp_replace(lower(text"
+        "explode(array_distinct(filter(split(trim(regexp_replace(lower(text"
     )
     assert explodes == 1 and distinct_explodes == 1
+    assert plan.count("explode(split(") == 0  # no unfiltered corpus explode
     # ≤1 logical Window node (the top-k rank); tree section lists each as
     # "Window (n)" (WindowGroupLimit also matches the prefix — subtract).
     assert plan.count("Window (") - plan.count("WindowGroupLimit (") <= 1
     assert plans.count_sort_merge_joins(df) == 0
-    assert plans.count_broadcast_joins(df) >= 3
+    # qterms + dfreq broadcast; the old terms semi-join is gone (replaced
+    # by the pushed-down literal filter)
+    assert plans.count_broadcast_joins(df) >= 2
 
 
 def test_perplexity_no_term_window(spark, sf_dir, qs):
