@@ -53,6 +53,8 @@ HEADLINE = [
     "sequence_packing_report",
     "cdc_apply_changes",
     "column_profile_stats",
+    "record_linkage_best_match",
+    "decayed_engagement_counters",
 ]
 
 

@@ -185,3 +185,67 @@ def psi(
         F.first("tot_e").alias("n_expected"),
         F.first("tot_a").alias("n_actual"),
     )
+
+
+def ks_binned(
+    expected: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic per key:
+
+        D = max_buckets |F_exp(b) - F_act(b)|
+
+    over the empirical CDFs evaluated at bucket boundaries (edges from the
+    EXPECTED window, like :func:`psi`).  The exact KS needs a total order
+    over every value — a global (or per-key) sort that serializes at
+    scale — so this is the bounded-resolution version: counts are one
+    partial-aggregatable shuffle, and both CDFs are cumulative window sums
+    over the tiny (keys × nbins) grid.  D is a lower bound on the exact
+    statistic, tightening as nbins grows.  Complements PSI: KS reacts to
+    the largest single distributional shift; PSI to total re-allocation.
+
+    Output: (keys..., ks_stat, n_expected, n_actual), rounded to 6.
+    """
+    edges = _edges(expected, keys, value_col)
+    tagged = (
+        expected.select(*keys, value_col)
+        .withColumn("__side", F.lit("e"))
+        .unionByName(actual.select(*keys, value_col).withColumn("__side", F.lit("a")))
+    )
+    b = tagged.join(F.broadcast(edges), list(keys)).select(
+        *keys,
+        "__side",
+        _bucket(F.col(value_col), F.col("__vmin"), F.col("__vmax"), nbins).alias(
+            "bucket"
+        ),
+    )
+    counts = b.groupBy(*keys, "bucket").agg(
+        F.sum(F.when(F.col("__side") == "e", 1).otherwise(0)).alias("cnt_e"),
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("cnt_a"),
+    )
+    spark = expected.sparkSession
+    scaffold = edges.select(*keys).crossJoin(
+        spark.range(nbins).select(F.col("id").cast("int").alias("bucket"))
+    )
+    grid = scaffold.join(F.broadcast(counts), [*keys, "bucket"], "left").fillna(
+        0, subset=["cnt_e", "cnt_a"]
+    )
+    w = Window.partitionBy(*keys)
+    wc = w.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = (
+        grid.withColumn("tot_e", F.sum("cnt_e").over(w))
+        .withColumn("tot_a", F.sum("cnt_a").over(w))
+        .withColumn("cum_e", F.sum("cnt_e").over(wc))
+        .withColumn("cum_a", F.sum("cnt_a").over(wc))
+    )
+    d = F.abs(
+        F.col("cum_e") / F.col("tot_e") - F.col("cum_a") / F.col("tot_a")
+    )
+    return g.groupBy(*keys).agg(
+        F.round(F.max(d), 6).alias("ks_stat"),
+        F.first("tot_e").alias("n_expected"),
+        F.first("tot_a").alias("n_actual"),
+    )

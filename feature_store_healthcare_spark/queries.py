@@ -27,8 +27,11 @@ from pyspark.sql import functions as F
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators import (
     cdc,
+    decay,
     dedup,
     drift,
+    encode,
+    linkage,
     multimodal,
     pit,
     profile,
@@ -71,8 +74,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # relational core: scan/filter/project/join/agg/window/sort/subquery
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_nation_revenue",
     "q6_revenue_forecast",
+    "record_linkage_best_match",
     "filter_project_lineitem",
     "topk_orders",
     "semi_join_customers",
@@ -91,7 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "acl_filtered_features",
     "online_offline_consistency",
     "sha2_feature_ids",
-    "store_cache_keys",
+    "target_encoding_loo",
     "cardinality_monitoring",
     "serving_metrics_rollup",
     "json_extract_events",
@@ -103,7 +106,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "simhash_signatures",
     "dedup_embedding_cosine",
     "dedup_cluster_survivors",
     "corpus_curation_pipeline",
@@ -4052,4 +4054,211 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+# ── Record linkage + decayed counters ────────────────────────────────────────
+
+_AS_OF_MICROS = 1706659200000000  # 2024-01-31T00:00:00Z, just past the data
+_DECAY_K = -0.09902102579427789  # -ln(2)/7 — 7-day half-life
+
+
+@query(
+    "record_linkage_best_match",
+    """
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             substr(c_name, 1, 17) || 'X' AS probe_name,
+             substr(c_name, 14, 3) AS blk
+      FROM customer WHERE c_custkey % 150 = 0
+    ),
+    corpus AS (
+      SELECT c_custkey, c_name, substr(c_name, 14, 3) AS blk FROM customer
+    ),
+    cand AS (
+      SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+             levenshtein(p.probe_name, c.c_name) AS distance
+      FROM probes p JOIN corpus c USING (blk)
+      WHERE levenshtein(p.probe_name, c.c_name) <= 2
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY distance, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY probe_id) AS n_candidates
+      FROM cand
+    )
+    SELECT probe_id, probe_name, c_custkey AS matched_custkey,
+           c_name AS matched_name, distance, n_candidates
+    FROM r WHERE rn = 1
+    """,
+)
+def record_linkage_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Record linkage (operators.linkage): every 150th customer name is
+    corrupted (last char → 'X') and re-identified against the full table —
+    blocked on a digit substring the corruption preserves, in-block
+    levenshtein ≤ 2, best match by (distance, custkey) min_by argmin.
+    The candidate join is an equi-join on the block key (never all-pairs);
+    edit distance evaluates only in-block — the patient-identity-
+    resolution shape the reference's exact-string entity_id cannot do."""
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 150 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("probe_name"),
+    )
+    corpus = cust.select("c_custkey", "c_name")
+    cands = linkage.candidates(
+        probes,
+        corpus,
+        "probe_name",
+        "c_name",
+        probe_block=F.substring("probe_name", 14, 3),
+        corpus_block=F.substring("c_name", 14, 3),
+        max_dist=2,
+    )
+    best = linkage.best_match(cands, "probe_id", tiebreak="c_custkey")
+    return best.select(
+        "probe_id",
+        "probe_name",
+        F.col("c_custkey").alias("matched_custkey"),
+        F.col("c_name").alias("matched_name"),
+        "distance",
+        "n_candidates",
+    )
+
+
+@query(
+    "decayed_engagement_counters",
+    f"""
+    SELECT user_id,
+           ROUND(SUM(exp({_DECAY_K} * (({_AS_OF_MICROS} - epoch_us(CAST(ts AS TIMESTAMP)))
+                                       / 86400000000.0))), 6) AS decayed_count,
+           ROUND(SUM(exp({_DECAY_K} * (({_AS_OF_MICROS} - epoch_us(CAST(ts AS TIMESTAMP)))
+                                       / 86400000000.0)) * value), 6) AS decayed_sum,
+           COUNT(*) AS n_events,
+           MAX(ts) AS last_ts
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def decayed_engagement_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Decayed counters (operators.decay.decayed_counters): per-user
+    click count/sum where each event is weighted 2^(-age/7d) as of
+    2024-01-31 — the recency-aware engagement feature.  A plain
+    commutative SUM: partial-aggregatable, one shuffle, and mergeable
+    across batches (old state folds in by decaying — the algebra
+    incremental maintenance needs).  Ages are exact integer micros; one
+    double division before exp."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    return decay.decayed_counters(
+        clicks, ["user_id"], "ts", "value",
+        as_of_micros=_AS_OF_MICROS, half_life_days=7.0,
+    )
+
+
+@query(
+    "feature_drift_ks",
+    f"""
+    WITH s AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+               FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+               GROUP BY event_type),
+    be AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE e.ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ba AS (
+      SELECT e.event_type, {_BUCKET_SQL} AS bucket
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ce AS (SELECT event_type, bucket, COUNT(*) AS cnt_e FROM be GROUP BY event_type, bucket),
+    ca AS (SELECT event_type, bucket, COUNT(*) AS cnt_a FROM ba GROUP BY event_type, bucket),
+    grid AS (
+      SELECT s.event_type, r.i AS bucket,
+             COALESCE(ce.cnt_e, 0) AS cnt_e, COALESCE(ca.cnt_a, 0) AS cnt_a
+      FROM s CROSS JOIN (SELECT UNNEST(range(0, 10)) AS i) r
+      LEFT JOIN ce ON ce.event_type = s.event_type AND ce.bucket = r.i
+      LEFT JOIN ca ON ca.event_type = s.event_type AND ca.bucket = r.i
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt_e, cnt_a,
+             SUM(cnt_e) OVER (PARTITION BY event_type) AS tot_e,
+             SUM(cnt_a) OVER (PARTITION BY event_type) AS tot_a,
+             SUM(cnt_e) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum_e,
+             SUM(cnt_a) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum_a
+      FROM grid
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(CAST(cum_e AS DOUBLE) / tot_e
+                         - CAST(cum_a AS DOUBLE) / tot_a)), 6) AS ks_stat,
+           CAST(MAX(tot_e) AS BIGINT) AS n_expected,
+           CAST(MAX(tot_a) AS BIGINT) AS n_actual
+    FROM c GROUP BY event_type
+    """,
+)
+def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Drift detection (operators.drift.ks_binned): binned two-sample
+    Kolmogorov-Smirnov statistic per feature between January's halves —
+    max CDF gap at bucket boundaries.  The exact KS needs a per-key total
+    order (a sort that serializes at scale); the binned version is one
+    partial-agg count shuffle + cumulative windows over the tiny grid,
+    and lower-bounds the exact statistic.  Complements PSI: KS sees the
+    single largest shift, PSI total re-allocation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    return drift.ks_binned(
+        ev.where(F.col("ts") < cutoff).select("event_type", "value"),
+        ev.where(F.col("ts") >= cutoff).select("event_type", "value"),
+        ["event_type"],
+        "value",
+        nbins=10,
+    )
+
+
+@query(
+    "target_encoding_loo",
+    """
+    WITH folded AS (
+      SELECT o_orderpriority, o_totalprice AS y,
+             CASE WHEN substr(md5('te:' || CAST(o_orderkey AS VARCHAR)), 1, 8) <= '40000000' THEN 'f0' WHEN substr(md5('te:' || CAST(o_orderkey AS VARCHAR)), 1, 8) <= '80000000' THEN 'f1' WHEN substr(md5('te:' || CAST(o_orderkey AS VARCHAR)), 1, 8) <= 'c0000000' THEN 'f2' WHEN substr(md5('te:' || CAST(o_orderkey AS VARCHAR)), 1, 8) <= 'ffffffff' THEN 'f3' END AS fold
+      FROM orders
+    ),
+    cell AS (
+      SELECT o_orderpriority, fold,
+             SUM(CAST(y AS DECIMAL(25,6))) AS s, COUNT(*) AS n
+      FROM folded GROUP BY o_orderpriority, fold
+    ),
+    g AS (
+      SELECT *,
+             SUM(s) OVER (PARTITION BY o_orderpriority) AS s_cat,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS n_cat,
+             SUM(s) OVER () AS s_all,
+             SUM(n) OVER () AS n_all
+      FROM cell
+    )
+    SELECT o_orderpriority, fold,
+           ROUND((CAST(s_cat - s AS DOUBLE)
+                  + 20.0 * (CAST(s_all AS DOUBLE) / n_all))
+                 / ((n_cat - n) + 20.0), 6) AS encoding,
+           n AS n_in_fold,
+           CAST(n_cat - n AS BIGINT) AS n_out_of_fold,
+           ROUND(CAST(s_all AS DOUBLE) / n_all, 6) AS prior_mean
+    FROM g
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Leakage-safe target encoding (operators.encode.target_encoding):
+    mean-of-label per order priority, leave-fold-out over 4 deterministic
+    md5 folds with a 20-observation prior — a row never sees its own
+    label, the classic target-leak fix.  One partial-agg groupBy on
+    (category, fold); totals and the prior are window sums over the tiny
+    cell table; label sums decimal-accumulated (order-independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return encode.target_encoding(
+        o, "o_orderpriority", "o_totalprice", key="o_orderkey",
+        n_folds=4, prior_weight=20.0, salt="te",
     )

@@ -1,0 +1,95 @@
+"""Binned KS drift statistic and leakage-safe target encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators import drift, encode
+
+
+def test_ks_identical_distributions_zero(spark):
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in range(100)], "g string, value double"
+    )
+    out = drift.ks_binned(df, df, ["g"], "value", nbins=10).collect()
+    assert len(out) == 1
+    assert out[0].ks_stat == 0.0
+    assert out[0].n_expected == 100 and out[0].n_actual == 100
+
+
+def test_ks_disjoint_distributions_one(spark):
+    exp = spark.createDataFrame(
+        [("k", float(v)) for v in range(50)], "g string, value double"
+    )
+    # actual mass sits entirely above the expected range → clamps into the
+    # top bucket; CDF gap at bucket 8 is 1.0 - small
+    act = spark.createDataFrame(
+        [("k", 1000.0 + v) for v in range(50)], "g string, value double"
+    )
+    out = drift.ks_binned(exp, act, ["g"], "value", nbins=10).collect()
+    assert out[0].ks_stat > 0.85
+
+
+def test_ks_shift_detected_and_bounded(spark):
+    exp = spark.createDataFrame(
+        [("k", float(v % 100)) for v in range(400)], "g string, value double"
+    )
+    act = spark.createDataFrame(
+        [("k", 50.0 + (v % 50))  for v in range(400)], "g string, value double"
+    )
+    ks = drift.ks_binned(exp, act, ["g"], "value", nbins=10).collect()[0].ks_stat
+    # actual occupies the upper half → CDF gap ≈ 0.5 at the midpoint
+    assert 0.4 <= ks <= 0.6
+
+
+def test_target_encoding_row_never_sees_its_fold(spark):
+    # category "a": fold-f rows have value 100, all other folds value 0.
+    # The encoding for (a, f) must therefore EXCLUDE the 100s.
+    rows = []
+    for i in range(400):
+        rows.append((f"id{i}", "a", 100.0 if i % 4 == 0 else 0.0))
+    df = spark.createDataFrame(rows, "k string, cat string, y double")
+    # discover which fold the 100-value rows landed in is not needed —
+    # instead assert the invariant directly: for every (cat, fold) cell,
+    # encoding == smoothed mean over the OTHER folds.
+    out = encode.target_encoding(
+        df, "cat", "y", key="k", n_folds=4, prior_weight=0.0, round_to=9
+    ).collect()
+    folded = df.withColumn(
+        "fold",
+        __import__(
+            "feature_store_healthcare_spark.operators.sampling",
+            fromlist=["split_label"],
+        ).split_label("k", encode.fold_weights(4), salt="te"),
+    )
+    cells = {
+        (r.cat, r.fold): (r.s, r.n)
+        for r in folded.groupBy("cat", "fold")
+        .agg(F.sum("y").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    tot_s = sum(s for s, _ in cells.values())
+    tot_n = sum(n for _, n in cells.values())
+    for r in out:
+        s_out = tot_s - cells[(r.cat, r.fold)][0]
+        n_out = tot_n - cells[(r.cat, r.fold)][1]
+        assert r.encoding == pytest.approx(s_out / n_out, abs=1e-6)
+
+
+def test_target_encoding_prior_pulls_rare_categories(spark):
+    rows = [(f"a{i}", "common", 10.0) for i in range(200)]
+    rows += [("r1", "rare", 1000.0), ("r2", "rare", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, cat string, y double")
+    out = {
+        (r.cat, r.fold): r
+        for r in encode.target_encoding(
+            df, "cat", "y", key="k", n_folds=2, prior_weight=50.0
+        ).collect()
+    }
+    prior = next(iter(out.values())).prior_mean
+    for (cat, fold), r in out.items():
+        if cat == "rare":
+            # 0-or-1 out-of-fold observations vs 50 prior obs → encoding
+            # hugs the prior, far from the category's raw 1000 mean
+            assert abs(r.encoding - prior) < 25
