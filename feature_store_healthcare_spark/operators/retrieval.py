@@ -232,3 +232,64 @@ def unigram_perplexity(
         F.round(F.col("__nll"), round_to).alias("nll"),
         F.round(F.exp(F.col("__nll")), 3).alias("ppl"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    add-k-smoothed BIGRAM LM — a sharper fluency/quality signal than the
+    unigram model (word-order-aware: shuffled text scores worse):
+
+        p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}·) + k·V)
+
+    where c(w·) counts the token as a bigram HISTORY (each doc's last
+    token excluded) and V is the distinct-unigram vocabulary size.
+
+    Plan shape: doc bigrams reuse dedup.shingles (tokenize + slide +
+    explode) and pre-aggregate per (doc, bigram); corpus bigram and
+    history counts come from their own explode + map-side partial-agg
+    lineages (Zipf head combined map-side — never a window over the
+    bigram key); V rides a broadcast.  Docs with <2 tokens are excluded.
+    Output: (id_col, n_bigrams, bigram_nll).
+    """
+    from feature_store_healthcare_spark.operators.dedup import shingles
+
+    toks = tokens(text_col)
+    multi = docs.where(F.size(toks) >= 2)
+    bi = shingles(multi, id_col, text_col, n=2, distinct=False)
+    doc_bi = bi.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    bi_counts = (
+        shingles(multi.select(F.lit(0).alias("__z"), text_col), "__z", text_col,
+                 n=2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    hist_counts = (
+        multi.select(F.explode(F.slice(toks, 1, F.size(toks) - 1)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = docs.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        doc_bi.join(bi_counts, "shingle")
+        .withColumn("w", F.split(F.col("shingle"), " ")[0])
+        .join(hist_counts, "w")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(add_k))
+        / (F.col("c1") + F.lit(add_k) * F.col("v"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(-F.sum(F.col("tf") * logp) / F.sum("tf"), round_to).alias(
+            "bigram_nll"
+        ),
+    )

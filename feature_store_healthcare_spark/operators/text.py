@@ -215,3 +215,33 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fingerprint(text_col).alias("fingerprint"),
         F.length(normalize_text(text_col)).alias("norm_len"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """The first step of BPE tokenizer training: count adjacent CHARACTER
+    pairs inside words across the corpus and rank the top merge
+    candidates (the pair a BPE trainer would merge next).
+
+    One token explode + one in-word pair explode + a partial-aggregatable
+    count; the top-k cut is a TakeOrderedAndProject-shaped sort-limit on
+    the tiny pair table.  Deterministic: ties rank by the pair string.
+    Output: (pair, cnt, rank).
+    """
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

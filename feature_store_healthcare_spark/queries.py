@@ -31,6 +31,7 @@ from feature_store_healthcare_spark.operators import (
     dedup,
     drift,
     encode,
+    expectations,
     linkage,
     multimodal,
     pit,
@@ -77,7 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q6_revenue_forecast",
     "record_linkage_best_match",
     "filter_project_lineitem",
-    "topk_orders",
+    "data_quality_expectations",
     "semi_join_customers",
     "range_join_recent_clicks",
     "correlated_subquery_customer_max",
@@ -4261,4 +4262,149 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode.target_encoding(
         o, "o_orderpriority", "o_totalprice", key="o_orderkey",
         n_folds=4, prior_weight=20.0, salt="te",
+    )
+
+
+@query(
+    "bigram_lm_fluency",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    multi AS (SELECT * FROM toks WHERE len(t) >= 2),
+    bi AS (
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS bg
+      FROM multi, LATERAL (SELECT UNNEST(range(1, len(t))) AS i)
+    ),
+    doc_bi AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bi GROUP BY doc_id, bg),
+    bi_counts AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    hist AS (
+      SELECT u.w, COUNT(*) AS c1
+      FROM multi, UNNEST(t[1:len(t)-1]) AS u(w)
+      GROUP BY u.w
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT u.w) AS v FROM toks, UNNEST(t) AS u(w)
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(d.tf * ln((c.c2 + 0.5) / (h.c1 + 0.5 * v.v)))
+                 / SUM(d.tf), 6) AS bigram_nll
+    FROM doc_bi d
+    JOIN bi_counts c USING (bg)
+    JOIN hist h ON h.w = string_split(d.bg, ' ')[1]
+    CROSS JOIN vocab v
+    GROUP BY d.doc_id
+    """,
+)
+def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Bigram-LM fluency (operators.retrieval.bigram_logprob_score):
+    each document's mean −ln p(wᵢ|wᵢ₋₁) under the corpus's own add-0.5
+    bigram model — a word-ORDER-aware quality score (shuffled or
+    boilerplate text stands out where the unigram model is blind).
+    Corpus bigram/history counts from their own map-side partial-agg
+    lineages; doc side pre-aggregated per (doc, bigram) before the Zipf
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bigram_logprob_score(docs, "doc_id", "text", add_k=0.5)
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+    WITH w AS (
+      SELECT u.w FROM (SELECT {_TOKENS_SQL} AS t FROM documents),
+                      UNNEST(t) AS u(w)
+    ),
+    p AS (
+      SELECT u.pair
+      FROM (SELECT list_transform(range(1, length(w)), i -> substr(w, i, 2)) AS prs
+            FROM w WHERE length(w) >= 2),
+           UNNEST(prs) AS u(pair)
+    ),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
+    WHERE rank <= 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Tokenizer induction step (operators.text.bpe_merge_candidates):
+    the top-20 adjacent character pairs inside words — what a BPE trainer
+    would merge next.  Token explode → in-word pair explode → partial-agg
+    count → top-k on the tiny pair table (ties by pair string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(docs, "text", top_k=20)
+
+
+@query(
+    "data_quality_expectations",
+    """
+    SELECT 'not_null(l_orderkey)' AS check, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_quantity,1,50)', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)', COUNT(*),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL
+                              OR l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'charge_non_negative', COUNT(*),
+           CAST(SUM(CASE WHEN NOT COALESCE(
+                    l_extendedprice * (1 - l_discount) >= 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT COALESCE(
+                    l_extendedprice * (1 - l_discount) >= 0, FALSE)
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(o_orderkey)', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'references(l_orderkey)', COUNT(*),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Data-quality expectations (operators.expectations): declarative
+    whole-table contracts — nullability, ranges, accepted values, a custom
+    predicate, key uniqueness, and lineitem→orders referential integrity —
+    the set-oriented extension of the reference's per-value validated
+    ingest (feature_registry.py:483).  All row-local checks fold into ONE
+    conditional-sum pass over lineitem; uniqueness is one distinct-count;
+    the FK check is one anti-join; violations are counted, never
+    collected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    checks = [
+        expectations.not_null("l_orderkey"),
+        expectations.in_range("l_quantity", 1, 50),
+        expectations.accepted_values("l_returnflag", ["A", "N", "R"]),
+        expectations.satisfies(
+            "charge_non_negative",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) >= 0,
+        ),
+    ]
+    return expectations.expectation_suite(
+        li,
+        checks,
+        references=[("l_orderkey", o, "o_orderkey")],
+    ).unionByName(
+        expectations.uniqueness_report(o, ["o_orderkey"]),
+        allowMissingColumns=False,
     )

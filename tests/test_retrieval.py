@@ -143,3 +143,37 @@ def test_catalog_retrieval_queries_run(spark, sf_dir):
 
     ppl = qs["doc_perplexity_quality"](spark, sf_dir)
     assert ppl.where(F.col("nll") <= 0).count() == 0
+
+
+def test_bigram_lm_order_awareness(spark):
+    # "a b" repeated is high-probability; the reversed doc uses bigrams the
+    # corpus almost never sees → higher nll.  The unigram model cannot tell
+    # them apart (same token multiset).
+    rows = [(i, "a b a b a b a b") for i in range(9)]
+    rows.append((9, "b a b a b a b a"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in retrieval.bigram_logprob_score(df, "doc_id", "text").collect()}
+    assert out[9].bigram_nll > out[0].bigram_nll
+    uni = {r.doc_id: r.nll for r in retrieval.unigram_perplexity(df, "doc_id", "text").collect()}
+    assert uni[9] == uni[0]
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, "hello world")], "doc_id int, text string"
+    )
+    out = retrieval.bigram_logprob_score(df, "doc_id", "text").collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_bigrams == 1
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from feature_store_healthcare_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "aaab aab"), (1, "ab")], "doc_id int, text string"
+    )
+    out = {r.pair: (r.cnt, r.rank) for r in text_ops.bpe_merge_candidates(df, "text").collect()}
+    # pairs: aaab→aa,aa,ab ; aab→aa,ab ; ab→ab
+    assert out["aa"] == (3, 1)
+    assert out["ab"] == (3, 2)  # tie on count → lexicographic rank
