@@ -55,6 +55,8 @@ HEADLINE = [
     "column_profile_stats",
     "record_linkage_best_match",
     "decayed_engagement_counters",
+    "bigram_lm_fluency",
+    "data_quality_expectations",
 ]
 
 
