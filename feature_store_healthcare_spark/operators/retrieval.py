@@ -269,10 +269,13 @@ def bigram_logprob_score(
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
+    # History counts DERIVE from the bigram-count table: c(w·) = Σ c2 over
+    # bigrams whose first token is w — an aggregate over the tiny distinct-
+    # bigram table, not a third pass over the corpus.
     hist_counts = (
-        multi.select(F.explode(F.slice(toks, 1, F.size(toks) - 1)).alias("w"))
+        bi_counts.withColumn("w", F.split(F.col("shingle"), " ")[0])
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     vocab = docs.select(F.explode(toks).alias("w")).agg(
         F.countDistinct("w").alias("v")

@@ -4408,3 +4408,150 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         expectations.uniqueness_report(o, ["o_orderkey"]),
         allowMissingColumns=False,
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS first_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    o2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                           AND ts > first_view THEN ts END) OVER w AS first_click
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+                           AND ts > first_click THEN 1 ELSE 0 END) AS s3
+      FROM o2 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(s1) AS BIGINT) AS viewed,
+           CAST(SUM(s2) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(s3) AS BIGINT) AS purchased_after_click,
+           ROUND(SUM(s2) * 1.0 / SUM(s1), 6) AS view_to_click,
+           ROUND(SUM(s3) * 1.0 / SUM(s2), 6) AS click_to_purchase
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Ordered funnel analysis: view → click-after-view →
+    purchase-after-that-click, per user, with step conversion rates.
+    Ordered-sequence semantics via two layered running-min windows inside
+    ONE per-user sort (partitions bounded by events-per-user — uniform,
+    no global sort), then a single groupBy.  The product-analytics shape
+    (strict event ORDER, not mere co-occurrence) that plain joins get
+    wrong."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "first_view"
+        ),
+    )
+    o2 = o.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view").isNotNull()
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_user = o2.groupBy("user_id").agg(
+        F.max(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("first_click").isNotNull(), 1).otherwise(0)).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_click").isNotNull()
+                & (F.col("ts") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s1").alias("viewed"),
+        F.sum("s2").alias("clicked_after_view"),
+        F.sum("s3").alias("purchased_after_click"),
+        F.round(F.sum("s2") * F.lit(1.0) / F.sum("s1"), 6).alias("view_to_click"),
+        F.round(F.sum("s3") * F.lit(1.0) / F.sum("s2"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS INTEGER) AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM wk),
+    cell AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    )
+    SELECT cohort_week, week_offset, n_active,
+           ROUND(n_active * 1.0 / FIRST_VALUE(n_active) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset), 6) AS retention
+    FROM cell
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Cohort retention: users grouped by first-seen week; for each
+    (cohort, week-offset) the share still active — the standard retention
+    triangle.  Two partial-agg passes over events (first-week per user +
+    distinct activity) joined on user (hash-uniform), then ratios via a
+    window over the tiny cohort×offset grid (offset 0 is the cohort size
+    by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")
+    wk = ev.select("user_id", week.alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    cell = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cell.withColumn(
+        "retention",
+        F.round(
+            F.col("n_active") * F.lit(1.0) / F.first("n_active").over(w), 6
+        ),
+    )

@@ -455,3 +455,72 @@ def test_ngram_overlap_flags_only_real_overlap(spark):
     out = {r.doc_id: r for r in dd.ngram_overlap(corpus, bench, "doc_id", "text", n=5).collect()}
     assert set(out) == {1}
     assert out[1].n_shared_shingles == 1 and out[1].n_benchmark_docs == 1
+
+
+def test_funnel_strict_ordering(spark, sf_dir):
+    """A click BEFORE the first view must not count as step 2; a purchase
+    before the qualifying click must not count as step 3."""
+    import datetime as dt
+
+    from feature_store_healthcare_spark import queries as catalog
+
+    rows = [
+        # u1: click at 09:00 (before view!), view 10:00, purchase 11:00
+        #  → s1 yes, s2 no (no click after view), s3 no
+        (1, dt.datetime(2024, 1, 1, 9), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        # u2: view → click → purchase, fully ordered → all steps
+        (4, dt.datetime(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 10), 2, "click", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 11), 2, "purchase", 1.0, "{}"),
+        # u3: purchase before click: view → purchase → click → s3 no
+        (7, dt.datetime(2024, 1, 1, 9), 3, "view", 1.0, "{}"),
+        (8, dt.datetime(2024, 1, 1, 10), 3, "purchase", 1.0, "{}"),
+        (9, dt.datetime(2024, 1, 1, 11), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("__funnel_events")
+    # drive the same logic as the catalog query via its building blocks
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = df.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("fv"),
+    )
+    o2 = o.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("fv").isNotNull()
+                & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per = o2.groupBy("user_id").agg(
+        F.max(F.when(F.col("fv").isNotNull(), 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("fc").isNotNull(), 1).otherwise(0)).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("fc").isNotNull()
+                & (F.col("ts") > F.col("fc")),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    got = {r.user_id: (r.s1, r.s2, r.s3) for r in per.collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (1, 1, 1)
+    assert got[3] == (1, 1, 0)
