@@ -359,3 +359,94 @@ def test_phi_scrub_idempotent_and_clean(spark, texts):
     for r in rows.values():
         assert r.text2 == r.text, (r.text, r.text2)
         assert r.phi_total2 == 0, r.text
+
+
+# CDC changelog: (key 0..3, ts 0..6 with collisions, seq unique-ish, is_delete)
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 6),
+        st.integers(0, 10_000),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=25,
+    # seq is the tiebreak — keep it unique so the winner is well-defined
+    # in BOTH the engine and the naive reference
+    unique_by=lambda r: r[2],
+)
+
+
+@given(rows=cdc_rows, cut=st.integers(0, 7))
+@SETTINGS
+def test_cdc_fold_matches_naive_and_decomposes(spark, rows, cut):
+    """materialize == naive python fold; snapshot(prefix)+delta == single
+    fold, for any time cut (incremental ≡ batch, randomized)."""
+    from feature_store_healthcare_spark.operators import cdc
+
+    df = spark.createDataFrame(
+        [(k, t, s, "D" if d else "U", float(k * 100 + t)) for k, t, s, d in rows],
+        "k int, ts int, seq int, op string, value double",
+    )
+    # naive reference: winner per key by (ts, seq); delete removes
+    best: dict[int, tuple] = {}
+    for k, t, s, d in rows:
+        cur = best.get(k)
+        if cur is None or (t, s) > (cur[0], cur[1]):
+            best[k] = (t, s, d)
+    want = {
+        k: (t, s) for k, (t, s, d) in best.items() if not d
+    }
+
+    single = cdc.materialize(df, ["k"], "ts", tiebreak=["seq"])
+    got = {r.k: (r.ts, r.seq) for r in single.collect()}
+    assert got == want
+
+    snap = cdc.materialize(df.where(F.col("ts") < cut), ["k"], "ts", tiebreak=["seq"])
+    two = cdc.apply_changes(
+        snap, df.where(F.col("ts") >= cut), ["k"], "ts", tiebreak=["seq"]
+    )
+    got2 = {r.k: (r.ts, r.seq) for r in two.collect()}
+    # NOTE: apply_changes drops the snapshot's losing tombstones, so a key
+    # deleted in the prefix stays absent unless the delta resurrects it —
+    # which is exactly what the single-pass fold produces too.
+    assert got2 == want
+
+
+pack_rows = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 300)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=pack_rows, budget=st.sampled_from([128, 512, 2048]))
+@SETTINGS
+def test_pack_sequences_matches_naive(spark, rows, budget):
+    """pack_id/pack_offset equal a python re-implementation of the salted
+    md5 ordering — for any doc set and budget."""
+    import hashlib
+
+    from feature_store_healthcare_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "doc_id int, n_tok int")
+    got = {
+        r.doc_id: (r.pack_group, r.pack_seq, r.pack_offset, r.pack_id)
+        for r in sampling.pack_sequences(df, "doc_id", "n_tok", budget=budget).collect()
+    }
+
+    def h(doc_id):
+        return hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:8]
+
+    by_group: dict[str, list] = {}
+    for doc_id, n_tok in rows:
+        by_group.setdefault(h(doc_id)[0], []).append((h(doc_id), doc_id, n_tok))
+    want = {}
+    for grp, members in by_group.items():
+        members.sort()
+        offset = 0
+        for seq, (hh, doc_id, n_tok) in enumerate(members, start=1):
+            want[doc_id] = (grp, seq, offset, offset // budget)
+            offset += n_tok
+    assert got == want
