@@ -76,3 +76,56 @@ def apply_changes(
     tagged = snapshot.withColumn(op_col, F.lit(UPSERT_OP))
     merged = tagged.unionByName(changelog.select(*tagged.columns))
     return materialize(merged, keys, ts_col, op_col=op_col, tiebreak=tiebreak)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """The inverse of :func:`apply_changes`: diff two snapshots into the
+    minimal changelog that transforms ``old`` into ``new`` —
+    insert/update keys present (or changed) in ``new`` become upserts,
+    keys present only in ``old`` become deletes.  Unchanged rows emit
+    nothing (the changelog is minimal).
+
+    One full-outer join on the keys (hash-uniform; AQE handles skew).
+    Payload columns come from ``new`` for upserts and from ``old`` for
+    deletes.  Roundtrip invariant (tested):
+    ``apply_changes(old, snapshot_diff(old, new) ∪ ts) ≡ new`` whenever
+    the diff is stamped newer than every old row.
+    """
+    key_list = list(keys)
+    payload = [c for c in new.columns if c not in key_list]
+    o = old.select(
+        *key_list,
+        F.struct(*[F.col(c) for c in payload]).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *key_list,
+        F.struct(*[F.col(c) for c in payload]).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, key_list, "full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    # eqNullSafe: a null payload field must compare equal to itself, not
+    # poison the whole comparison to null
+    changed = in_old & in_new & ~F.col("__old").eqNullSafe(F.col("__new"))
+    op = (
+        F.when(in_new & ~in_old, F.lit(UPSERT_OP))
+        .when(changed, F.lit(UPSERT_OP))
+        .when(in_old & ~in_new, F.lit(DELETE_OP))
+    )
+    side = F.when(in_new, F.col("__new")).otherwise(F.col("__old"))
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *key_list,
+            *[side[c].alias(c) for c in payload],
+            op_col,
+        )
+    )

@@ -4555,3 +4555,98 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active") * F.lit(1.0) / F.first("n_active").over(w), 6
         ),
     )
+
+
+@query(
+    "snapshot_diff_changelog",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             CASE WHEN value < 1.0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    half AS (
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ch WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+      WHERE rn = 1 AND op = 'U'
+    ),
+    full_s AS (
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ch)
+      WHERE rn = 1 AND op = 'U'
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           COALESCE(o.event_type, n.event_type) AS event_type,
+           CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE o.event_id END AS event_id,
+           CASE WHEN n.user_id IS NOT NULL THEN n.ts ELSE o.ts END AS ts,
+           CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE o.value END AS value,
+           CASE WHEN o.user_id IS NULL THEN 'U'
+                WHEN n.user_id IS NULL THEN 'D'
+                WHEN o.event_id IS DISTINCT FROM n.event_id
+                     OR o.ts IS DISTINCT FROM n.ts
+                     OR o.value IS DISTINCT FROM n.value THEN 'U' END AS op
+    FROM half o FULL OUTER JOIN full_s n
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE (CASE WHEN o.user_id IS NULL THEN 'U'
+                WHEN n.user_id IS NULL THEN 'D'
+                WHEN o.event_id IS DISTINCT FROM n.event_id
+                     OR o.ts IS DISTINCT FROM n.ts
+                     OR o.value IS DISTINCT FROM n.value THEN 'U' END) IS NOT NULL
+    """,
+)
+def snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Snapshot diff (operators.cdc.snapshot_diff): the minimal changelog
+    transforming the day-15 CDC state into the day-30 state — inserts and
+    changed winners become upserts, keys whose last change was a delete
+    become deletes, unchanged keys emit nothing.  One full-outer join on
+    the merge keys; the inverse of apply_changes (roundtrip unit-tested:
+    applying the diff on top of `old` reproduces `new`)."""
+    ev = load_table(spark, sf_dir, "events")
+    changelog = ev.select(
+        "user_id", "event_type", "event_id", "ts", "value",
+        F.when(F.col("value") < 1.0, F.lit(cdc.DELETE_OP))
+        .otherwise(F.lit(cdc.UPSERT_OP))
+        .alias("op"),
+    )
+    keys = ["user_id", "event_type"]
+    cut = "2024-01-16 00:00:00"
+    old = cdc.materialize(
+        changelog.where(F.col("ts") < cut), keys, "ts", tiebreak=["event_id"]
+    )
+    new = cdc.materialize(changelog, keys, "ts", tiebreak=["event_id"])
+    return cdc.snapshot_diff(old, new, keys)
+
+
+@query(
+    "pit_leakage_audit",
+    f"""
+    WITH pit AS ({_PIT_JOIN_SQL})
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN click_value__timestamp > ts THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaks,
+           CAST(SUM(CASE WHEN click_value__timestamp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           SUM(CASE WHEN click_value__timestamp > ts THEN 1 ELSE 0 END) = 0 AS passed
+    FROM pit
+    """,
+)
+def pit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Leakage audit over the flagship PIT join: every attached feature
+    timestamp must be ≤ its spine row's timestamp (zero look-ahead) — the
+    auditable form of the reference's as-of invariant
+    (feature_server.py:355-408), run as an expectation over the join
+    output rather than trusted by construction."""
+    joined = pit_training_join(spark, sf_dir)
+    leak = F.col("click_value__timestamp") > F.col("ts")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(leak, 1).otherwise(0)).alias("n_leaks"),
+        F.sum(
+            F.when(F.col("click_value__timestamp").isNull(), 1).otherwise(0)
+        ).alias("n_unmatched"),
+        (F.sum(F.when(leak, 1).otherwise(0)) == 0).alias("passed"),
+    )

@@ -88,3 +88,36 @@ def test_leave_last_k_split_labels(spark):
     # an entity with fewer rows than k_test+k_val just fills from the top
     assert by_user_ts[("u2", 0)] == "test"
     assert len(out) == 6  # pure tagging — no rows added or dropped
+
+
+def test_snapshot_diff_roundtrip(spark):
+    """apply_changes(old, diff) == new — the diff is the exact inverse."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    old = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)],
+        "k string, ts int, value double",
+    )
+    new = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 5, 99.0), ("d", 5, 40.0)],
+        "k string, ts int, value double",
+    )
+    diff = cdc.snapshot_diff(old, new, ["k"])
+    got = {r.k: r.op for r in diff.collect()}
+    # a unchanged → absent; b changed → U; c gone → D; d new → U
+    assert got == {"b": "U", "c": "D", "d": "U"}
+
+    # stamp the diff newer than everything in `old` and apply
+    applied = cdc.apply_changes(
+        old, diff.withColumn("ts", F.lit(100)), ["k"], "ts"
+    )
+    want = {(r.k, r.value) for r in new.collect()}
+    assert {(r.k, r.value) for r in applied.collect()} == want
+
+
+def test_snapshot_diff_null_payload_fields(spark):
+    old = spark.createDataFrame([("a", None), ("b", 1.0)], "k string, v double")
+    new = spark.createDataFrame([("a", None), ("b", None)], "k string, v double")
+    got = {r.k: r.op for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    # a: null == null → unchanged (eqNullSafe); b: 1.0 → null IS a change
+    assert got == {"b": "U"}
