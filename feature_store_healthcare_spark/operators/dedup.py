@@ -468,3 +468,33 @@ def ngram_overlap(
             F.countDistinct("__bench_id").alias("n_benchmark_docs"),
         )
     )
+
+
+def burst_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    min_gap_seconds: int = 60,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Telemetry burst dedup: drop an event when the PREVIOUS event of the
+    same key group landed less than ``min_gap_seconds`` before it — the
+    retry/double-fire collapse every event-ingest pipeline runs before
+    counting anything.  (Batch twin of the streaming
+    ``dropDuplicatesWithinWatermark`` path, but gap-relative-to-previous
+    rather than key-identity within a watermark.)
+
+    One window (lag) partitioned by the keys — a single shuffle on the
+    dedup keys, sorted within partitions only.  ``tie_col`` breaks
+    equal-timestamp ordering deterministically (defaults to ``ts_col``
+    only, so pass an id when timestamps can tie).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    # ntz → epoch seconds (session TZ pinned UTC → identity)
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    gap_ok = prev.isNull() | (secs - prev >= F.lit(min_gap_seconds))
+    return df.withColumn("__keep", gap_ok).where(F.col("__keep")).drop("__keep")

@@ -91,3 +91,59 @@ def column_profile(
         "column", "n_rows", "n_values", "n_nulls",
         "n_distinct", "min_value", "max_value",
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostics — the pre-flight check before any big
+    join/aggregation on ``key_col`` (decides whether plain hash partitioning
+    is safe, or the join needs `pit.salted_join` / AQE skew handling).
+
+    One per-key count (partial-aggregated) → one tiny final rollup plus a
+    TakeOrdered top-N; the fact table is scanned once and nothing heavier
+    than |keys| rows ever shuffles.  All ratio metrics are integer
+    parts-per-million (exact, order-independent) and the key-count entropy
+    accumulates per-key terms as fixed-scale decimals, so the result is
+    bit-stable under any partitioning.
+
+    Output (single row): n_rows, n_keys, max_key_rows, top1_share_ppm,
+    topn_share_ppm, avg_rows_per_key_x1000, entropy_norm (key-distribution
+    entropy normalized by ln(n_keys), rounded to 6 decimals: 1.0 =
+    perfectly uniform keys, → 0 = one key dominates; NULL when
+    n_keys == 1).  Integer ratios use explicit ``floor`` (NOT a bigint
+    cast: Spark truncates, ANSI engines round — floor matches everywhere
+    for these non-negative values).
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    topn = (
+        counts.orderBy(F.col("cnt").desc(), F.col("__k"))
+        .limit(top_n)
+        .agg(F.sum("cnt").alias("__topn_rows"))
+    )
+    # H = ln(N) - sum(c*ln c)/N over key counts; each c*ln(c) term is
+    # rounded to decimal(28,6) before summing -> exact, order-free total.
+    c = F.col("cnt")
+    term = (c.cast("double") * F.log(c.cast("double"))).cast("decimal(28,6)")
+    agg = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.sum(term).alias("__sum_clnc"),
+    )
+    n, k = F.col("n_rows"), F.col("n_keys")
+    h = F.log(n.cast("double")) - F.col("__sum_clnc").cast("double") / n
+    return (
+        agg.crossJoin(F.broadcast(topn))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.floor(F.col("max_key_rows") * 1000000 / n).alias("top1_share_ppm"),
+            F.floor(F.col("__topn_rows") * 1000000 / n).alias("topn_share_ppm"),
+            F.floor(n * 1000 / k).alias("avg_rows_per_key_x1000"),
+            F.when(k > 1, F.round(h / F.log(k.cast("double")), 6)).alias(
+                "entropy_norm"
+            ),
+        )
+    )

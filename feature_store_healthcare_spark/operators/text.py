@@ -245,3 +245,42 @@ def bpe_merge_candidates(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
+    """Corpus vocabulary frequency table with cumulative coverage — the
+    "how big must the vocab be" curve every tokenizer-training run starts
+    from (and the Zipf sanity check on a new corpus dump).
+
+    One token explode → one partial-aggregatable count (map-side combine
+    collapses each partition to its distinct tokens before the shuffle, so
+    the exchange carries ~|vocab| rows, not ~|corpus tokens|).  The top-k
+    cut is ``orderBy().limit()`` → TakeOrderedAndProject — per-partition
+    heaps, NOT a global single-partition window over the full vocab — and
+    the rank/running-sum window then runs over only the k surviving rows.
+    The grand total is a one-row broadcast.  The corpus is scanned once.
+
+    Deterministic: rank ties break lexicographically; coverage fractions
+    are exact integer ratios rounded to 6 decimals.  Output: (token, rank,
+    cnt, frac, cum_frac) for the top_k tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        head.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("__cum", F.sum("cnt").over(wcum))
+        .select(
+            "token",
+            "rank",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("frac"),
+            F.round(F.col("__cum") / F.col("__total"), 6).alias("cum_frac"),
+        )
+    )

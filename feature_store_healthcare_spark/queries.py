@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from feature_store_healthcare_spark import functions as fx
 from feature_store_healthcare_spark.operators import (
     cdc,
+    chunking,
     decay,
     dedup,
     drift,
@@ -75,7 +76,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # relational core: scan/filter/project/join/agg/window/sort/subquery
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_revenue_forecast",
     "record_linkage_best_match",
     "filter_project_lineitem",
     "data_quality_expectations",
@@ -106,10 +106,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup family (exact + every near-dup variant) and curation
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_survivors",
     "corpus_curation_pipeline",
+    # corpus chunking + shuffle-skew diagnostics (★ round-2 families)
+    "rag_chunk_documents",
+    "join_key_skew_profile",
     # similarity search + retrieval (lexical, hybrid fusion)
     "embedding_topk_bruteforce",
     "bm25_lexical_topk",
@@ -4649,4 +4651,137 @@ def pit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("click_value__timestamp").isNull(), 1).otherwise(0)
         ).alias("n_unmatched"),
         (F.sum(F.when(leak, 1).otherwise(0)) == 0).alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus chunking, vocabulary coverage, skew diagnostics, burst dedup (★)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rag_chunk_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    b AS (
+      SELECT doc_id, t, len(t) AS n,
+             CAST(1 + CEIL(GREATEST(len(t) - 64, 0) / 48.0) AS INTEGER) AS n_chunks
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, t, n, n_chunks,
+             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM b
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunks,
+           chunk_idx * 48 AS token_start,
+           LEAST(64, n - chunk_idx * 48) AS chunk_token_count,
+           array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ RAG chunking: 64-token windows, 16-token overlap (stride 48) —
+    see operators/chunking.chunk_documents.  Zero-shuffle codegen row
+    expansion; the chunk table is what the embedding/dedup stages index.
+    The reference stores documents whole (feature_registry.py:97-114)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap_tokens=16
+    )
+
+
+@query(
+    "vocab_top_coverage",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST({_TOKENS_SQL}) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+             SUM(cnt) OVER () AS total,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM counts
+    )
+    SELECT token, rank, cnt,
+           ROUND(cnt / total, 6) AS frac,
+           ROUND(cum / total, 6) AS cum_frac
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ tokenizer-training vocabulary curve: top-100 corpus tokens with
+    exact cumulative mass coverage — see text.vocab_coverage.  The top-k
+    cut is TakeOrderedAndProject over the partial-aggregated count table;
+    no global window touches the full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, "text", top_k=100)
+
+
+@query(
+    "join_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    topn AS (
+      SELECT SUM(cnt) AS topn_rows
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC, k LIMIT 10)
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys,
+             MAX(cnt) AS max_key_rows,
+             SUM(CAST(cnt * LN(cnt) AS DECIMAL(28,6))) AS sum_clnc
+      FROM counts
+    )
+    SELECT n_rows, n_keys, max_key_rows,
+           CAST(FLOOR(max_key_rows * 1000000 / n_rows) AS BIGINT) AS top1_share_ppm,
+           CAST(FLOOR(topn_rows * 1000000 / n_rows) AS BIGINT) AS topn_share_ppm,
+           CAST(FLOOR(n_rows * 1000 / n_keys) AS BIGINT) AS avg_rows_per_key_x1000,
+           CASE WHEN n_keys > 1 THEN
+             ROUND((LN(n_rows) - CAST(sum_clnc AS DOUBLE) / n_rows)
+                   / LN(n_keys), 6)
+           END AS entropy_norm
+    FROM agg, topn
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ shuffle-key pre-flight: skew diagnostics for events.user_id (the
+    engine's hottest join/session key) — see profile.key_skew_profile.
+    Decides plain hash partitioning vs salted_join/AQE skew handling
+    before a 100 TB shuffle is committed."""
+    ev = load_table(spark, sf_dir, "events")
+    return profile.key_skew_profile(ev, "user_id", top_n=10)
+
+
+@query(
+    "events_burst_dedup",
+    """
+    WITH x AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, value
+    FROM x
+    WHERE prev_ts IS NULL
+       OR date_diff('second', prev_ts, ts) >= 60
+    """,
+)
+def events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ telemetry burst dedup: drop events arriving < 60 s after the
+    previous event of the same (user, type) — see dedup.burst_dedup.
+    One shuffle on the dedup keys (the lag window); kept rows returned
+    for exact verification."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return dedup.burst_dedup(
+        ev, ["user_id", "event_type"], "ts", min_gap_seconds=60, tie_col="event_id"
     )

@@ -224,3 +224,36 @@ def test_pack_sequences_two_exchanges(spark, sf_dir, qs):
     df = qs["sequence_packing_report"](spark, sf_dir)
     assert plans.count_sort_merge_joins(df) == 0
     assert plans.count_exchanges(df) <= 3
+
+
+class TestRound2CorpusOps:
+    """Plan guards for the chunking / vocab / skew / burst-dedup family."""
+
+    def test_chunking_is_single_pass(self, spark, sf_dir):
+        df = catalog.queries()["rag_chunk_documents"](spark, sf_dir)
+        # 1 exchange total: the deliberate small-file spread repartition;
+        # the chunk expansion itself is shuffle-free codegen
+        assert plans.count_exchanges(df) <= 1
+        assert plans.count_sort_merge_joins(df) == 0
+        # column pruning reaches the scan: only (doc_id, text) read
+        schemas = plans.scan_read_schemas(df)
+        assert schemas and all("n_chars" not in s for s in schemas)
+
+    def test_vocab_topk_uses_take_ordered(self, spark, sf_dir):
+        df = catalog.queries()["vocab_top_coverage"](spark, sf_dir)
+        # the top-k cut must be per-partition heaps, not a global sort
+        assert plans.uses_take_ordered(df)
+        assert plans.count_sort_merge_joins(df) == 0
+
+    def test_skew_profile_bounded_shuffles(self, spark, sf_dir):
+        df = catalog.queries()["join_key_skew_profile"](spark, sf_dir)
+        # per-key count (1) + two single-row final aggs; never more
+        assert plans.count_exchanges(df) <= 3
+        assert plans.count_sort_merge_joins(df) == 0
+        assert plans.uses_take_ordered(df)
+
+    def test_burst_dedup_one_shuffle(self, spark, sf_dir):
+        df = catalog.queries()["events_burst_dedup"](spark, sf_dir)
+        # exactly the lag window's hash exchange on the dedup keys
+        assert plans.count_exchanges(df) == 1
+        assert plans.count_sort_merge_joins(df) == 0
