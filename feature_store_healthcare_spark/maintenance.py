@@ -110,9 +110,18 @@ def apply_retention(store, registry: DataFrame, now: datetime | None = None) -> 
 #: associative and partial-aggregatable, so batch states combine exactly.
 _MERGEABLE = ("count", "sum", "min", "max", "hll")
 
+#: default fixed-edge histogram shape for the "hist" quantile state
+_HIST_BINS = 64
+
 
 def incremental_agg(
-    batch: DataFrame, keys: list[str], value_col: str, specs: list[str] | None = None
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+    specs: list[str] | None = None,
+    hist_lo: float | None = None,
+    hist_hi: float | None = None,
+    hist_bins: int = _HIST_BINS,
 ) -> DataFrame:
     """Aggregate one batch into a MERGEABLE state table: per key, the
     partial-aggregate states for ``specs`` (count/sum/min/max and an ``hll``
@@ -140,6 +149,30 @@ def incremental_agg(
             aggs.append(F.max(v).alias("state_max"))
         elif s == "hll":
             aggs.append(F.hll_sketch_agg(v.cast("string")).alias("state_hll"))
+        elif s == "hist":
+            if hist_lo is None or hist_hi is None or not hist_hi > hist_lo:
+                raise ValueError("hist spec needs hist_lo < hist_hi bounds")
+            width = (hist_hi - hist_lo) / hist_bins
+            idx = F.least(
+                F.greatest(
+                    F.floor((v.cast("double") - F.lit(hist_lo)) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(hist_bins - 1),
+            )
+            counts = F.array(
+                *[
+                    F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"__b{i}")
+                    for i in range(hist_bins)
+                ]
+            )
+            aggs.append(
+                F.struct(
+                    counts.alias("counts"),
+                    F.lit(float(hist_lo)).alias("lo"),
+                    F.lit(float(hist_hi)).alias("hi"),
+                ).alias("state_hist")
+            )
         else:
             raise ValueError(f"unsupported mergeable spec: {s}")
     return batch.groupBy(*keys).agg(*aggs)
@@ -180,16 +213,62 @@ def merge_agg_states(
                 .otherwise(F.hll_union(ec, bc))
                 .alias(c)
             )
+        elif c == "state_hist":
+            both = F.struct(
+                F.zip_with(
+                    ec["counts"], bc["counts"], lambda a, b: a + b
+                ).alias("counts"),
+                ec["lo"].alias("lo"),
+                ec["hi"].alias("hi"),
+            )
+            merged.append(
+                F.when(ec.isNull(), bc).when(bc.isNull(), ec).otherwise(both).alias(c)
+            )
         else:
             raise ValueError(f"unknown state column: {c}")
     cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
     return e.join(b, on=cond, how="full_outer").select(*out_keys, *merged)
 
 
-def finalize_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
+def _hist_quantile(state: F.Column, q: float) -> F.Column:
+    """Approximate quantile from a fixed-edge histogram state: walk the
+    cumulative counts to the target rank, linear-interpolate inside the
+    bucket (the classic equi-width quantile estimate; error ≤ one bucket
+    width).  Pure array HOF — evaluated per state row at read time."""
+    counts = state["counts"]
+    lo, hi = state["lo"], state["hi"]
+    bins = F.size(counts)
+    width = (hi - lo) / bins
+    total = F.aggregate(counts, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.lit(q) * total.cast("double")
+    indexed = F.transform(
+        F.sequence(F.lit(0), bins - 1),
+        lambda i: F.struct(i.alias("i"), F.element_at(counts, i + 1).alias("c")),
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("ans")
+    )
+
+    def step(acc, b):
+        cnt = b["c"].cast("double")
+        new_cum = acc["cum"] + cnt
+        hit = acc["ans"].isNull() & (new_cum >= target) & (cnt > 0)
+        est = lo + (b["i"].cast("double") + (target - acc["cum"]) / cnt) * width
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(hit, F.least(est, hi)).otherwise(acc["ans"]).alias("ans"),
+        )
+
+    out = F.aggregate(indexed, acc0, step)
+    return F.when(total > 0, F.coalesce(out["ans"], hi))
+
+
+def finalize_agg_states(
+    states: DataFrame, keys: list[str], quantiles: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
     """Derive the served metrics from a state table: n, total, min, max,
-    avg (exact), n_distinct_est (HLL estimate).  Read-time only — states
-    stay mergeable forever."""
+    avg (exact), n_distinct_est (HLL estimate), p{q} (histogram-state
+    quantile estimates).  Read-time only — states stay mergeable forever."""
     cols = [F.col(k) for k in keys]
     have = set(states.columns)
     if "state_count" in have:
@@ -206,6 +285,10 @@ def finalize_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
         cols.append(F.col("state_max").alias("max_value"))
     if "state_hll" in have:
         cols.append(F.hll_sketch_estimate("state_hll").alias("n_distinct_est"))
+    if "state_hist" in have:
+        for q in quantiles:
+            name = f"p{int(round(q * 100))}"
+            cols.append(_hist_quantile(F.col("state_hist"), q).alias(name))
     return states.select(*cols)
 
 

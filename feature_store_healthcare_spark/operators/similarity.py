@@ -451,3 +451,96 @@ def int8_quantize(
         .withColumn("q_max_abs_err", F.array_max(err))
         .drop("__v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: distributed Gram/covariance + PCA projection
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(df: DataFrame, emb_col: str = "embedding", dim: int = 64):
+    """Distributed Gram matrix ``X^T X`` (d×d) plus column sums and row
+    count — the sufficient statistics for covariance/PCA over an embedding
+    corpus, computed in ONE scan.
+
+    Each Arrow batch contributes a d×d partial via numpy BLAS
+    (``X^T X`` per batch — vectorized, not per-row), partials flatten to
+    d² (pos, val) rows and a tiny groupBy-sum merges them; only
+    O(batches·d²) numbers ever shuffle, never the corpus.  Driver
+    materializes d×d (64×64 = 32 KB) — the same legitimate small-side
+    collect as IVF centroids.
+
+    Returns ``(gram: np.ndarray[d,d], col_sums: np.ndarray[d], n: int)``.
+    """
+    d = dim
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            if len(x) == 0:
+                continue
+            g = x.T @ x  # BLAS
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "pos": range(d * d + d + 1),
+                    "val": np.concatenate([g.ravel(), s, [float(len(x))]]),
+                }
+            )
+
+    flat = df.select(emb_col).mapInPandas(partials, schema="pos long, val double")
+    merged = flat.groupBy("pos").agg(F.sum("val").alias("val")).collect()
+    vals = np.zeros(d * d + d + 1)
+    for r in merged:
+        vals[r["pos"]] = r["val"]
+    gram = vals[: d * d].reshape(d, d)
+    col_sums = vals[d * d : d * d + d]
+    n = int(vals[-1])
+    return gram, col_sums, n
+
+
+def pca_fit(df: DataFrame, emb_col: str = "embedding", dim: int = 64, k: int = 8):
+    """PCA over the embedding corpus from the one-scan Gram statistics:
+    covariance ``(G - n·μμ^T)/(n-1)`` → driver-side ``eigh`` on the d×d
+    matrix (d=64: microseconds).  Returns ``(components: np.ndarray[k,d],
+    explained_variance: np.ndarray[k], mean: np.ndarray[d])`` with
+    deterministic sign (each component's largest-|coefficient| entry is
+    made positive)."""
+    gram, sums, n = gram_matrix(df, emb_col, dim)
+    mean = sums / n
+    cov = (gram - np.outer(mean, mean) * n) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    for i in range(len(comps)):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return comps, w[order], mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: "np.ndarray",
+    mean: "np.ndarray",
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project every embedding onto the fitted components — a broadcast
+    matmul per Arrow batch (components ship in the UDF closure: k×d
+    floats), appended as ``array<double>``.  Pure map over the corpus
+    scan; the 100 TB projection pass shuffles nothing."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        y = (x - mu) @ comps.T
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, proj(F.col(emb_col)))

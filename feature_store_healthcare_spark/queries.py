@@ -4785,3 +4785,184 @@ def events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.burst_dedup(
         ev, ["user_id", "event_type"], "ts", min_gap_seconds=60, tie_col="event_id"
     )
+
+
+def _cov_oracle(d: int = 8) -> str:
+    sums = ",\n           ".join(
+        f"SUM(CAST(CAST(embedding[{i+1}] AS DOUBLE) AS DECIMAL(30,12))) AS s{i}"
+        for i in range(d)
+    )
+    prods = ",\n           ".join(
+        f"SUM(CAST(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE)"
+        f" AS DECIMAL(30,12))) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n, ROUND((CAST(p{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / (n - 1), 6)"
+        f" AS cov FROM a"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return f"""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+           {sums},
+           {prods}
+      FROM embeddings
+    )
+    {rows}
+    """
+
+
+@query("embedding_covariance_stats", _cov_oracle())
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ exact sample covariance of the first 8 embedding dimensions in
+    ONE corpus scan — the verification slice of the full d×d Gram/PCA
+    path (similarity.gram_matrix / pca_fit, which BLAS-accumulates all
+    64² moments per Arrow batch; this 8-dim slice is expressed as plain
+    decimal-sum aggregates so an external engine can reproduce it
+    bit-for-bit).  Long format (i, j, n, cov), i ≤ j.
+
+    Plan note: moments are exploded to (i, j, term) rows and summed by a
+    single generic hash aggregate instead of 45 parallel decimal agg
+    expressions — the wide form codegen-compiles for ~7 s regardless of
+    data size (measured), the long form compiles instantly and its 36×
+    row expansion partial-aggregates away before the shuffle."""
+    d = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = [F.col("embedding")[i].cast("double") for i in range(d)]
+    # (i, j, xi*xj) pair terms; (i, -1, xi) sum terms; (-1, -1, 1) count
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                (x[i] * x[j]).cast("decimal(30,12)").alias("term"),
+            )
+            for i in range(d)
+            for j in range(i, d)
+        ],
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(-1).alias("j"),
+                x[i].cast("decimal(30,12)").alias("term"),
+            )
+            for i in range(d)
+        ],
+        F.struct(
+            F.lit(-1).alias("i"),
+            F.lit(-1).alias("j"),
+            F.lit(1).cast("decimal(30,12)").alias("term"),
+        ),
+    )
+    sums = (
+        emb.select(F.explode(cells).alias("c"))
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.term").alias("t"))
+    )
+    n_df = sums.where((F.col("i") == -1)).select(
+        F.col("t").cast("bigint").alias("n")
+    )
+    s_df = sums.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("t").cast("double").alias("s")
+    )
+    pairs = sums.where(F.col("j") >= 0)
+    si = s_df.select(F.col("k").alias("i"), F.col("s").alias("si"))
+    sj = s_df.select(F.col("k").alias("j"), F.col("s").alias("sj"))
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(
+                (
+                    F.col("t").cast("double")
+                    - F.col("si") * F.col("sj") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def _hist_quantile_oracle(lo=0.0, hi=500.0, bins=50, qs=(0.5, 0.95)) -> str:
+    width = (hi - lo) / bins
+    per_q = []
+    for q in qs:
+        name = f"p{int(round(q * 100))}"
+        per_q.append(
+            f"""
+    sel_{name} AS (
+      SELECT event_type, i, c, prev_cum, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i) AS rn
+      FROM cum
+      WHERE CAST(cum AS DOUBLE) >= CAST({q} AS DOUBLE) * total AND c > 0
+    ),
+    val_{name} AS (
+      SELECT event_type,
+             ROUND(LEAST({lo} + (i + (CAST({q} AS DOUBLE) * total - prev_cum) / c)
+                         * {width}, {hi}), 6) AS {name}
+      FROM sel_{name} WHERE rn = 1
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN val_p{int(round(q * 100))} USING (event_type)" for q in qs
+    )
+    names = ", ".join(f"p{int(round(q * 100))}" for q in qs)
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(CAST(value AS DOUBLE) / {width}), 0),
+                        {bins - 1}) AS BIGINT) AS i,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, 2
+    ),
+    cum AS (
+      SELECT event_type, i, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY i) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY i) - c
+                  AS DOUBLE) AS prev_cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS total
+      FROM b
+    ),{','.join(per_q)}
+    SELECT event_type, CAST(t.total AS BIGINT) AS n, {names}
+    FROM (SELECT event_type, ANY_VALUE(total) AS total FROM cum GROUP BY 1) t
+    {joins}
+    """
+
+
+@query("value_quantile_sketch", _hist_quantile_oracle())
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ mergeable-histogram quantile estimates (p50/p95 of events.value
+    per event type) via the IVM 'hist' state
+    (maintenance.incremental_agg → finalize_agg_states) — the
+    incremental twin of exact percentiles: bucket counts are mergeable
+    across batches/partitions forever, quantiles derive at read time with
+    ≤ one-bucket-width error.  Exact-integer counts make the estimate
+    bit-deterministic, so an external engine can reproduce it."""
+    from feature_store_healthcare_spark import maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    st = maintenance.incremental_agg(
+        ev,
+        ["event_type"],
+        "value",
+        specs=["count", "hist"],
+        hist_lo=0.0,
+        hist_hi=500.0,
+        hist_bins=50,
+    )
+    fin = maintenance.finalize_agg_states(st, ["event_type"], quantiles=(0.5, 0.95))
+    return fin.select(
+        "event_type",
+        "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )

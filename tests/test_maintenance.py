@@ -8,6 +8,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import maintenance
@@ -147,3 +148,82 @@ def test_merge_agg_states_associative_and_handles_new_keys(spark):
     )
     row = {r.grp: r for r in maintenance.finalize_agg_states(merged, ["grp"]).collect()}[99]
     assert row.n == 1 and row.total == 1.0 and row.min_value == 1.0
+
+
+class TestHistQuantileState:
+    """The mergeable fixed-edge histogram state ('hist' spec) and its
+    read-time quantile estimates."""
+
+    def _batches(self, spark, seed=3, nb=4, n=300):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            Row(grp=f"g{i % 2}", v=rng.uniform(0.0, 100.0)) for i in range(nb * n)
+        ]
+        chunk = len(rows) // nb
+        return [
+            spark.createDataFrame(rows[i * chunk : (i + 1) * chunk])
+            for i in range(nb)
+        ], rows
+
+    def test_merged_hist_equals_full_recompute(self, spark):
+        batches, rows = self._batches(spark)
+        full = spark.createDataFrame(rows)
+        kw = dict(specs=["count", "hist"], hist_lo=0.0, hist_hi=100.0, hist_bins=50)
+        running = maintenance.incremental_agg(batches[0], ["grp"], "v", **kw)
+        for b in batches[1:]:
+            running = maintenance.merge_agg_states(
+                running, maintenance.incremental_agg(b, ["grp"], "v", **kw), ["grp"]
+            )
+        direct = maintenance.incremental_agg(full, ["grp"], "v", **kw)
+        got = {r["grp"]: r["state_hist"] for r in running.collect()}
+        want = {r["grp"]: r["state_hist"] for r in direct.collect()}
+        assert got == want
+
+    def test_quantile_estimate_close_to_exact(self, spark):
+        batches, rows = self._batches(spark)
+        kw = dict(specs=["count", "hist"], hist_lo=0.0, hist_hi=100.0, hist_bins=50)
+        states = maintenance.incremental_agg(batches[0], ["grp"], "v", **kw)
+        for b in batches[1:]:
+            states = maintenance.merge_agg_states(
+                states, maintenance.incremental_agg(b, ["grp"], "v", **kw), ["grp"]
+            )
+        out = {
+            r["grp"]: r
+            for r in maintenance.finalize_agg_states(
+                states, ["grp"], quantiles=(0.5, 0.95)
+            ).collect()
+        }
+        import statistics
+
+        by_grp = {}
+        for r in rows:
+            by_grp.setdefault(r.grp, []).append(r.v)
+        for g, vs in by_grp.items():
+            vs.sort()
+            exact_p50 = statistics.quantiles(vs, n=100)[49]
+            exact_p95 = statistics.quantiles(vs, n=100)[94]
+            # bucket width is 2.0 -> estimate within one bucket of exact
+            assert abs(out[g]["p50"] - exact_p50) <= 2.0
+            assert abs(out[g]["p95"] - exact_p95) <= 2.0
+
+    def test_hist_edges(self, spark):
+        # all mass in one value: every quantile collapses to that bucket
+        df = spark.createDataFrame([Row(grp="a", v=10.0)] * 20)
+        st = maintenance.incremental_agg(
+            df, ["grp"], "v", specs=["hist"], hist_lo=0.0, hist_hi=100.0,
+            hist_bins=10,
+        )
+        r = maintenance.finalize_agg_states(st, ["grp"], quantiles=(0.5,)).collect()[0]
+        assert 10.0 <= r["p50"] <= 20.0
+        # out-of-range values clamp to the end buckets, never lost
+        df2 = spark.createDataFrame(
+            [Row(grp="a", v=-5.0), Row(grp="a", v=500.0)]
+        )
+        st2 = maintenance.incremental_agg(
+            df2, ["grp"], "v", specs=["count", "hist"], hist_lo=0.0,
+            hist_hi=100.0, hist_bins=10,
+        )
+        row = st2.collect()[0]
+        assert sum(row["state_hist"]["counts"]) == row["state_count"] == 2
