@@ -57,6 +57,15 @@ HEADLINE = [
     "decayed_engagement_counters",
     "bigram_lm_fluency",
     "data_quality_expectations",
+    # round-2 additions: chunking, vocab, skew pre-flight, burst dedup,
+    # covariance slice, mergeable-histogram quantiles
+    "rag_chunk_documents",
+    "vocab_top_coverage",
+    "join_key_skew_profile",
+    "events_burst_dedup",
+    "embedding_covariance_stats",
+    "value_quantile_sketch",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -253,3 +253,52 @@ def resize_images(
     return media.withColumn(
         "meta", F.when(F.col("kind") == "image", new_meta).otherwise(F.col("meta"))
     )
+
+
+def frame_signatures(
+    media: DataFrame, every: int = 10, window: int = 64
+) -> DataFrame:
+    """Per-sampled-frame content signature (the perceptual-hash analog on
+    the stubbed codec): each kept frame hashes a ``window``-byte slice of
+    the payload at its frame offset.  With a real codec the md5-of-slice
+    becomes pHash-of-decoded-frame; the plan shape — metadata explode,
+    payload sliced JVM-side, NO Python in the loop — is the production
+    one either way.
+
+    Output: (media_id, frame_idx, sig).  Entirely codegen (explode +
+    substr + md5); payload bytes never leave the JVM.
+    """
+    vids = media.where(F.col("kind") == "video")
+    payload = F.decode(F.col("content"), "UTF-8")
+    frames = vids.select(
+        "media_id",
+        payload.alias("__payload"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    )
+    sig = F.md5(
+        F.col("__payload").substr(F.col("frame_idx") + 1, F.lit(window))
+    )
+    return frames.select("media_id", "frame_idx", sig.alias("sig"))
+
+
+def frame_dedup_groups(frames: DataFrame) -> DataFrame:
+    """Cross-video duplicate-frame groups: frames sharing a signature,
+    with a deterministic keeper (lexicographically smallest
+    (media_id, frame_idx)).  One partial-aggregatable groupBy on the
+    hash-uniform signature — the same no-skew shuffle shape as exact doc
+    dedup (OP-48), applied at frame granularity."""
+    keeper = F.min(F.struct("media_id", "frame_idx")).alias("__k")
+    out = frames.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+        keeper,
+    )
+    return out.where(F.col("n_frames") > 1).select(
+        "sig",
+        "n_frames",
+        "n_media",
+        F.col("__k.media_id").alias("keeper_media_id"),
+        F.col("__k.frame_idx").alias("keeper_frame_idx"),
+    )

@@ -4966,3 +4966,42 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50", 6).alias("p50"),
         F.round("p95", 6).alias("p95"),
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MEDIA_KIND_SQL} AS kind,
+             length(text) % 240 + 24 AS n_frames, text
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, UNNEST(range(0, n_frames, 10)) AS frame_idx, text
+      FROM media WHERE kind = 'video'
+    ),
+    s AS (
+      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             md5(substr(text, CAST(frame_idx + 1 AS INTEGER), 64)) AS sig
+      FROM f
+    ),
+    g AS (
+      SELECT sig, COUNT(*) AS n_frames, COUNT(DISTINCT media_id) AS n_media,
+             MIN({{'media_id': media_id, 'frame_idx': frame_idx}}) AS k
+      FROM s GROUP BY sig
+    )
+    SELECT sig, n_frames, n_media,
+           k.media_id AS keeper_media_id, k.frame_idx AS keeper_frame_idx
+    FROM g WHERE n_frames > 1
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52 × OP-48: cross-video duplicate-frame detection — sampled
+    frames hash a payload slice JVM-side (multimodal.frame_signatures;
+    pHash stand-in on the stubbed codec) and collide into dedup groups
+    with a deterministic keeper (multimodal.frame_dedup_groups).  The
+    shuffle key is the hash-uniform signature: no skew at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media_table(docs)
+    frames = multimodal.frame_signatures(media, every=10, window=64)
+    return multimodal.frame_dedup_groups(frames)

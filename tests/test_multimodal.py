@@ -114,3 +114,35 @@ def test_resize_rewrites_image_meta_only(media):
     assert [(r.width, r.height) for r in img] == [(32, 48)]
     aud = out.where(F.col("kind") == "audio").select("meta.sample_rate").distinct().collect()
     assert [r.sample_rate for r in aud] == [16_000]
+
+
+class TestFrameDedup:
+    def test_identical_payloads_collide(self, spark):
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=2, text="the same video payload " * 20),
+                Row(doc_id=5, text="the same video payload " * 20),
+                Row(doc_id=8, text="a completely different clip " * 20),
+            ]
+        )
+        media = multimodal.synthesize_media_table(docs)
+        frames = multimodal.frame_signatures(media, every=10, window=64)
+        groups = multimodal.frame_dedup_groups(frames).collect()
+        # docs 2 and 5 are identical payloads -> every sampled frame pair
+        # collides across the two videos; keeper is the smaller media_id
+        cross = [g for g in groups if g["n_media"] == 2]
+        assert cross and all(g["keeper_media_id"] == 2 for g in cross)
+
+    def test_signatures_are_deterministic_and_jvm_side(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        media = multimodal.synthesize_media_table(docs)
+        a = multimodal.frame_signatures(media).collect()
+        b = multimodal.frame_signatures(media.repartition(5)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # no Python evaluation in the plan
+        from feature_store_healthcare_spark import plans
+
+        plan = plans.physical_plan(multimodal.frame_signatures(media))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
