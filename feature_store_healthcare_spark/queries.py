@@ -5005,3 +5005,82 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media_table(docs)
     frames = multimodal.frame_signatures(media, every=10, window=64)
     return multimodal.frame_dedup_groups(frames)
+
+
+@query(
+    "temperature_domain_sample",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS ntot,
+             CAST(SUM(CAST(POW(CAST(n AS DOUBLE), 1.0/2.0) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS z
+      FROM counts
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, 0.5 * ntot * POW(CAST(n AS DOUBLE), 1.0/2.0) / (z * n))
+               AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS accept_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate >= 1.0
+       OR substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(hex(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    """,
+)
+def temperature_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ temperature-weighted domain mixture (T=2, target 50% of the
+    corpus): the mixture flattens toward uniform — small sources keep a
+    higher share — via the deterministic md5 threshold
+    (sampling.temperature_sample).  One tiny per-source count, one
+    broadcast join, one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.temperature_sample(
+        docs, "source", "doc_id", temperature=2.0, target_frac=0.5, salt="temp"
+    )
+
+
+@query(
+    "inverse_value_lookup",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_entities,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+             AS entity_ids
+    FROM latest WHERE rn = 1
+    GROUP BY event_type, CAST(FLOOR(value / 100.0) AS BIGINT)
+    """,
+)
+def inverse_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ reverse feature index: value-bucket → entity posting lists over
+    the LATEST EAV state ("which users currently hold value ≈ X for
+    feature F" — the inverse of a point-get; the reference can only scan
+    its dict, feature_store.py).  Built from the same partial-agg argmax
+    as eav_latest_per_key plus one hash-uniform groupBy; posting lists
+    are sorted+joined for deterministic comparison."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    latest = latest_per_key(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    bucket = F.floor(F.col("value") / 100.0).cast("bigint")
+    return (
+        latest.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("user_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("entity_ids"),
+        )
+    )

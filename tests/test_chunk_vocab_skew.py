@@ -167,3 +167,48 @@ class TestBurstDedup:
             ).collect()
         }
         assert kept == {1}
+
+
+class TestTemperatureSample:
+    def test_t1_is_plain_rate(self, spark):
+        """T=1 -> every domain gets the same acceptance rate target_frac."""
+        from feature_store_healthcare_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        rows = [Row(k=i, g="a" if i % 4 else "b") for i in range(400)]
+        df = spark.createDataFrame(rows)
+        out = temperature_sample(
+            df, "g", "k", temperature=1.0, target_frac=0.5
+        )
+        rates = {r["g"]: r["accept_rate"] for r in out.select("g", "accept_rate").distinct().collect()}
+        assert rates["a"] == rates["b"] == 0.5
+
+    def test_high_temperature_upweights_small_domain(self, spark):
+        from feature_store_healthcare_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        rows = [Row(k=i, g="big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows)
+        out = temperature_sample(df, "g", "k", temperature=2.0, target_frac=0.3)
+        rates = {
+            r["g"]: r["accept_rate"]
+            for r in out.select("g", "accept_rate").distinct().collect()
+        }
+        # small domain must be accepted at a strictly higher rate
+        assert rates["small"] > rates["big"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from feature_store_healthcare_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        rows = [Row(k=i, g=f"g{i % 5}") for i in range(500)]
+        df = spark.createDataFrame(rows)
+        a = {r["k"] for r in temperature_sample(df, "g", "k").collect()}
+        b = {
+            r["k"]
+            for r in temperature_sample(df.repartition(13), "g", "k").collect()
+        }
+        assert a == b and a

@@ -76,3 +76,53 @@ def test_pca_sign_deterministic(xdf):
     np.testing.assert_allclose(c1, c2, atol=1e-9)
     for c in c1:
         assert c[np.argmax(np.abs(c))] > 0
+
+
+def test_pca_topk_recall_vs_exact(spark):
+    """Two-stage PCA ANN on the driver embeddings: recall@5 vs the exact
+    brute-force path must be high — PCA keeps most variance of the 64-dim
+    synthetic vectors (the worst case: near-flat spectrum, 65% variance
+    in 32/64 dims) must still be high with an 8× re-rank pool."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, emb, k=5)
+    approx = similarity.pca_topk(q, emb, k=5, pca_dim=32, rerank_factor=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert e, "exact result empty"
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"PCA-ANN recall {recall:.2f} too low"
+    # re-ranked scores are EXACT cosines: any overlapping pair agrees
+    ex = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id): r.cosine for r in approx.collect()}
+    for key in set(ex) & set(ap):
+        assert abs(ex[key] - ap[key]) < 1e-12
+
+
+def test_pca_topk_reusable_index(spark):
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    comps, _, mean = similarity.pca_fit(emb, "embedding", dim=64, k=32)
+    proj = similarity.pca_project(
+        emb, comps, mean, emb_col="embedding", out_col="__p"
+    ).select(F.col("vec_id").alias("__cid"), "__p", "embedding")
+    a = similarity.pca_topk(q, emb, k=5, pca_dim=32).collect()
+    b = similarity.pca_topk(
+        q, emb, k=5, pca_dim=32, components=comps, mean=mean,
+        projected_corpus=proj,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
