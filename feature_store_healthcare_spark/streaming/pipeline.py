@@ -379,3 +379,71 @@ def read_cdc_state(
         .where(F.col(op_col) != cdc.DELETE_OP)
         .drop(op_col)
     )
+
+
+THROTTLE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_THROTTLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_us", T.LongType())]
+)
+
+
+def streaming_burst_throttle(
+    stream: DataFrame,
+    min_gap_seconds: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``dedup.burst_dedup`` (gap-based telemetry
+    throttle): drop an event arriving < ``min_gap_seconds`` after the
+    previous RAW event of the same (user, type) — the same
+    gap-vs-previous-event semantics as the batch lag window, carried
+    across micro-batches by one tiny state row (last seen event time) per
+    key via ``applyInPandasWithState``.
+
+    For in-order delivery the emitted set is IDENTICAL to the batch twin
+    (pinned by test); out-of-order rows inside a micro-batch are locally
+    sorted first, and the watermark bounds how late input may arrive.
+    State is one long per key — sharded with the groupBy key.
+    """
+    import pandas as pd  # executors import their own
+
+    gap_us = min_gap_seconds * 1_000_000
+
+    def update(key_tuple, pdfs, state):
+        last_us = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                us = int(row["ts"].value // 1_000)
+                if last_us is None or us - last_us >= gap_us:
+                    out.append(row)
+                last_us = us
+        if last_us is not None:
+            state.update((last_us,))
+        cols = [f.name for f in THROTTLE_OUT_SCHEMA.fields]
+        yield (
+            pd.DataFrame(out)[cols]
+            if out
+            else pd.DataFrame({c: [] for c in cols})
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=THROTTLE_OUT_SCHEMA,
+            stateStructType=_THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -352,3 +352,51 @@ def test_streaming_cdc_apply_matches_batch_fold(spark, tmp_path):
     # the tombstone did its job: user 1 stays deleted despite the late 99.0
     assert [r.user_id for r in got] == [2]
     assert got[0].value == 8.0
+
+
+def test_streaming_burst_throttle_matches_batch_twin(spark, tmp_path):
+    """Gap throttle across micro-batches equals the batch lag-window dedup
+    for in-order delivery — state (last raw ts per key) survives the
+    batch boundary, so an event early in batch 2 that follows an event
+    late in batch 1 within the gap is dropped."""
+    from feature_store_healthcare_spark.operators.dedup import burst_dedup
+
+    d = tmp_path / "throttle_in"
+    d.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:00:30", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:02:00", "user_id": 1, "event_type": "a", "value": 3.0, "props": "{}"},
+    ]
+    # batch 2 starts 20 s after batch 1's last event -> must be dropped,
+    # which only happens if state crossed the micro-batch boundary
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01T10:02:20", "user_id": 1, "event_type": "a", "value": 4.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T10:04:00", "user_id": 1, "event_type": "a", "value": 5.0, "props": "{}"},
+        {"event_id": 6, "ts": "2024-01-01T10:04:10", "user_id": 2, "event_type": "a", "value": 6.0, "props": "{}"},
+    ]
+    for name, rows in [("b1.json", batch1), ("b2.json", batch2)]:
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = sp.stream_events(spark, str(d), max_files_per_trigger=1)
+    out = sp.streaming_burst_throttle(stream, min_gap_seconds=60)
+    _run_available_now(
+        out.writeStream.format("memory").queryName("throttle_out").outputMode("append"),
+        tmp_path,
+        "throttle",
+    )
+    got = {r.event_id for r in spark.table("throttle_out").collect()}
+
+    batch = (
+        spark.read.schema(sp.EVENTS_STREAM_SCHEMA)
+        .json(str(d))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    want = {
+        r.event_id
+        for r in burst_dedup(
+            batch, ["user_id", "event_type"], "ts", 60, tie_col="event_id"
+        ).collect()
+    }
+    assert got == want
+    assert got == {1, 3, 5, 6}  # 2 (30s) and 4 (20s, across the boundary) drop
