@@ -66,6 +66,10 @@ HEADLINE = [
     "embedding_covariance_stats",
     "value_quantile_sketch",
     "multimodal_frame_dedup",
+    "temperature_domain_sample",
+    "inverse_value_lookup",
+    "hashed_tf_vectors",
+    "dedup_incremental_minhash",
 ]
 
 

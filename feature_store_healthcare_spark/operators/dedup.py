@@ -498,3 +498,71 @@ def burst_dedup(
     prev = F.lag(secs).over(w)
     gap_ok = prev.isNull() | (secs - prev >= F.lit(min_gap_seconds))
     return df.withColumn("__keep", gap_ok).where(F.col("__keep")).drop("__keep")
+
+
+def _banded_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Fold a wide minhash signature into (id, band, bkey) rows."""
+    rows_per_band = num_hashes // bands
+    band_entries = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)
+        ]
+        band_entries.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
+    ).select(id_col, "b.band", "b.bkey")
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW batch × EXISTING corpus only —
+    the join every continuously-ingested corpus runs per arrival batch
+    (dedup the delta against history; never re-pair history with itself).
+
+    Same banded signatures as :func:`minhash_lsh_pairs`, but the equi-join
+    is strictly cross-set, so the work per day is O(|new|·bands) probe
+    rows against the persisted corpus band table — at 100 TB the corpus
+    side is a bucketed stored index, the new side broadcasts when small.
+    Returns distinct (new_id, corpus_id).
+    """
+    assert num_hashes % bands == 0
+    new_b = _banded_signatures(
+        minhash_signatures(new_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
+        id_col, num_hashes, bands,
+    ).alias("l")
+    corp_b = _banded_signatures(
+        minhash_signatures(corpus_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
+        id_col, num_hashes, bands,
+    ).alias("r")
+    # the DELTA is the small side by construction — broadcast it so the
+    # persisted corpus band table is probed in place, never shuffled
+    return (
+        corp_b.join(
+            F.broadcast(new_b),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )

@@ -284,3 +284,32 @@ def vocab_coverage(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
             F.round(F.col("__cum") / F.col("__total"), 6).alias("cum_frac"),
         )
     )
+
+
+def hashed_tf(
+    df: DataFrame, id_col: str, text_col: str, prefix_chars: int = 2
+) -> DataFrame:
+    """Feature hashing (the HashingTF trick) in pure SQL: each token maps
+    to one of ``16^prefix_chars`` dimensions by its md5 prefix — no
+    vocabulary build, no fit step, fixed output width at any corpus size,
+    and the hex-string dimension label is reproducible in any engine with
+    md5 (no hex→int conversion, which engines spell differently).
+
+    Output is the long/sparse form (id, dim, tf, tf_l2) — the right
+    representation at scale (a 100 TB corpus materializes only occupied
+    cells) and what a sparse linear model or an inverted index consumes.
+    One token explode → one partial-aggregatable count → one per-doc
+    window for the L2 norm.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    )
+    tf = toks.groupBy(
+        id_col, F.substring(F.md5("__tok"), 1, prefix_chars).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w))
+    return tf.withColumn("tf_l2", F.round(F.col("tf") / norm, 6))

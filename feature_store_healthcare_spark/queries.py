@@ -5084,3 +5084,68 @@ def inverse_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entity_ids"),
         )
     )
+
+
+@query(
+    "hashed_tf_vectors",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, substr(md5(tok), 1, 2) AS dim, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, substr(md5(tok), 1, 2)
+    )
+    SELECT doc_id, dim, tf,
+           ROUND(tf / SQRT(SUM(tf * tf) OVER (PARTITION BY doc_id)), 6)
+             AS tf_l2
+    FROM tf
+    """,
+)
+def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ feature-hashed sparse TF vectors (256 dims via 2-hex-char md5
+    buckets, L2-normalized) — text.hashed_tf; the vocabulary-free
+    vectorization a sparse classifier or inverted index consumes.  Long
+    form only: occupied cells materialize, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_tf(docs, "doc_id", "text", prefix_chars=2)
+
+
+def _incr_minhash_oracle(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows = num_hashes // bands
+    shingle = "concat_ws(' ', t[i], t[i+1], t[i+2])"
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {shingle} AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i)
+    ),
+    mh AS (
+      SELECT doc_id, h, MIN(substr(md5(concat(h, ':', shingle)), 1, 16)) AS mhv
+      FROM sh, LATERAL (SELECT UNNEST(range(0, {num_hashes})) AS h)
+      GROUP BY doc_id, h
+    ),
+    banded AS (
+      SELECT doc_id, h // {rows} AS band,
+             md5(string_agg(mhv, '|' ORDER BY h)) AS bkey
+      FROM mh GROUP BY doc_id, h // {rows}
+    )
+    SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+    FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+    WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+    """
+
+
+@query("dedup_incremental_minhash", _incr_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ incremental corpus dedup: today's arrival batch (doc_id % 5 = 0
+    stands in for the delta) LSH-probed against the existing corpus only —
+    dedup.minhash_lsh_pairs_cross.  The delta broadcasts; the persisted
+    corpus band table is probed in place, so daily cost is O(|delta|),
+    never O(|corpus|²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_pairs_cross(
+        new, corpus, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    )

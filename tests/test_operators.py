@@ -524,3 +524,32 @@ def test_funnel_strict_ordering(spark, sf_dir):
     assert got[1] == (1, 0, 0)
     assert got[2] == (1, 1, 1)
     assert got[3] == (1, 1, 0)
+
+
+def test_incremental_minhash_cross_set_only(spark, sf_dir):
+    """Cross-set LSH: every pair is (new, corpus) — never corpus×corpus or
+    new×new — and the pair set equals the full self-join's pairs filtered
+    to cross-set membership (same signatures, same bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    cross = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.minhash_lsh_pairs_cross(
+            new, corpus, "doc_id", "text", portable=True
+        ).collect()
+    }
+    assert cross, "expected near-dup candidates across the split"
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in cross)
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", portable=True
+        ).collect()
+    }
+    want = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in full
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert cross == want
