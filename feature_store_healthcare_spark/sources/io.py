@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from feature_store_healthcare_spark.session import configure
@@ -68,3 +69,56 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def align_schemas(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted (columns added/dropped over
+    time): ``unionByName(allowMissingColumns=True)`` folds them into the
+    superset schema with NULLs where a frame lacks a column — the standard
+    read-side answer to append-era schema evolution on plain parquet
+    (write-side, parquet readers handle added columns natively via
+    ``mergeSchema``).  Column ORDER is by first appearance; types must be
+    compatible (Spark resolves by name, errors on true conflicts — which
+    is what you want: silent coercion hides corruption)."""
+    if not dfs:
+        raise ValueError("align_schemas needs at least one frame")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-edge JSON read with malformed-row quarantine: PERMISSIVE mode
+    parses what it can and captures unparseable lines in ``corrupt_col``;
+    the split returns (good_rows_without_the_column, quarantined_lines).
+    The quarantine side keeps the raw line for replay after a fix — the
+    file-level twin of the registry's per-value quarantine
+    (registry.ingest_values_df).
+
+    Spark requires the corrupt column to be declared in the schema AND the
+    parsed frame to be cached before filtering on it (the column is
+    populated only while parsing; filtering an uncached lazy plan on it is
+    undefined) — both handled here so callers can't hold it wrong.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in [f.name for f in schema.fields]:
+        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+    configure(spark)
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

@@ -93,3 +93,43 @@ def test_register_views_enables_raw_sql(spark, sf_dir):
     # events view carries the nanos→micros normalization
     ts_type = dict(spark.table("events").dtypes)["ts"]
     assert ts_type == "timestamp_ntz"
+
+
+class TestSchemaDriftAndQuarantine:
+    def test_align_schemas_supersets_with_nulls(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.sources.io import align_schemas
+
+        era1 = spark.createDataFrame([Row(a=1, b="x")])
+        era2 = spark.createDataFrame([Row(a=2, c=3.5)])
+        era3 = spark.createDataFrame([Row(c=9.0, b="y", a=7)])
+        out = align_schemas([era1, era2, era3])
+        assert set(out.columns) == {"a", "b", "c"}
+        rows = {r["a"]: r for r in out.collect()}
+        assert rows[1]["c"] is None and rows[1]["b"] == "x"
+        assert rows[2]["b"] is None and rows[2]["c"] == 3.5
+        assert rows[7]["b"] == "y" and rows[7]["c"] == 9.0
+
+    def test_read_json_quarantine_splits(self, spark, tmp_path):
+        from feature_store_healthcare_spark.sources.io import (
+            read_json_quarantine,
+        )
+
+        p = tmp_path / "in.json"
+        p.write_text(
+            "\n".join(
+                [
+                    '{"id": 1, "v": 2.0}',
+                    "this is not json at all",
+                    '{"id": 3, "v": 4.0}',
+                    '{"id": 5, "v": }',
+                ]
+            )
+        )
+        good, bad = read_json_quarantine(spark, str(p), "id bigint, v double")
+        g = sorted((r["id"], r["v"]) for r in good.collect())
+        assert g == [(1, 2.0), (3, 4.0)]
+        raw = {r["raw_line"] for r in bad.collect()}
+        assert raw == {"this is not json at all", '{"id": 5, "v": }'}
+        assert "_corrupt_record" not in good.columns
