@@ -70,6 +70,8 @@ HEADLINE = [
     "inverse_value_lookup",
     "hashed_tf_vectors",
     "dedup_incremental_minhash",
+    "duplicate_span_report",
+    "training_serving_skew",
 ]
 
 

@@ -566,3 +566,38 @@ def minhash_lsh_pairs_cross(
         )
         .distinct()
     )
+
+
+def span_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 12,
+) -> DataFrame:
+    """Substring-level duplication report (the bounded form of
+    suffix-array exact-substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every ``span_tokens``
+    sliding window that recurs in MORE THAN ONE document, with occurrence
+    and document counts — the memorization-risk spans a span-removal pass
+    would cut.
+
+    Plan: token slide (same in-row expression shape as shingles, stride
+    1, occurrences NOT deduped) → md5 → one partial-aggregatable groupBy
+    on the hash-uniform span key.  Rows explode ×tokens/doc exactly like
+    the shingle paths; nothing else shuffles.  Output: (span_hash,
+    n_docs, n_occurrences), cross-document spans only.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - span_tokens, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " "),
+    )
+    long = df.select(F.col(id_col), F.explode(spans).alias("span"))
+    return (
+        long.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -5149,3 +5149,95 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_cross(
         new, corpus, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
     )
+
+
+_SKEW_BUCKET_SQL = (
+    "CASE WHEN s.vmax = s.vmin THEN 0 ELSE "
+    "LEAST(GREATEST(CAST(FLOOR(((x.value - s.vmin) / (s.vmax - s.vmin)) * 10) "
+    "AS INT), 0), 9) END"
+)
+
+
+@query(
+    "training_serving_skew",
+    f"""
+    WITH train AS (
+      SELECT click_value AS value FROM ({_PIT_JOIN_SQL}) p
+      WHERE click_value IS NOT NULL
+    ),
+    online AS (
+      SELECT value FROM (
+        SELECT value, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    s AS (SELECT 'click_value' AS feature, MIN(value) AS vmin, MAX(value) AS vmax
+          FROM train),
+    be AS (SELECT s.feature, {_SKEW_BUCKET_SQL} AS bucket FROM train x, s),
+    ba AS (SELECT s.feature, {_SKEW_BUCKET_SQL} AS bucket FROM online x, s),
+    ce AS (SELECT feature, bucket, COUNT(*) AS cnt_e FROM be GROUP BY feature, bucket),
+    ca AS (SELECT feature, bucket, COUNT(*) AS cnt_a FROM ba GROUP BY feature, bucket),
+    grid AS (
+      SELECT s.feature, r.i AS bucket,
+             COALESCE(ce.cnt_e, 0) AS cnt_e, COALESCE(ca.cnt_a, 0) AS cnt_a
+      FROM s CROSS JOIN (SELECT UNNEST(range(0, 10)) AS i) r
+      LEFT JOIN ce ON ce.feature = s.feature AND ce.bucket = r.i
+      LEFT JOIN ca ON ca.feature = s.feature AND ca.bucket = r.i
+    ),
+    t AS (SELECT feature, CAST(SUM(cnt_e) AS BIGINT) AS tot_e,
+                 CAST(SUM(cnt_a) AS BIGINT) AS tot_a
+          FROM grid GROUP BY feature)
+    SELECT g.feature,
+           ROUND(SUM(((g.cnt_e + 0.5) / (t.tot_e + 5.0) - (g.cnt_a + 0.5) / (t.tot_a + 5.0))
+                 * LN(((g.cnt_e + 0.5) / (t.tot_e + 5.0)) / ((g.cnt_a + 0.5) / (t.tot_a + 5.0)))), 6) AS psi,
+           MAX(t.tot_e) AS n_expected, MAX(t.tot_a) AS n_actual
+    FROM grid g JOIN t ON g.feature = t.feature
+    GROUP BY g.feature
+    """,
+)
+def training_serving_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ training-serving skew: PSI between the feature values the OFFLINE
+    training set actually joined (pit_training_join's click_value) and
+    the values the ONLINE store would serve right now (latest click per
+    user) — the classic MLOps parity check that catches a broken
+    transformation on either path.  Composes the oracle-checked PIT join,
+    latest-per-key argmax, and drift.psi; the binning/grid/smoothing
+    machinery is the same one feature_drift_psi verifies."""
+    ev = load_table(spark, sf_dir, "events")
+    training = pit_training_join(spark, sf_dir).where(
+        F.col("click_value").isNotNull()
+    ).select(F.lit("click_value").alias("feature"), F.col("click_value").alias("value"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    online = latest_per_key(
+        clicks, ["user_id"], "ts", tiebreak=["event_id"]
+    ).select(F.lit("click_value").alias("feature"), "value")
+    return drift.psi(training, online, ["feature"], "value", nbins=10)
+
+
+@query(
+    "duplicate_span_report",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(t[i : i + 11], ' ') AS span
+      FROM toks, LATERAL (SELECT UNNEST(range(1, greatest(len(t) - 11, 1) + 1)) AS i)
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM spans
+    GROUP BY md5(span)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-48/49 at substring granularity — dedup.span_duplicates: 12-token
+    sliding windows recurring across documents (bounded exact-substring
+    dedup; the memorization-risk spans).  One explode + one groupBy on the
+    hash-uniform span key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_duplicates(docs, "doc_id", "text", span_tokens=12)
