@@ -450,3 +450,116 @@ def test_pack_sequences_matches_naive(spark, rows, budget):
             want[doc_id] = (grp, seq, offset, offset // budget)
             offset += n_tok
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operators vs naive references
+# ---------------------------------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _normalize_py(s: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+@SETTINGS
+@given(texts=doc_texts, chunk=st.integers(2, 6), overlap=st.integers(0, 4))
+def test_chunking_matches_naive(spark, texts, chunk, overlap):
+    from feature_store_healthcare_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["n_chunks"], r["token_start"], r["chunk_token_count"], r["chunk_text"]
+        )
+        for r in chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _normalize_py(t).split(" ")
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(max(n - chunk, 0)) // stride))
+        for ci in range(n_chunks):
+            start = ci * stride
+            piece = toks[start : start + chunk]
+            want[(i, ci)] = (n_chunks, start, len(piece), " ".join(piece))
+    assert got == want
+
+
+@SETTINGS
+@given(texts=doc_texts)
+def test_hashed_tf_matches_naive(spark, texts):
+    import hashlib
+    import math as m
+
+    from feature_store_healthcare_spark.operators.text import hashed_tf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["dim"]): (r["tf"], r["tf_l2"])
+        for r in hashed_tf(df, "doc_id", "text", prefix_chars=2).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        counts: dict[str, int] = {}
+        for tok in _normalize_py(t).split(" "):
+            d = hashlib.md5(tok.encode()).hexdigest()[:2]
+            counts[d] = counts.get(d, 0) + 1
+        norm = m.sqrt(sum(v * v for v in counts.values()))
+        for d, v in counts.items():
+            want[(i, d)] = (v, round(v / norm, 6))
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[2],
+    ),
+    gap=st.integers(1, 120),
+)
+def test_burst_dedup_matches_naive(spark, rows, gap):
+    from feature_store_healthcare_spark.operators.dedup import burst_dedup
+
+    data = [
+        (eid, user, "t", BASE + timedelta(seconds=sec))
+        for user, sec, eid in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    kept = {
+        r["event_id"]
+        for r in burst_dedup(
+            df, ["user_id", "event_type"], "ts", gap, tie_col="event_id"
+        ).collect()
+    }
+    want = set()
+    by_key: dict[int, list] = {}
+    for user, sec, eid in rows:
+        by_key.setdefault(user, []).append((sec, eid))
+    for user, evs in by_key.items():
+        evs.sort()
+        prev = None
+        for sec, eid in evs:
+            if prev is None or sec - prev >= gap:
+                want.add(eid)
+            prev = sec
+    assert kept == want
