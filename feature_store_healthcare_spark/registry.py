@@ -400,6 +400,17 @@ class FeatureRegistry:
             feature.tags["deprecation_reason"] = reason  # ref :352
         return feature
 
+    def activate_feature(self, feature_id: str) -> Feature:
+        """Drop-in alias for the reference's API (ref :332-342) — same
+        transition, but through the legality check the reference lacks."""
+        return self.update_feature_status(feature_id, FeatureStatus.ACTIVE)
+
+    def deprecate_feature(self, feature_id: str, reason: str) -> Feature:
+        """Drop-in alias for the reference's API (ref :344-355)."""
+        return self.update_feature_status(
+            feature_id, FeatureStatus.DEPRECATED, reason=reason
+        )
+
     def create_feature_group(
         self, name: str, entity_type: str, feature_ids: list[str], description: str = ""
     ) -> FeatureGroup:

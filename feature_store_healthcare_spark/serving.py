@@ -427,6 +427,16 @@ class FeatureServer:
             "stale_features_served": self._stale_served,
         }
 
+    def reset_metrics(self) -> None:
+        """Drop-in alias for the reference's API (feature_server.py:
+        reset_metrics): zero the request/latency/staleness counters and
+        the cache hit/miss tallies."""
+        self._requests = 0
+        self._stale_served = 0
+        self._latencies = []
+        self._cache.hits = 0
+        self._cache.misses = 0
+
     def freshness_report(self, now: datetime | None = None) -> DataFrame:
         """OP-47: freshness classification over the whole online table —
         a plan, not a loop (when() CASE per SURVEY.md OP-36)."""

@@ -163,3 +163,44 @@ def test_interpolated_feature_rejects_non_numeric(spark):
     )
     with pytest.raises(ValueError, match="numeric"):
         srv.get_interpolated_features(spine, "note")
+
+
+def test_reference_api_aliases(spark, sf_dir):
+    """Drop-in parity with the reference's named methods:
+    activate/deprecate_feature on the registry (ref feature_registry.py:
+    332-355) and reset_metrics on the server (ref feature_server.py)."""
+    from feature_store_healthcare_spark.registry import (
+        FeatureRegistry,
+        FeatureSchema,
+        FeatureSource,
+        FeatureStatus,
+        FeatureValueType,
+    )
+
+    reg = FeatureRegistry(spark)
+    f = reg.register_feature(
+        name="alias_check",
+        schema=FeatureSchema(
+            name="alias_check",
+            value_type=FeatureValueType.FLOAT64,
+            description="",
+            category="lab",
+            entity_type="patient",
+        ),
+        source=FeatureSource(source_type="batch", source_location="/x"),
+        owner="t",
+    )
+    assert reg.activate_feature(f.feature_id).status is FeatureStatus.ACTIVE
+    d = reg.deprecate_feature(f.feature_id, "superseded")
+    assert d.status is FeatureStatus.DEPRECATED
+    assert d.tags["deprecation_reason"] == "superseded"
+
+    server = FeatureServer(reg)
+    server._requests = 5
+    server._latencies = [1.0, 2.0]
+    server._cache.hits = 3
+    server._cache.misses = 4
+    server.reset_metrics()
+    m = server.get_metrics()
+    assert m["total_requests"] == 0 and m["cache_hits"] == 0
+    assert m["avg_latency_ms"] == 0.0 and m["p99_latency_ms"] == 0.0
