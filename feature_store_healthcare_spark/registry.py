@@ -153,6 +153,20 @@ class FeatureSchema:
     validation_rules: list[str] = field(default_factory=list)
     embedding_dim: int | None = None  # engine extension: EMBEDDING dim check
 
+    def to_dict(self) -> dict[str, Any]:
+        """Serialization parity with ref :84-94 (category is a plain str
+        here, so no .value unwrap)."""
+        return {
+            "name": self.name,
+            "value_type": self.value_type.value,
+            "description": self.description,
+            "category": self.category,
+            "entity_type": self.entity_type,
+            "is_nullable": self.is_nullable,
+            "default_value": self.default_value,
+            "validation_rules": self.validation_rules,
+        }
+
 
 @dataclass
 class FeatureSource:
@@ -163,6 +177,16 @@ class FeatureSource:
     query: str | None = None
     transformation_logic: str | None = None
     refresh_frequency: str | None = None  # daily | hourly | realtime
+
+    def to_dict(self) -> dict[str, Any]:
+        """Serialization parity with ref :107-114."""
+        return {
+            "source_type": self.source_type,
+            "source_location": self.source_location,
+            "query": self.query,
+            "transformation_logic": self.transformation_logic,
+            "refresh_frequency": self.refresh_frequency,
+        }
 
 
 @dataclass
@@ -183,6 +207,27 @@ class Feature:
     phi_level: PHILevel = PHILevel.NONE
     access_roles: list[str] = field(default_factory=list)
     retention_days: int = 2555  # 7y HIPAA (ref :136)
+
+    def to_dict(self) -> dict[str, Any]:
+        """Serialization parity with ref :138-154 (phi_level is a typed
+        enum here — emitted as its string value, matching the reference's
+        raw-string field)."""
+        return {
+            "feature_id": self.feature_id,
+            "name": self.name,
+            "version": self.version,
+            "schema": self.schema.to_dict(),
+            "source": self.source.to_dict(),
+            "status": self.status.value,
+            "owner": self.owner,
+            "created_at": self.created_at.isoformat(),
+            "updated_at": self.updated_at.isoformat(),
+            "tags": self.tags,
+            "dependencies": self.dependencies,
+            "phi_level": self.phi_level.value,
+            "access_roles": self.access_roles,
+            "retention_days": self.retention_days,
+        }
 
 
 @dataclass

@@ -359,3 +359,30 @@ def test_system_time_travel_reproduces_past_reads(registry):
     assert registry.get_feature_value(
         f.feature_id, "p1", as_of=as_of, system_time="2020-01-01T00:00:00"
     ) is None
+
+
+def test_feature_to_dict_roundtrips_json(spark):
+    """Serialization parity with the reference's to_dict surface
+    (feature_registry.py:84-154): every field JSON-serializable, enums as
+    string values, nested schema/source dicts."""
+    import json
+
+    reg = FeatureRegistry(spark)
+    f = reg.register_feature(
+        name="td",
+        schema=FeatureSchema(
+            name="td", value_type=FeatureValueType.FLOAT64,
+            description="d", category="lab", entity_type="patient",
+        ),
+        source=FeatureSource(source_type="batch", source_location="/x"),
+        owner="o",
+        phi_level="indirect",
+        access_roles=["clinician"],
+    )
+    d = f.to_dict()
+    json.dumps(d)  # fully serializable
+    assert d["schema"]["value_type"] == "float64"
+    assert d["source"]["source_location"] == "/x"
+    assert d["status"] == "draft" and d["phi_level"] == "indirect"
+    assert d["feature_id"] == f.feature_id
+    assert d["retention_days"] == 2555
