@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "duplicate_span_report",
     "training_serving_skew",
+    "cuped_experiment_analysis",
 ]
 
 

@@ -5241,3 +5241,69 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-uniform span key."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.span_duplicates(docs, "doc_id", "text", span_tokens=12)
+
+
+@query(
+    "cuped_experiment_analysis",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < '80000000'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(value AS DECIMAL(25,6)) ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(value AS DECIMAL(25,6)) ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx / n AS mean_x,
+             ((sxy - sx * sy / n) / (n - 1)) / ((sxx - sx * sx / n) / (n - 1))
+               AS theta,
+             ((sxy - sx * sy / n) / (n - 1)) * ((sxy - sx * sy / n) / (n - 1))
+               / (((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1)))
+               AS rho2
+      FROM mom
+    )
+    SELECT arm, COUNT(*) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_post,
+           ROUND(CAST(SUM(CAST(y - th.theta * (x - th.mean_x) AS DECIMAL(30,10)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_post_cuped,
+           ROUND(MAX(th.theta), 6) AS theta,
+           ROUND(MAX(th.rho2) * 100, 2) AS var_reduction_pct
+    FROM per_user, th
+    GROUP BY arm
+    """,
+)
+def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ experiment readout with CUPED variance reduction (Deng et al.
+    2013): users md5-split 50/50 into arms (operators.experiment.
+    ab_assign — assignment is deterministic and engine-reproducible),
+    pre-period value sum (Jan 1-15) as the covariate for the post-period
+    metric (Jan 15-30), pooled θ from one decimal-exact moment pass —
+    operators.experiment.cuped.  One fact scan + tiny broadcasts."""
+    from feature_store_healthcare_spark.operators import experiment
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.when(c[0], F.col("value").cast("decimal(25,6)")).otherwise(F.lit(0))
+    ).cast("double")
+    per_user = ev.groupBy("user_id").agg(
+        dsum((F.col("ts") < cutoff,)).alias("x"),
+        dsum((F.col("ts") >= cutoff,)).alias("y"),
+    ).withColumn("arm", experiment.ab_assign("user_id", salt="ab", treat_frac=0.5))
+    return experiment.cuped(per_user, arm_col="arm", pre_col="x", post_col="y")

@@ -93,3 +93,48 @@ def test_target_encoding_prior_pulls_rare_categories(spark):
             # 0-or-1 out-of-fold observations vs 50 prior obs → encoding
             # hugs the prior, far from the category's raw 1000 mean
             assert abs(r.encoding - prior) < 25
+
+
+class TestCuped:
+    """operators.experiment: deterministic arms + CUPED adjustment."""
+
+    def test_cuped_reduces_variance_and_preserves_effect(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        rng = random.Random(11)
+        rows = []
+        for u in range(400):
+            base = rng.uniform(0, 100)          # user-level propensity
+            arm = "treatment" if u % 2 else "control"
+            lift = 5.0 if arm == "treatment" else 0.0
+            rows.append(
+                Row(arm=arm, x=base + rng.uniform(-5, 5),
+                    y=base + lift + rng.uniform(-5, 5))
+            )
+        df = spark.createDataFrame(rows)
+        out = {r["arm"]: r for r in experiment.cuped(df).collect()}
+        # the adjusted estimate recovers the true ~5.0 lift; the raw one
+        # may be off by the arms' covariate imbalance (that's the point)
+        raw = out["treatment"]["mean_post"] - out["control"]["mean_post"]
+        adj = out["treatment"]["mean_post_cuped"] - out["control"]["mean_post_cuped"]
+        assert abs(adj - 5.0) < 1.0
+        assert abs(adj - 5.0) <= abs(raw - 5.0) + 0.25  # never worse
+        # X strongly predicts Y -> big theoretical variance reduction
+        assert out["treatment"]["var_reduction_pct"] > 80
+        assert abs(out["treatment"]["theta"] - 1.0) < 0.2
+
+    def test_ab_assign_deterministic_and_balanced(self, spark):
+        from pyspark.sql import functions as F
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = spark.range(2000).select(F.col("id").alias("user_id"))
+        a = df.withColumn("arm", experiment.ab_assign("user_id"))
+        counts = {r["arm"]: r["n"] for r in a.groupBy("arm").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["treatment"] - counts["control"]) < 300
+        b = df.repartition(7).withColumn("arm", experiment.ab_assign("user_id"))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
