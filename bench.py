@@ -73,6 +73,7 @@ HEADLINE = [
     "duplicate_span_report",
     "training_serving_skew",
     "cuped_experiment_analysis",
+    "robust_outlier_stats",
 ]
 
 

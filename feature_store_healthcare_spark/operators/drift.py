@@ -249,3 +249,59 @@ def ks_binned(
         F.first("tot_e").alias("n_expected"),
         F.first("tot_a").alias("n_actual"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier detection per key — the robust alternative to
+    mean/std scaling (one corrupted batch can't drag the fence, unlike
+    z-scores whose mean and std it inflates).  Modified z-score
+    ``0.6745·(x − median)/MAD`` (Iglewicz & Hoaglin), flagged beyond
+    ``z_cut``.
+
+    Two aggregation passes by necessity (MAD is a median OF deviations
+    from the median — not partial-aggregatable in one): per-key median →
+    broadcast join back → per-key MAD → join + one counting pass.  All
+    three shuffles are on the same small key set; the fact table is
+    scanned twice, which is the known price of exact MAD (the one-scan
+    approximation is the histogram-state quantile in `maintenance`).
+
+    Output: (keys..., n, median, mad, n_outliers, max_abs_z) — max_abs_z
+    NULL when MAD = 0 (degenerate distribution; nothing flags).
+    """
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.expr(f"cast(percentile({value_col}, 0.5) as double)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), keys)
+    mad = with_med.groupBy(*keys).agg(
+        F.expr(f"cast(percentile(abs({value_col} - __med), 0.5) as double)").alias(
+            "__mad"
+        )
+    )
+    # ANSI mode: guard the division itself (a `when` around a consuming
+    # aggregate does not stop the divide-by-zero from evaluating)
+    safe_mad = F.nullif(F.col("__mad"), F.lit(0.0))
+    z = F.lit(0.6745) * (v - F.col("__med")) / safe_mad
+    scored = with_med.join(F.broadcast(mad), keys)
+    return (
+        scored.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("__med"), 6).alias("median"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("__mad") > 0) & (F.abs(z) > z_cut), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.when(
+                F.first("__mad") > 0, F.round(F.max(F.abs(z)), 6)
+            ).alias("max_abs_z"),
+        )
+    )

@@ -5307,3 +5307,41 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum((F.col("ts") >= cutoff,)).alias("y"),
     ).withColumn("arm", experiment.ab_assign("user_id", salt="ab", treat_frac=0.5))
     return experiment.cuped(per_user, arm_col="arm", pre_col="x", post_col="y")
+
+
+@query(
+    "robust_outlier_stats",
+    """
+    WITH med AS (
+      SELECT event_type,
+             CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)
+               AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ABS(e.value - m.med))
+                  AS DOUBLE) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(MAX(m.med), 6) AS median,
+           ROUND(MAX(d.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CASE WHEN MAX(d.mad) > 0
+                THEN ROUND(MAX(ABS(0.6745 * (e.value - m.med) / d.mad)), 6)
+           END AS max_abs_z
+    FROM events e JOIN med m ON e.event_type = m.event_type
+                  JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ robust (median/MAD) outlier monitoring per feature —
+    drift.robust_outliers: modified z-scores beyond 3.5 flagged; the
+    corrupted-batch-proof twin of feature_scaling_outliers."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return drift.robust_outliers(ev, ["event_type"], "value", z_cut=3.5)

@@ -138,3 +138,28 @@ class TestCuped:
         assert abs(counts["treatment"] - counts["control"]) < 300
         b = df.repartition(7).withColumn("arm", experiment.ab_assign("user_id"))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestRobustOutliers:
+    def test_flags_planted_outliers_despite_corruption(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        # tight cluster + 3 extreme points; a mean/std z-score with the
+        # extremes in the estimate flags fewer
+        rows = [Row(g="a", v=float(50 + (i % 11) - 5)) for i in range(200)]
+        rows += [Row(g="a", v=10_000.0), Row(g="a", v=-9_000.0), Row(g="a", v=8_000.0)]
+        out = drift.robust_outliers(spark.createDataFrame(rows), ["g"], "v").collect()[0]
+        assert out["n_outliers"] == 3
+        assert abs(out["median"] - 50.0) <= 1.0
+        assert out["max_abs_z"] > 100
+
+    def test_degenerate_distribution_flags_nothing(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        df = spark.createDataFrame([Row(g="c", v=7.0)] * 30)
+        r = drift.robust_outliers(df, ["g"], "v").collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 0 and r["max_abs_z"] is None
