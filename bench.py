@@ -74,6 +74,7 @@ HEADLINE = [
     "training_serving_skew",
     "cuped_experiment_analysis",
     "robust_outlier_stats",
+    "pagerank_supplier_parts",
 ]
 
 

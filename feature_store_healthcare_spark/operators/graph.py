@@ -1,0 +1,115 @@
+"""Iterative graph analytics on edge DataFrames (★ extension surface —
+companion to dedup.connected_components' pointer-jumping; SURVEY.md §4's
+"iterative algorithms as fixed-point DataFrame loops").
+
+PageRank here is the canonical bounded-iteration pattern: each round is
+one join (rank → out-edges) + one partial-aggregatable sum per dst — the
+same two-shuffle shape GraphX/Pregel executes, expressed as plain
+DataFrame ops so Catalyst/AQE handle partitioning and skew.  Ranks and
+degrees are tiny per-node tables; the edge table is the big side and is
+scanned once per iteration (persist it — the loop reuses it verbatim).
+
+Determinism note: per-dst float sums accumulate in shuffle order, so
+ranks are reproducible to ~1 ulp·log(fan-in), not bit-exact — fine for
+ranking/thresholding; tests pin against numpy power iteration with
+allclose.  Lineage is truncated per iteration via localCheckpoint
+(same approach as connected_components) so long loops don't build
+unbounded plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 1,
+    decimal_sums: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Nodes are every id appearing as src OR dst; dangling nodes (no
+    out-edges) redistribute their mass uniformly each round (the standard
+    correction, keeps Σ rank = 1).  Returns (node, rank) after
+    ``iterations`` rounds from the uniform start.
+
+    ``decimal_sums=True`` accumulates the per-dst inflow and dangling
+    mass as DECIMAL(38,18) (each double term rounded to 18 dp, then
+    summed exactly) — every remaining arithmetic step is a deterministic
+    IEEE double op, so ranks become BIT-IDENTICAL across partitionings
+    and engines (the oracle-checked mode; ~1 ulp different from the
+    default float path).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(out_deg, "src").persist()
+    # dangling FLAG precomputed once (topology is loop-invariant) — the
+    # per-round anti-join was pure overhead
+    flagged = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+        "node",
+        "left",
+    ).localCheckpoint(eager=True)
+    ranks = flagged.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            e_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.sum((F.col("rank") / F.col("deg")).cast("decimal(38,18)"))
+                    .cast("double")
+                    if decimal_sums
+                    else F.sum(F.col("rank") / F.col("deg"))
+                ).alias("__in")
+            )
+        )
+        # dangling mass: rank held by nodes with no out-edges this round
+        dangling = (
+            ranks.where(F.col("__has_out").isNull())
+            .agg(
+                F.coalesce(
+                    (
+                        F.sum(F.col("rank").cast("decimal(38,18)")).cast("double")
+                        if decimal_sums
+                        else F.sum("rank")
+                    ),
+                    F.lit(0.0),
+                ).alias("__dm")
+            )
+        )
+        ranks = (
+            flagged.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__has_out",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # each round reads `ranks` TWICE (contribs + dangling): without
+            # truncation the prior rounds' DAG re-executes 2^k-fold
+            ranks = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank")

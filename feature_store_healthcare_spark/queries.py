@@ -5345,3 +5345,63 @@ def robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted-batch-proof twin of feature_scaling_outliers."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return drift.robust_outliers(ev, ["event_type"], "value", z_cut=3.5)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(38,18))) AS DOUBLE)
+               AS inflow
+      FROM e JOIN deg ON e.src = deg.src
+             JOIN {p} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,18))) AS DOUBLE), 0.0)
+               AS dm
+      FROM {p} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - {d}) / nn.n
+             + {d} * (COALESCE(c{i}.inflow, 0.0) + d{i}.dm / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {','.join(steps)}
+    SELECT node, ROUND(rank, 12) AS rank FROM r{iters}
+    """
+
+
+@query("pagerank_supplier_parts", _pagerank_oracle())
+def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ iterative graph analytics oracle-checked end-to-end:
+    operators.graph.pagerank (5 rounds, damping 0.85, decimal-exact
+    sums) over the supplier→part sourcing graph (distinct lineitem
+    edges; part ids offset into their own node space).  Parts become
+    dangling nodes, so the dangling-mass correction is exercised, and
+    the decimal accumulation makes every rank bit-reproducible — the
+    unrolled 5-iteration SQL oracle matches exactly."""
+    from feature_store_healthcare_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    pr = graph.pagerank(edges, iterations=5, damping=0.85, decimal_sums=True)
+    return pr.select("node", F.round("rank", 12).alias("rank"))
