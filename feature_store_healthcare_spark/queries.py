@@ -103,15 +103,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tumbling_window_counts",
     "sessionize_events",
     "cdc_apply_changes",
-    # dedup family (exact + every near-dup variant) and curation
+    # dedup family (exact + near-dup + cluster) and curation; the
+    # embedding-cosine and incremental variants stay check_oracle-verified
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_cluster_survivors",
     "corpus_curation_pipeline",
-    # corpus chunking + shuffle-skew diagnostics (★ round-2 families)
+    # corpus chunking + shuffle-skew diagnostics + iterative graph
+    # (★ round-2 families)
     "rag_chunk_documents",
     "join_key_skew_profile",
+    "pagerank_supplier_parts",
     # similarity search + retrieval (lexical, hybrid fusion)
     "embedding_topk_bruteforce",
     "bm25_lexical_topk",
