@@ -113,3 +113,57 @@ def pagerank(
     e_deg.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")
+
+
+def cooccurrence_pmi(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information between items co-occurring in the same
+    basket (session/document/order) — the classic association signal that
+    seeds item embeddings (word2vec's training objective approximates a
+    shifted version of exactly this matrix).
+
+    ``PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) )`` with probabilities over
+    baskets (set semantics: an item counts once per basket).  Distinct
+    (basket, item) → per-item basket counts AND within-basket pair
+    equi-join (a < b) → counts ratio.  The pair join is per-basket, so the
+    blow-up is bounded by items-per-basket², never |items|²; shuffle keys
+    are baskets (uniform).  All counts are exact integers; PMI's log is
+    rounded.  Output: (item_a, item_b, n_baskets, n_a, n_b, n_ab, pmi).
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = bi.select("b").distinct().count()
+    item_counts = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n_i"))
+    left = bi.alias("l")
+    right = bi.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[F.col("l.b") == F.col("r.b"), F.col("l.i") < F.col("r.i")],
+        )
+        .groupBy(
+            F.col("l.i").alias("item_a"), F.col("r.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = item_counts.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a"))
+    nb = item_counts.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b"))
+    joined = pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b")
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.lit(float(n_baskets)))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        F.lit(n_baskets).alias("n_baskets"),
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(pmi, round_to).alias("pmi"),
+    )

@@ -5407,3 +5407,68 @@ def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     pr = graph.pagerank(edges, iterations=5, damping=0.85, decimal_sums=True)
     return pr.select("node", F.round("rank", 12).alias("rank"))
+
+
+@query(
+    "session_cooccurrence_pmi",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST(CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS VARCHAR) AS b
+      FROM x
+    ),
+    bi AS (SELECT DISTINCT b, event_type AS i FROM s),
+    nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+    ic AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY i),
+    pairs AS (
+      SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_ab
+      FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+      GROUP BY l.i, r.i
+    )
+    SELECT item_a, item_b, nb.n_baskets,
+           a.n_i AS n_a, c.n_i AS n_b, n_ab,
+           ROUND(LN((CAST(n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+                    / (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE))), 6) AS pmi
+    FROM pairs
+    JOIN ic a ON a.i = item_a
+    JOIN ic c ON c.i = item_b
+    CROSS JOIN nb
+    """,
+)
+def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ item association mining: PMI between event types co-occurring in
+    the same 2h-gap session (graph.cooccurrence_pmi over the sessionize
+    baskets) — the exact matrix word2vec-style item embeddings
+    approximate.  Per-basket pair join: blow-up bounded by
+    items-per-session², never |items|²."""
+    from feature_store_healthcare_spark.operators import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    baskets = sessions.select(
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("session_id").cast("string"),
+        ).alias("b"),
+        "event_type",
+    )
+    return graph.cooccurrence_pmi(baskets, "b", "event_type")

@@ -70,3 +70,38 @@ def test_random_graph_matches_numpy(spark, seed):
         }
     )
     _run(spark, edges, n, iters=12)
+
+
+class TestCooccurrencePMI:
+    def test_pmi_signs_and_counts(self, spark):
+        from feature_store_healthcare_spark.operators.graph import (
+            cooccurrence_pmi,
+        )
+
+        # a,b always together (4 baskets); c alone in 4 others -> (a,b)
+        # positively associated; (a,c)/(b,c) never co-occur (absent rows)
+        rows = []
+        for s in range(4):
+            rows += [Row(b=f"s{s}", i="a"), Row(b=f"s{s}", i="b")]
+        for s in range(4, 8):
+            rows.append(Row(b=f"s{s}", i="c"))
+        out = {
+            (r["item_a"], r["item_b"]): r
+            for r in cooccurrence_pmi(spark.createDataFrame(rows), "b", "i").collect()
+        }
+        assert set(out) == {("a", "b")}
+        r = out[("a", "b")]
+        assert r["n_baskets"] == 8 and r["n_a"] == 4 and r["n_ab"] == 4
+        # PMI = ln(4*8/(4*4)) = ln 2
+        import math
+
+        assert abs(r["pmi"] - round(math.log(2), 6)) < 1e-9
+
+    def test_set_semantics_within_basket(self, spark):
+        from feature_store_healthcare_spark.operators.graph import (
+            cooccurrence_pmi,
+        )
+
+        rows = [Row(b="s", i="a")] * 5 + [Row(b="s", i="b")]
+        r = cooccurrence_pmi(spark.createDataFrame(rows), "b", "i").collect()[0]
+        assert r["n_ab"] == 1 and r["n_a"] == 1  # duplicates collapse
