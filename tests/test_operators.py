@@ -553,3 +553,18 @@ def test_incremental_minhash_cross_set_only(spark, sf_dir):
         if (a % 5 == 0) != (b % 5 == 0)
     }
     assert cross == want
+
+
+def test_cosine_topk_blas_matches_expression_path(spark, sf_dir):
+    """The BLAS kernel scan returns the same neighbors as the bit-exact
+    expression path (scores to ~1 ulp, identical ids/ranks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id): r for r in similarity.cosine_topk(q, emb, k=5).collect()}
+    blas = {(r.query_id, r.vec_id): r for r in similarity.cosine_topk_blas(q, emb, k=5).collect()}
+    assert set(exact) == set(blas)
+    for key in exact:
+        assert abs(exact[key].cosine - blas[key].cosine) < 1e-12
+        assert exact[key].rank == blas[key].rank
