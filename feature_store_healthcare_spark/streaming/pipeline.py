@@ -447,3 +447,153 @@ def streaming_burst_throttle(
             timeoutConf="NoTimeout",
         )
     )
+
+
+DECAY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("decayed_count", T.DoubleType()),
+        T.StructField("decayed_sum", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def streaming_decayed_counters_v2(
+    stream: DataFrame,
+    half_life_days: float = 7.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Spark 4 state-v2 (``transformWithStateInPandas`` + typed
+    ValueState) form of :func:`streaming_decayed_counters` — identical
+    fold, the forward-looking API.  REQUIRES a working ``google.protobuf``
+    (the TWS state-server protocol) and the RocksDB state store provider;
+    this container ships a broken protobuf, so the v1
+    ``applyInPandasWithState`` twin below is the tested path and this one
+    is exercised only where the import succeeds (test skips otherwise).
+    """
+    import math
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    lam = math.log(2.0) / (half_life_days * 86400.0 * 1e6)  # per microsecond
+
+    class DecayProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "decay",
+                "count double, total double, n bigint, last_us bigint",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            if self._state.exists():
+                count, total, n, last_us = self._state.get()
+            else:
+                count, total, n, last_us = 0.0, 0.0, 0, None
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    us = int(ts.value // 1_000)
+                    if last_us is not None:
+                        f = math.exp(-lam * (us - last_us))
+                        count *= f
+                        total *= f
+                    count += 1.0
+                    total += float(value)
+                    n += 1
+                    last_us = us
+            self._state.update((count, total, n, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "decayed_count": [count],
+                    "decayed_sum": [total],
+                    "n_events": [n],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            DecayProcessor(),
+            outputStructType=DECAY_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def streaming_decayed_counters(
+    stream: DataFrame,
+    half_life_days: float = 7.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.decay.decayed_counters: per user, a
+    decayed event count/value-sum that "forgets" at the half-life rate,
+    maintained incrementally by the fold
+    ``S(t') = S(t)·2^(−(t'−t)/hl) + new`` — the same algebra the batch
+    operator's one-shot weighted sum computes, carried across
+    micro-batches in one tiny state row per key
+    (``applyInPandasWithState``).
+
+    Emits the post-batch state per key each micro-batch (update
+    semantics); read-time decay to any later as-of is one multiply.
+    Equality with the batch twin is to float tolerance (incremental
+    exp-products vs one exp per event), pinned in test_streaming.
+    """
+    import math
+
+    import pandas as pd  # executors import their own
+
+    lam = math.log(2.0) / (half_life_days * 86400.0 * 1e6)
+
+    def update(key_tuple, pdfs, state):
+        if state.exists:
+            count, total, n, last_us = state.get
+        else:
+            count, total, n, last_us = 0.0, 0.0, 0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(ts.value // 1_000)
+                if last_us is not None:
+                    f = math.exp(-lam * (us - last_us))
+                    count *= f
+                    total *= f
+                count += 1.0
+                total += float(value)
+                n += 1
+                last_us = us
+        state.update((count, total, n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "decayed_count": [count],
+                "decayed_sum": [total],
+                "n_events": [n],
+                "last_us": [last_us],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DECAY_OUT_SCHEMA,
+            stateStructType="count double, total double, n bigint, last_us bigint",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
