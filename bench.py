@@ -75,6 +75,8 @@ HEADLINE = [
     "cuped_experiment_analysis",
     "robust_outlier_stats",
     "pagerank_supplier_parts",
+    "session_cooccurrence_pmi",
+    "equidepth_binning",
 ]
 
 

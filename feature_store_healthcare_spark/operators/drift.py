@@ -305,3 +305,40 @@ def robust_outliers(
             ).alias("max_abs_z"),
         )
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) binning per key: interior cut points from
+    exact interpolated percentiles, each value assigned the count of cut
+    points ≤ it — so every bin holds ~n/nbins rows regardless of the
+    distribution's shape (the fixed-width histogram's failure mode on
+    skewed features, and the binning PSI/MI should prefer when tails
+    matter).
+
+    One percentile aggregate per key (tiny) broadcast back + one counting
+    pass — the fact table is scanned twice (exact quantiles need the
+    first pass; the one-scan approximation is the 'hist' state in
+    maintenance).  Output: (keys..., bin, n_rows, lo, hi) with observed
+    per-bin min/max rounded to 6.
+    """
+    keys = list(keys)
+    fracs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    edges = df.groupBy(*keys).agg(
+        F.expr(
+            f"transform(percentile({value_col}, array({fracs})), x -> cast(x as double))"
+        ).alias("__edges")
+    )
+    v = F.col(value_col).cast("double")
+    binned = df.join(F.broadcast(edges), keys).withColumn(
+        "bin", F.size(F.filter(F.col("__edges"), lambda e: e <= v))
+    )
+    return binned.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min(v), 6).alias("lo"),
+        F.round(F.max(v), 6).alias("hi"),
+    )

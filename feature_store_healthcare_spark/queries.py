@@ -5472,3 +5472,32 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return graph.cooccurrence_pmi(baskets, "b", "event_type")
+
+
+@query(
+    "equidepth_binning",
+    """
+    WITH edges AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE),
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS e
+      FROM events GROUP BY event_type
+    )
+    SELECT ev.event_type,
+           len(list_filter(ed.e, x -> x <= CAST(ev.value AS DOUBLE))) AS bin,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(CAST(ev.value AS DOUBLE)), 6) AS lo,
+           ROUND(MAX(CAST(ev.value AS DOUBLE)), 6) AS hi
+    FROM events ev JOIN edges ed ON ev.event_type = ed.event_type
+    GROUP BY ev.event_type,
+             len(list_filter(ed.e, x -> x <= CAST(ev.value AS DOUBLE)))
+    """,
+)
+def equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ equi-depth (decile) binning per feature — drift.equidepth_bins:
+    exact interpolated percentile cut points, ~n/10 rows per bin whatever
+    the distribution's shape (the binning the PSI/MI pipelines should use
+    on skewed features)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return drift.equidepth_bins(ev, ["event_type"], "value", nbins=10)

@@ -163,3 +163,31 @@ class TestRobustOutliers:
         df = spark.createDataFrame([Row(g="c", v=7.0)] * 30)
         r = drift.robust_outliers(df, ["g"], "v").collect()[0]
         assert r["mad"] == 0.0 and r["n_outliers"] == 0 and r["max_abs_z"] is None
+
+
+class TestEquidepthBins:
+    def test_bins_roughly_equal_on_skewed_data(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        # heavily skewed: exponential-ish tail
+        rows = [Row(g="a", v=float(2 ** (i % 14))) for i in range(1400)]
+        out = drift.equidepth_bins(spark.createDataFrame(rows), ["g"], "v", nbins=7).collect()
+        counts = [r["n_rows"] for r in out]
+        assert len(counts) == 7
+        assert max(counts) - min(counts) <= 400  # depth-balanced, not width
+        # bins ordered and contiguous in value space
+        ordered = sorted(out, key=lambda r: r["bin"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["hi"] <= b["lo"]
+
+    def test_uniform_deciles(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        rows = [Row(g="u", v=float(i)) for i in range(1000)]
+        out = drift.equidepth_bins(spark.createDataFrame(rows), ["g"], "v", nbins=10).collect()
+        counts = sorted(r["n_rows"] for r in out)
+        assert len(counts) == 10 and counts[0] >= 99 and counts[-1] <= 101
