@@ -77,6 +77,8 @@ HEADLINE = [
     "pagerank_supplier_parts",
     "session_cooccurrence_pmi",
     "equidepth_binning",
+    "feature_trend_regression",
+    "weighted_doc_sample",
 ]
 
 

@@ -342,3 +342,59 @@ def equidepth_bins(
         F.round(F.min(v), 6).alias("lo"),
         F.round(F.max(v), 6).alias("hi"),
     )
+
+
+def trend_regression(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    origin_micros: int = 0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend of a feature over time — slope/intercept/r² from
+    closed-form moments, the "is this feature drifting monotonically"
+    alarm that PSI (distribution-shape) misses when the move is a slow
+    level shift.
+
+    x = event time in DAYS since ``origin_micros`` (double), y = value.
+    Pass an origin near the data window: centering keeps the moment
+    magnitudes small, which kills the catastrophic cancellation in the
+    intercept AND keeps the decimal→double final conversion away from
+    representable-midpoint disagreements between engines (measured: with
+    epoch-based x ≈ 19 700 days, the exact decimal sums convert to
+    doubles 1 ulp apart in Spark vs DuckDB and the cancellation blows
+    that up to 1e-5 — centered, the comparison is bit-exact).  All five
+    moments accumulate as fixed-scale decimals in ONE
+    partial-aggregatable pass.  The intercept is the fitted value AT the
+    origin.  Output: (keys..., n, slope_per_day, intercept, r2); NULLs
+    when var(x) = 0 (single instant) — nothing to fit.
+    """
+    keys = list(keys)
+    x = (
+        F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(origin_micros)
+    ) / F.lit(86400.0 * 1e6)
+    y = F.col(value_col).cast("double")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(x).alias("__sx"),
+        dec(y).alias("__sy"),
+        dec(x * x).alias("__sxx"),
+        dec(y * y).alias("__syy"),
+        dec(x * y).alias("__sxy"),
+    )
+    n = F.col("n")
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vary = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = (cov * cov) / F.nullif(varx * vary, F.lit(0.0))
+    return m.select(
+        *keys,
+        "n",
+        F.round(slope, round_to).alias("slope_per_day"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )

@@ -309,3 +309,38 @@ def temperature_sample(
         .withColumn("accept_rate", F.round(F.col("__rate"), 6))
         .drop("__rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws u from its salted md5 (a fixed uniform
+    in (0,1) — no RNG state) and ranks by ``ln(u)/w``; the top-k ranks
+    are a weighted-without-replacement sample — inclusion probability
+    proportional to weight, reproducible on any engine/partitioning.
+
+    ``ln(u)/w`` is the monotone log form of the textbook ``u^(1/w)``
+    (better conditioned; u ∈ (0,1) via the +0.5 offset so ln never sees
+    0).  One row_number window per stratum — the same single-shuffle
+    shape as stratified_sample, with weights instead of uniform odds.
+    Rows with weight ≤ 0 are excluded (undefined inclusion odds).
+    """
+    h = F.conv(split_key(key, salt), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**_PREFIX))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    parts = [F.col(c) for c in (strata or [])]
+    w = Window.partitionBy(*parts).orderBy(
+        es_key.desc(), F.col(key)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -5501,3 +5501,68 @@ def equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     on skewed features)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return drift.equidepth_bins(ev, ["event_type"], "value", nbins=10)
+
+
+@query(
+    "feature_trend_regression",
+    """
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST((epoch_us(ts) - 1704067200000000) / CAST(86400000000 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / CAST(86400000000 AS DOUBLE)) * ((epoch_us(ts) - 1704067200000000) / CAST(86400000000 AS DOUBLE))
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / CAST(86400000000 AS DOUBLE)) * CAST(value AS DOUBLE)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0.0), 6)
+             AS slope_per_day,
+           ROUND((sy - ((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0.0)) * sx)
+                 / n, 6) AS intercept,
+           ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / NULLIF((sxx - sx * sx / n) * (syy - sy * sy / n), 0.0), 6)
+             AS r2
+    FROM m
+    """,
+)
+def feature_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ per-feature OLS trend (drift.trend_regression): slope/intercept/
+    r² of value over days-since-2024-01-01 from one decimal-exact moment
+    pass — the slow-level-shift alarm PSI's shape comparison misses;
+    intercept = fitted value at the origin."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return drift.trend_regression(
+        ev, ["event_type"], "ts", "value", origin_micros=1_704_067_200_000_000
+    )
+
+
+@query(
+    "weighted_doc_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             LN((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS r
+      FROM scored
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE r <= 50
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ weighted sampling without replacement (Efraimidis-Spirakis via
+    the deterministic md5 uniform — sampling.weighted_sample): 50 docs
+    with inclusion odds ∝ n_chars; the size-biased sample a curation
+    pipeline uses when long documents should dominate review budgets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", k=50)

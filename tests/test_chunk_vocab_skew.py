@@ -212,3 +212,33 @@ class TestTemperatureSample:
             for r in temperature_sample(df.repartition(13), "g", "k").collect()
         }
         assert a == b and a
+
+
+class TestWeightedSample:
+    def test_inclusion_odds_scale_with_weight(self, spark):
+        from feature_store_healthcare_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        # 100 heavy (w=50) + 900 light (w=1): heavy rows should dominate
+        # a k=100 sample far beyond their 10% share
+        rows = [Row(k=i, w=50 if i < 100 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows)
+        out = weighted_sample(df, "k", "w", k=100)
+        heavy = out.where(F.col("w") == 50).count()
+        assert heavy > 55  # E[heavy] ≈ 85 under ES; uniform would be ~10
+
+    def test_deterministic_and_weight_zero_excluded(self, spark):
+        from feature_store_healthcare_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = [Row(k=i, w=(i % 5)) for i in range(200)]
+        df = spark.createDataFrame(rows)
+        a = sorted(r["k"] for r in weighted_sample(df, "k", "w", k=30).collect())
+        b = sorted(
+            r["k"]
+            for r in weighted_sample(df.repartition(9), "k", "w", k=30).collect()
+        )
+        assert a == b and len(a) == 30
+        assert all(k % 5 != 0 for k in a)  # w=0 rows never sampled

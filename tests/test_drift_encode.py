@@ -191,3 +191,43 @@ class TestEquidepthBins:
         out = drift.equidepth_bins(spark.createDataFrame(rows), ["g"], "v", nbins=10).collect()
         counts = sorted(r["n_rows"] for r in out)
         assert len(counts) == 10 and counts[0] >= 99 and counts[-1] <= 101
+
+
+class TestTrendRegression:
+    def test_recovers_planted_slope(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        base = datetime(2024, 1, 1)
+        origin = 1_704_067_200_000_000
+        rows = [
+            Row(g="up", ts=base + timedelta(days=i), v=10.0 + 2.5 * i)
+            for i in range(30)
+        ] + [Row(g="flat", ts=base + timedelta(days=i), v=7.0) for i in range(30)]
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        out = {
+            r["g"]: r
+            for r in drift.trend_regression(
+                df, ["g"], "ts", "v", origin_micros=origin
+            ).collect()
+        }
+        assert abs(out["up"]["slope_per_day"] - 2.5) < 1e-9
+        assert abs(out["up"]["intercept"] - 10.0) < 1e-9
+        assert abs(out["up"]["r2"] - 1.0) < 1e-9
+        assert out["flat"]["slope_per_day"] == 0.0 and out["flat"]["r2"] is None
+
+    def test_single_instant_is_null(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        df = spark.createDataFrame(
+            [Row(g="x", ts="2024-01-01 00:00:00", v=float(i)) for i in range(5)]
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        r = drift.trend_regression(df, ["g"], "ts", "v").collect()[0]
+        assert r["slope_per_day"] is None and r["r2"] is None
