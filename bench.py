@@ -79,6 +79,7 @@ HEADLINE = [
     "equidepth_binning",
     "feature_trend_regression",
     "weighted_doc_sample",
+    "cusum_change_detection",
 ]
 
 

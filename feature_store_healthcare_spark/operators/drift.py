@@ -398,3 +398,69 @@ def trend_regression(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def cusum_daily(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    slack: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection on each key's DAILY mean:
+    ``S_t = max(0, S_{t-1} + (x_t − target − slack))`` with the target =
+    mean of the key's daily means — the sequential alarm that catches a
+    sustained upward level shift far earlier than any fixed-window
+    comparison (Page 1954).
+
+    The recursion is inherently sequential, but only over the DAILY
+    series: the fact table partial-aggregates to one row per (key, day)
+    (decimal-exact means), each key's bounded day array gathers once, and
+    one ``aggregate`` HOF scan walks it in-row — so the sequential part
+    touches days-per-key elements, never events.  Output: (keys...,
+    n_days, target, cusum_max, peak_date) — peak is the FIRST day
+    attaining the max (deterministic).
+    """
+    keys = list(keys)
+    d = F.col(ts_col).cast("date")
+    daily = df.groupBy(*keys, d.alias("__d")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__x")
+    )
+    per_key = daily.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("__x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m"),
+        F.sort_array(F.collect_list(F.struct(F.col("__d"), F.col("__x")))).alias(
+            "__seq"
+        ),
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("cum"),
+        F.lit(0.0).alias("mx"),
+        F.lit(None).cast("date").alias("peak"),
+    )
+    target = F.col("__m") + F.lit(slack)
+
+    def step(acc, e):
+        cum2 = F.greatest(F.lit(0.0), acc["cum"] + (e["__x"] - target))
+        better = cum2 > acc["mx"]
+        return F.struct(
+            cum2.alias("cum"),
+            F.when(better, cum2).otherwise(acc["mx"]).alias("mx"),
+            F.when(better, e["__d"]).otherwise(acc["peak"]).alias("peak"),
+        )
+
+    out = F.aggregate(F.col("__seq"), acc0, step)
+    return per_key.select(
+        *keys,
+        "n_days",
+        F.round(F.col("__m"), round_to).alias("target"),
+        F.round(out["mx"], round_to).alias("cusum_max"),
+        out["peak"].alias("peak_date"),
+    )

@@ -5566,3 +5566,55 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return sampling.weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "cusum_change_detection",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tgt AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM daily GROUP BY event_type
+    ),
+    seq AS (
+      SELECT d.event_type, d.d, d.x, t.m,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) AS rn
+      FROM daily d JOIN tgt t USING (event_type)
+    ),
+    walk AS (
+      SELECT event_type, rn, d,
+             GREATEST(0.0, 0.0 + (x - m)) AS cum
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.d,
+             GREATEST(0.0, w.cum + (s.x - s.m)) AS cum
+      FROM walk w JOIN seq s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    mx AS (
+      SELECT event_type, MAX(cum) AS cusum_max FROM walk GROUP BY event_type
+    ),
+    peak AS (
+      SELECT w.event_type, MIN(w.d) AS peak_date
+      FROM walk w JOIN mx ON w.event_type = mx.event_type
+                          AND w.cum = mx.cusum_max
+      GROUP BY w.event_type
+    )
+    SELECT t.event_type, t.n_days, ROUND(t.m, 6) AS target,
+           ROUND(mx.cusum_max, 6) AS cusum_max,
+           CASE WHEN mx.cusum_max > 0 THEN peak.peak_date END AS peak_date
+    FROM tgt t JOIN mx USING (event_type) JOIN peak USING (event_type)
+    """,
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ sequential change-point alarm (drift.cusum_daily): one-sided
+    CUSUM over each feature's daily means — catches sustained level
+    shifts earlier than windowed comparisons; the sequential scan runs
+    over the bounded per-key DAY array in-row, never over events."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return drift.cusum_daily(ev, ["event_type"], "ts", "value")

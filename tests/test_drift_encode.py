@@ -231,3 +231,36 @@ class TestTrendRegression:
         ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         r = drift.trend_regression(df, ["g"], "ts", "v").collect()[0]
         assert r["slope_per_day"] is None and r["r2"] is None
+
+
+class TestCusum:
+    def test_detects_level_shift_day(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        for day in range(30):
+            level = 10.0 if day < 20 else 18.0  # shift on day 20
+            for j in range(10):
+                rows.append(
+                    Row(g="shift", ts=base + timedelta(days=day, hours=j), v=level)
+                )
+        rows += [
+            Row(g="flat", ts=base + timedelta(days=day), v=5.0)
+            for day in range(30)
+        ]
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        out = {r["g"]: r for r in drift.cusum_daily(df, ["g"], "ts", "v").collect()}
+        s = out["shift"]
+        assert s["n_days"] == 30
+        # cumsum of (18 - target) over the last 10 days peaks on the final day
+        assert s["peak_date"].isoformat() == "2024-01-30"
+        assert s["cusum_max"] > 20
+        f = out["flat"]
+        assert f["cusum_max"] == 0.0 and f["peak_date"] is None
