@@ -464,3 +464,42 @@ def cusum_daily(
         F.round(out["mx"], round_to).alias("cusum_max"),
         out["peak"].alias("peak_date"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization) per key: values outside the
+    [p_lo, p_hi] exact interpolated percentiles clamp to the fence — the
+    standard heavy-tail taming before scaling/regression, keeping row
+    count intact (unlike outlier DROPPING, which biases counts).
+
+    Adds ``out_col`` (default ``{value_col}_wins``) plus ``__clipped``
+    ∈ {-1, 0, 1} marking low/none/high clips for audit.  One tiny
+    percentile aggregate broadcast back; the data pass is a pure
+    projection."""
+    keys = list(keys)
+    out_col = out_col or f"{value_col}_wins"
+    fences = df.groupBy(*keys).agg(
+        F.expr(
+            f"cast(percentile({value_col}, {p_lo}) as double)"
+        ).alias("__f_lo"),
+        F.expr(
+            f"cast(percentile({value_col}, {p_hi}) as double)"
+        ).alias("__f_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clipped = F.when(v < F.col("__f_lo"), F.lit(-1)).when(
+        v > F.col("__f_hi"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(fences), keys)
+        .withColumn(out_col, F.least(F.greatest(v, F.col("__f_lo")), F.col("__f_hi")))
+        .withColumn("__clipped", clipped)
+        .drop("__f_lo", "__f_hi")
+    )

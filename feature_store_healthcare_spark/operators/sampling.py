@@ -344,3 +344,11 @@ def weighted_sample(
         .where(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def kfold_assign(key: Column | str, k: int = 5, salt: str = "fold") -> Column:
+    """Deterministic k-fold id in [0, k): the salted md5 prefix as an
+    integer mod k — every row keeps its fold on any engine/partitioning/
+    rerun (the cross-validation split twin of hash_split's fractions)."""
+    h = F.conv(split_key(key, salt), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(k)).cast("int")

@@ -5618,3 +5618,66 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the bounded per-key DAY array in-row, never over events."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return drift.cusum_daily(ev, ["event_type"], "ts", "value")
+
+
+@query(
+    "winsorized_value_stats",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS lo,
+             CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS DOUBLE) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN CAST(e.value AS DOUBLE) < f.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN CAST(e.value AS DOUBLE) > f.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(SUM(CAST(LEAST(GREATEST(CAST(e.value AS DOUBLE), f.lo), f.hi)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_winsorized
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ winsorization audit (drift.winsorize at p05/p95): per feature,
+    clip counts each side + the decimal-exact sum of the clipped series —
+    heavy-tail taming that keeps row counts intact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = drift.winsorize(ev, ["event_type"], "value", p_lo=0.05, p_hi=0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__clipped") == -1, 1).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("__clipped") == 1, 1).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
+        _dsum("value_wins", "sum_winsorized"),
+    )
+
+
+@query(
+    "kfold_assignment_report",
+    """
+    SELECT CAST(('0x' || substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                % 5 AS INTEGER) AS fold,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ deterministic 5-fold CV assignment (sampling.kfold_assign):
+    per-fold counts and value mass — folds are md5-derived, so membership
+    survives reruns, repartitions, and engine changes."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("fold", sampling.kfold_assign("o_orderkey", k=5))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "sum_price"),
+        )
+    )

@@ -264,3 +264,34 @@ class TestCusum:
         assert s["cusum_max"] > 20
         f = out["flat"]
         assert f["cusum_max"] == 0.0 and f["peak_date"] is None
+
+
+class TestWinsorize:
+    def test_clips_tails_only(self, spark):
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        rows = [Row(g="a", v=float(i)) for i in range(100)] + [
+            Row(g="a", v=10_000.0)
+        ]
+        out = drift.winsorize(spark.createDataFrame(rows), ["g"], "v",
+                              p_lo=0.05, p_hi=0.95).collect()
+        clipped_hi = [r for r in out if r["__clipped"] == 1]
+        assert any(r["v"] == 10_000.0 for r in clipped_hi)
+        mids = [r for r in out if 10 <= r["v"] <= 90]
+        assert all(r["__clipped"] == 0 and r["v_wins"] == r["v"] for r in mids)
+        assert len(out) == 101  # row count preserved
+
+
+class TestKfold:
+    def test_balanced_disjoint_deterministic(self, spark):
+        from feature_store_healthcare_spark.operators import sampling
+
+        df = spark.range(5000).select(F.col("id"))
+        a = df.withColumn("fold", sampling.kfold_assign("id", k=5))
+        counts = {r["fold"]: r["n"] for r in a.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {0, 1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) < 400
+        b = df.repartition(11).withColumn("fold", sampling.kfold_assign("id", k=5))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
