@@ -80,6 +80,8 @@ HEADLINE = [
     "feature_trend_regression",
     "weighted_doc_sample",
     "cusum_change_detection",
+    "ewma_daily_smoothing",
+    "seasonal_residual_anomalies",
 ]
 
 

@@ -503,3 +503,118 @@ def winsorize(
         .withColumn("__clipped", clipped)
         .drop("__f_lo", "__f_hi")
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially weighted moving average of each key's DAILY mean —
+    the smoothed baseline the monitoring dashboards plot, and the
+    residual source for alerting (|last − ewma| spikes).
+
+    Same sequential-over-days shape as :func:`cusum_daily`: the fact
+    table partial-aggregates to (key, day), the bounded day array gathers
+    once, and one ``aggregate`` HOF walks it with
+    ``E_t = α·x_t + (1−α)·E_{t−1}`` (seeded at the first day's value).
+    Output: (keys..., n_days, last_date, last_value, ewma,
+    last_residual).
+    """
+    keys = list(keys)
+    d = F.col(ts_col).cast("date")
+    daily = df.groupBy(*keys, d.alias("__d")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__x")
+    )
+    per_key = daily.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sort_array(F.collect_list(F.struct(F.col("__d"), F.col("__x")))).alias(
+            "__seq"
+        ),
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("e"),
+        F.lit(None).cast("double").alias("x"),
+        F.lit(None).cast("date").alias("d"),
+    )
+
+    def step(acc, el):
+        e2 = F.when(
+            acc["e"].isNull(), el["__x"]
+        ).otherwise(F.lit(alpha) * el["__x"] + F.lit(1.0 - alpha) * acc["e"])
+        return F.struct(e2.alias("e"), el["__x"].alias("x"), el["__d"].alias("d"))
+
+    out = F.aggregate(F.col("__seq"), acc0, step)
+    return per_key.select(
+        *keys,
+        "n_days",
+        out["d"].alias("last_date"),
+        F.round(out["x"], round_to).alias("last_value"),
+        F.round(out["e"], round_to).alias("ewma"),
+        F.round(out["x"] - out["e"], round_to).alias("last_residual"),
+    )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    z_cut: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonal-naive anomaly screen: each (key, day)'s mean
+    is compared against that key's SAME-WEEKDAY baseline — the cheap
+    seasonality-aware residual that plain level monitoring mistakes for
+    drift every weekend.
+
+    The baseline is LEAVE-ONE-OUT: each day is scored against the other
+    same-weekday days' mean/std (derived from the same decimal-exact
+    moment aggregate — no extra pass).  Including the day in its own
+    baseline caps |z| at (n−1)/√n (≈1.8 for five Mondays), so a z_cut of
+    3 could never fire on short histories — the classic masking effect.
+    Output one row per (key, day) with the residual z-score and an
+    anomaly flag; z NULL when fewer than 3 same-weekday peers or the
+    peer std is 0.
+    """
+    keys = list(keys)
+    d = F.col(ts_col).cast("date")
+    daily = df.groupBy(*keys, d.alias("day")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("day_mean")
+    )
+    dow = F.dayofweek(F.col("day"))
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    base = daily.groupBy(*keys, dow.alias("__dow")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        dec(F.col("day_mean")).alias("__s"),
+        dec(F.col("day_mean") * F.col("day_mean")).alias("__ss"),
+    )
+    joined = daily.withColumn("__dow", dow).join(
+        F.broadcast(base), [*keys, "__dow"]
+    )
+    # leave-one-out moments: subtract the row's own contribution
+    x = F.col("day_mean")
+    m = (F.col("__n") - 1).cast("double")
+    loo_s = F.col("__s") - x
+    loo_ss = F.col("__ss") - x * x
+    mu = loo_s / F.nullif(m, F.lit(0.0))
+    var = (loo_ss - loo_s * loo_s / m) / F.nullif(m - 1, F.lit(0.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(m >= 2, (x - mu) / F.nullif(sd, F.lit(0.0)))
+    return joined.select(
+        *keys,
+        "day",
+        F.round(x, round_to).alias("day_mean"),
+        F.round(mu, round_to).alias("weekday_baseline"),
+        F.round(z, round_to).alias("z"),
+        (F.abs(z) > F.lit(z_cut)).alias("is_anomaly"),
+    )

@@ -5681,3 +5681,99 @@ def kfold_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+@query(
+    "ewma_daily_smoothing",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, d, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    walk AS (
+      SELECT event_type, rn, d, x, x AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.d, s.x,
+             CAST(0.3 AS DOUBLE) * s.x + CAST(0.7 AS DOUBLE) * w.e
+      FROM walk w JOIN seq s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    )
+    SELECT s.event_type, MAX(s.n_days) AS n_days,
+           MAX(w.d) AS last_date,
+           ROUND(MAX(CASE WHEN w.rn = s.n_days THEN w.x END), 6) AS last_value,
+           ROUND(MAX(CASE WHEN w.rn = s.n_days THEN w.e END), 6) AS ewma,
+           ROUND(MAX(CASE WHEN w.rn = s.n_days THEN w.x END)
+                 - MAX(CASE WHEN w.rn = s.n_days THEN w.e END), 6)
+             AS last_residual
+    FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn
+    GROUP BY s.event_type
+    """,
+)
+def ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ EWMA smoothing of daily feature means (drift.ewma_daily, α=0.3)
+    — the dashboard baseline + last-day residual, sequential only over
+    the bounded per-key day array."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return drift.ewma_daily(ev, ["event_type"], "ts", "value", alpha=0.3)
+
+
+@query(
+    "seasonal_residual_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+               AS day_mean
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+      SELECT event_type, dayofweek(day) AS dow, COUNT(*) AS n,
+             CAST(SUM(CAST(day_mean AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(day_mean * day_mean AS DECIMAL(38,12))) AS DOUBLE)
+               AS ss
+      FROM daily GROUP BY event_type, dayofweek(day)
+    ),
+    j AS (
+      SELECT d.event_type, d.day, d.day_mean,
+             CAST(b.n - 1 AS DOUBLE) AS m,
+             b.s - d.day_mean AS loo_s,
+             b.ss - d.day_mean * d.day_mean AS loo_ss
+      FROM daily d JOIN base b ON d.event_type = b.event_type
+                              AND dayofweek(d.day) = b.dow
+    ),
+    sc AS (
+      SELECT event_type, day, day_mean,
+             m,
+             loo_s / NULLIF(m, 0.0) AS mu,
+             SQRT(GREATEST((loo_ss - loo_s * loo_s / m) / NULLIF(m - 1, 0.0),
+                           0.0)) AS sd
+      FROM j
+    )
+    SELECT event_type, day,
+           ROUND(day_mean, 6) AS day_mean,
+           ROUND(mu, 6) AS weekday_baseline,
+           ROUND(CASE WHEN m >= 2
+                      THEN (day_mean - mu) / NULLIF(sd, 0.0) END, 6) AS z,
+           ABS(CASE WHEN m >= 2
+                    THEN (day_mean - mu) / NULLIF(sd, 0.0) END) > 3.0
+             AS is_anomaly
+    FROM sc
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ day-of-week seasonal-naive anomaly screen
+    (drift.seasonal_residuals): each (feature, day) against its
+    same-weekday LEAVE-ONE-OUT baseline (the day in its own baseline caps
+    |z| at (n−1)/√n — masking) — the residual that stops weekend
+    seasonality masquerading as drift.  Weekday keying is engine-internal (both
+    engines partition days into the same Sunday-anchored weeks), so the
+    output carries no convention-dependent column."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return drift.seasonal_residuals(ev, ["event_type"], "ts", "value", z_cut=3.0)

@@ -295,3 +295,48 @@ class TestKfold:
         assert max(counts.values()) - min(counts.values()) < 400
         b = df.repartition(11).withColumn("fold", sampling.kfold_assign("id", k=5))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestEwmaAndSeasonal:
+    def test_ewma_closed_form(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        base = datetime(2024, 1, 1)
+        xs = [10.0, 20.0, 30.0, 40.0]
+        rows = [Row(g="a", ts=base + timedelta(days=i), v=x) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        r = drift.ewma_daily(df, ["g"], "ts", "v", alpha=0.5).collect()[0]
+        e = xs[0]
+        for x in xs[1:]:
+            e = 0.5 * x + 0.5 * e
+        assert abs(r["ewma"] - round(e, 6)) < 1e-9
+        assert r["last_value"] == 40.0 and r["n_days"] == 4
+        assert abs(r["last_residual"] - round(40.0 - e, 6)) < 1e-9
+
+    def test_seasonal_flags_weekday_break_not_weekend(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import drift
+
+        base = datetime(2024, 1, 1)  # a Monday
+        rows = []
+        for day in range(28):
+            dt = base + timedelta(days=day)
+            weekend = dt.weekday() >= 5
+            v = 100.0 if weekend else 10.0
+            v += (day % 3) * 0.5  # mild noise so std > 0
+            rows.append(Row(g="s", ts=dt, v=v))
+        # one broken Monday in week 4: weekend-level value on a weekday
+        rows.append(Row(g="s", ts=base + timedelta(days=28), v=100.0))
+        df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        out = drift.seasonal_residuals(df, ["g"], "ts", "v", z_cut=3.0).collect()
+        flagged = {r["day"].isoformat() for r in out if r["is_anomaly"]}
+        assert "2024-01-29" in flagged          # the broken Monday
+        # ordinary weekend days are NOT anomalies under their own baseline
+        assert "2024-01-06" not in flagged and "2024-01-07" not in flagged
