@@ -5777,3 +5777,91 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries no convention-dependent column."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return drift.seasonal_residuals(ev, ["event_type"], "ts", "value", z_cut=3.0)
+
+
+_CLSPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "cluster_aware_split_report",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, component,
+             {{split_sql}} AS split
+      FROM labeled
+    ),
+    leak AS (
+      SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaky_clusters
+      FROM (SELECT component, COUNT(DISTINCT split) AS n_splits
+            FROM sp GROUP BY component)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT component) AS n_clusters,
+           CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keepers,
+           MAX(leak.n_leaky_clusters) AS n_leaky_clusters
+    FROM sp CROSS JOIN leak
+    GROUP BY split
+    """.replace(
+        "{split_sql}",
+        sampling.split_label_sql("component", _CLSPLIT_WEIGHTS, salt="clsplit"),
+    ),
+)
+def cluster_aware_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ leakage-safe train/val/test splitting: documents split by their
+    NEAR-DUP CLUSTER id (transitive minhash components), not per doc — a
+    near-duplicate can never straddle train and test, the leakage that
+    silently inflates held-out metrics in LLM corpora.  Composes
+    dedup.cluster_survivors (oracle-verified components) with the
+    md5-threshold split on the cluster label; the n_leaky_clusters
+    column PROVES the invariant (always 0 — split is a function of the
+    cluster) rather than asserting it."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    )
+    labeled = dedup.cluster_survivors(docs, pairs, "doc_id")
+    sp = labeled.withColumn(
+        "split", sampling.split_label("component", _CLSPLIT_WEIGHTS, salt="clsplit")
+    )
+    leak = (
+        sp.groupBy("component")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .agg(
+            F.sum(F.when(F.col("__ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+            F.sum(F.when(F.col("is_keeper"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keepers"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

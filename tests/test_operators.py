@@ -568,3 +568,34 @@ def test_cosine_topk_blas_matches_expression_path(spark, sf_dir):
     for key in exact:
         assert abs(exact[key].cosine - blas[key].cosine) < 1e-12
         assert exact[key].rank == blas[key].rank
+
+
+def test_cluster_aware_split_no_leakage(spark, sf_dir):
+    """Near-dup clusters never straddle splits, and every doc lands in
+    exactly one split."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    )
+    labeled = dedup.cluster_survivors(docs, pairs, "doc_id")
+    sp = labeled.withColumn(
+        "split",
+        sampling.split_label(
+            "component", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="clsplit"
+        ),
+    )
+    assert sp.count() == docs.count()
+    spans = (
+        sp.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert spans == 0
+    # multi-doc clusters exist in this corpus, so the invariant is exercised
+    multi = (
+        sp.groupBy("component").count().where(F.col("count") > 1).count()
+    )
+    assert multi > 0
