@@ -5865,3 +5865,104 @@ def cluster_aware_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+@query(
+    "retrieval_self_mrr",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    q AS (
+      SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+             array_to_string(t[1:8], ' ') AS qtext, doc_id AS rel
+      FROM toks WHERE doc_id % 25 = 0
+    ),
+    qt AS (SELECT DISTINCT query_id, u.term
+           FROM q, UNNEST(string_split(qtext, ' ')) AS u(term)),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM post
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+    ),
+    bm_scored AS (
+      SELECT qt.query_id, p.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / avgdl)))
+             ), 6) AS score
+      FROM post p JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY qt.query_id, p.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bm_scored)
+      WHERE rank <= 10
+    ),
+    rel_rank AS (
+      SELECT q.query_id, MIN(bm.rank) AS r
+      FROM q LEFT JOIN bm ON bm.query_id = q.query_id AND bm.doc_id = q.rel
+      GROUP BY q.query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+           ROUND(CAST(SUM(CAST(COALESCE(1.0 / r, 0.0) AS DECIMAL(25,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mrr,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+           CAST(SUM(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10
+    FROM rel_rank
+    """,
+)
+def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ retrieval quality eval harness: self-retrieval MRR@10 — every
+    25th document's first 8 normalized tokens become a query whose only
+    relevant document is its source; BM25 must rank it back.  The query
+    batch is a tiny data-derived collect (same legitimate small-side
+    pattern as IVF centroids); scoring reuses the oracle-verified BM25
+    operator, and the judgment (reciprocal-rank mean, hit rates) is
+    decimal-exact.  Near-duplicate documents legitimately outrank their
+    twin's query — which is why this metric and the dedup pipeline ship
+    together."""
+    docs = load_table(spark, sf_dir, "documents")
+    qtext = F.array_join(
+        F.slice(F.split(dedup.normalize_text("text"), " "), 1, 8), " "
+    )
+    qrows = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id"), qtext.alias("qtext"))
+        .collect()
+    )
+    queries = [(f"q{r['doc_id']}", r["qtext"]) for r in qrows]
+    res = retrieval.bm25_topk(docs, "doc_id", "text", queries, k=10)
+    rel = F.expr("cast(substring(query_id, 2) as bigint)")
+    hits = res.where(rel == F.col("doc_id")).select(
+        "query_id", F.col("rank").alias("r")
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [(qid,) for qid, _ in queries], "query_id string"
+    )
+    rr = qdf.join(hits, "query_id", "left")
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.sum(
+                F.coalesce(F.lit(1.0) / F.col("r"), F.lit(0.0)).cast(
+                    "decimal(25,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_1"),
+        F.sum(F.when(F.col("r").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_10"),
+    )

@@ -177,3 +177,17 @@ def test_bpe_merge_candidates_counts(spark):
     # pairs: aaab→aa,aa,ab ; aab→aa,ab ; ab→ab
     assert out["aa"] == (3, 1)
     assert out["ab"] == (3, 2)  # tie on count → lexicographic rank
+
+
+def test_self_retrieval_mrr_reasonable(spark, sf_dir):
+    """Self-retrieval sanity: far above chance, not near-perfect — the
+    synthetic corpus draws every doc from a ~31-token vocabulary, so an
+    8-token query prefix is only mildly specific (measured: MRR ≈ 0.26,
+    hits@10 ≈ 45% vs ~2% for random top-10 over 500 docs), and exact
+    near-dup twins legitimately outrank the query's own source."""
+    from feature_store_healthcare_spark import queries as catalog
+
+    r = catalog.queries()["retrieval_self_mrr"](spark, sf_dir).collect()[0]
+    assert r["n_queries"] > 0
+    assert r["hits_at_10"] / r["n_queries"] >= 0.3
+    assert r["mrr"] >= 0.15
