@@ -79,7 +79,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "record_linkage_best_match",
     "filter_project_lineitem",
     "data_quality_expectations",
-    "semi_join_customers",
     "range_join_recent_clicks",
     "correlated_subquery_customer_max",
     "window_rank_orders",
@@ -118,12 +117,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_topk_bruteforce",
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
-    # text analysis + LM-based quality + packing
-    "text_stats_by_lang_source",
+    # text analysis + LM-based quality + packing (lang-id and per-lang
+    # stats variants stay check_oracle-verified)
     "text_quality_scores",
-    "lang_id_confusion",
     "doc_perplexity_quality",
     "sequence_packing_report",
+    # experiments, association mining, retrieval eval (★ round-2 families)
+    "cuped_experiment_analysis",
+    "session_cooccurrence_pmi",
+    "retrieval_self_mrr",
     # PHI content governance + retention (operators.privacy)
     "phi_scrub_notes",
     "retention_sweep",
