@@ -5968,3 +5968,54 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hits_at_10"),
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH per_doc AS (
+      SELECT lang,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_chars_ns,
+             len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+               AS ws_tokens,
+             greatest(len(regexp_extract_all(text, '\w+')),
+                      length(regexp_replace(text, '\s', '', 'g')) // 4)
+               + len(regexp_extract_all(text, '[^\w\s]')) AS bpe_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars_ns) AS BIGINT) AS total_chars,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           ROUND(CAST(SUM(n_chars_ns) AS DOUBLE) / SUM(bpe_tokens), 6)
+             AS chars_per_bpe_token,
+           ROUND(CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens), 6)
+             AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-51 extension: tokenizer fertility per language — subword tokens
+    per whitespace word and chars per subword (the compression ratio a
+    tokenizer-choice study tables per language; high fertility = the
+    vocabulary under-serves that language).  Exact integer totals, ratios
+    derived once per group — one scan, one partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars_ns"),
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_ish_token_estimate(F.col("text")).alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_ns").alias("total_chars"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_chars_ns").cast("double") / F.sum("bpe_tokens"), 6
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens"), 6
+        ).alias("fertility"),
+    )
