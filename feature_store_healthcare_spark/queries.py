@@ -5876,7 +5876,9 @@ def cluster_aware_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
              array_to_string(t[1:8], ' ') AS qtext, doc_id AS rel
-      FROM toks WHERE doc_id % 25 = 0
+      FROM toks
+      ORDER BY ((doc_id % 1048573) * 2654435761 + 97) % 1000000007, doc_id
+      LIMIT 64
     ),
     qt AS (SELECT DISTINCT query_id, u.term
            FROM q, UNNEST(string_split(qtext, ' ')) AS u(term)),
@@ -5922,22 +5924,30 @@ def cluster_aware_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ retrieval quality eval harness: self-retrieval MRR@10 — every
-    25th document's first 8 normalized tokens become a query whose only
+    """★ retrieval quality eval harness: self-retrieval MRR@10 — a
+    FIXED-SIZE (64) deterministic hash-ordered sample of documents; each
+    sampled document's first 8 normalized tokens become a query whose only
     relevant document is its source; BM25 must rank it back.  The query
-    batch is a tiny data-derived collect (same legitimate small-side
-    pattern as IVF centroids); scoring reuses the oracle-verified BM25
-    operator, and the judgment (reciprocal-rank mean, hit rates) is
-    decimal-exact.  Near-duplicate documents legitimately outrank their
-    twin's query — which is why this metric and the dedup pipeline ship
-    together."""
+    batch collect is bounded at O(64) rows regardless of corpus size (an
+    index-sized artifact, same legitimate small-side pattern as IVF
+    centroids — NOT a data-proportional collect); the hash is portable
+    integer arithmetic so the DuckDB oracle samples identically.  Scoring
+    reuses the oracle-verified BM25 operator, and the judgment
+    (reciprocal-rank mean, hit rates) is decimal-exact.  Near-duplicate
+    documents legitimately outrank their twin's query — which is why this
+    metric and the dedup pipeline ship together."""
     docs = load_table(spark, sf_dir, "documents")
     qtext = F.array_join(
         F.slice(F.split(dedup.normalize_text("text"), " "), 1, 8), " "
     )
+    # Bounded deterministic sample: TakeOrderedAndProject(64) over a
+    # portable mix hash (mod-reduced first so the multiply never overflows
+    # int64 — Spark and DuckDB then agree bit-for-bit).
+    qhash = ((F.col("doc_id") % 1048573) * 2654435761 + 97) % 1000000007
     qrows = (
-        docs.where(F.col("doc_id") % 25 == 0)
-        .select(F.col("doc_id"), qtext.alias("qtext"))
+        docs.select(F.col("doc_id"), qtext.alias("qtext"), qhash.alias("qh"))
+        .orderBy("qh", "doc_id")
+        .limit(64)
         .collect()
     )
     queries = [(f"q{r['doc_id']}", r["qtext"]) for r in qrows]
