@@ -55,19 +55,40 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(out_deg, "src").persist()
+    # Loop-invariant partitioning: hash-partition the BIG edge side on the
+    # join key ONCE and persist — every round's edge⋈rank join then reuses
+    # the cached HashPartitioning(src) (InMemoryTableScan preserves
+    # outputPartitioning), so the edge table is shuffled once total, not
+    # once per iteration.  At 100 TB this is the difference between 1 and
+    # `iterations` full-corpus shuffles (the bucketBy-equivalent for an
+    # in-session loop; persist to a bucketed table for cross-job reuse).
+    e_deg = e.join(out_deg, "src").repartition("src").persist()
     # dangling FLAG precomputed once (topology is loop-invariant) — the
-    # per-round anti-join was pure overhead
-    flagged = nodes.join(
-        out_deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
-        "node",
-        "left",
-    ).localCheckpoint(eager=True)
+    # per-round anti-join was pure overhead.  Pre-partition on node so the
+    # per-round flagged⋈contribs join reuses this side's layout too
+    # (localCheckpoint preserves outputPartitioning via LogicalRDD).
+    flagged = (
+        nodes.join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(True).alias("__has_out")
+            ),
+            "node",
+            "left",
+        )
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
             e_deg.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                # shuffle-hash: build from the small per-node rank table —
+                # a sort-merge join would re-SORT the big cached edge side
+                # every round
+                ranks.select(F.col("node").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(
@@ -94,7 +115,9 @@ def pagerank(
             )
         )
         ranks = (
-            flagged.join(contribs, "node", "left")
+            # shuffle-hash here too: SMJ would re-sort both per-node
+            # tables every round for no benefit (neither side is sorted)
+            flagged.join(contribs.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",

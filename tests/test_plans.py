@@ -139,6 +139,78 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_bucketed_pit_join_zero_exchange(spark, sf_dir, tmp_path):
+    """SURVEY §4.2's last custom row: spine AND values bucketed on the
+    entity key with the same bucket count → the whole PIT training join
+    (equi-join + range predicate + argmax agg) runs with ZERO shuffle
+    exchanges — the join zips bucket i with bucket i, and the aggregate's
+    (entity, spine-key) grouping reuses the join's bucket distribution."""
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    vals = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value"), "ts", "event_id"
+    )
+    write_bucketed(spine, "pit_spine_b", "user_id", 4, str(tmp_path / "spine_b"))
+    write_bucketed(vals, "pit_vals_b", "user_id", 4, str(tmp_path / "vals_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kw = dict(
+            on="user_id", spine_ts="ts", value_ts="ts",
+            value_cols=["click_value"], tiebreak=["event_id"],
+            spine_keys=["event_id"],
+        )
+        bucketed = point_in_time_join(
+            read_table(spark, "pit_spine_b"), read_table(spark, "pit_vals_b"), **kw
+        )
+        assert plans.count_exchanges(bucketed) == 0
+        plain = point_in_time_join(spine, vals, **kw)
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS pit_spine_b")
+        spark.sql("DROP TABLE IF EXISTS pit_vals_b")
+
+
+def test_pagerank_edge_side_shuffles_once(spark, sf_dir):
+    """graph.pagerank's loop-invariant edge partitioning: the cached edge
+    table carries HashPartitioning(src), so each iteration's edge⋈rank
+    join shuffles ONLY the small per-node rank side — the big edge side is
+    never re-exchanged or re-sorted (shuffle-hash build from ranks)."""
+    from feature_store_healthcare_spark.operators import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 97).alias("dst")
+    ).distinct()
+    # checkpoint_every > iterations keeps the FULL 3-round lineage visible
+    # (per-round checkpoints would truncate the plan we want to inspect)
+    pr = graph.pagerank(edges, iterations=3, checkpoint_every=4)
+    # no sort-merge join anywhere in 3 rounds — the cached edge side is
+    # never re-sorted (its one-time REPARTITION_BY_COL hash layout is
+    # reused from the persist); every round's joins build hash tables from
+    # the small per-node side instead.  (Exchange COUNTS can't be asserted
+    # textually here: explain re-prints the cached edge subtree once per
+    # referencing round, so the string over-counts what executes once.)
+    txt = plans.physical_plan(pr, mode="simple")
+    assert plans.count_sort_merge_joins(pr) == 0
+    assert txt.count("ShuffledHashJoin") >= 3  # one edge⋈rank join per round
+    # the only shuffle of the raw edge table is the user-requested one-time
+    # repartition("src") — textually it repeats per round, but every copy
+    # is the SAME cached layout (REPARTITION_BY_COL), never a per-round
+    # ENSURE_REQUIREMENTS re-shuffle of the edge relation
+    import re
+    assert re.search(r"Exchange hashpartitioning\(src#\d+L, \d+\), REPARTITION_BY_COL", txt)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+
+
 def test_interval_join_no_smj_and_bounded_exchanges(spark, sf_dir, qs):
     """The SCD2 containment join must broadcast its (pre-reduced) interval
     side, never sort-merge; total exchanges stay at the strategy's 2
