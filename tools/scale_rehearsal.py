@@ -1,0 +1,289 @@
+"""Scale rehearsal: blow sf0.1 up 20-100x IN-ENGINE, persist it as real
+parquet, and run the heaviest headline queries against it — converting the
+"designed for 100 TB" plan claims into *measured* evidence (wall-time
+scaling vs data scaling, shuffle volumes, no driver blow-up).
+
+Usage:
+    python tools/scale_rehearsal.py [--build-only] [--skip-build]
+
+Blow-up design (cardinality really grows — not just row duplication):
+  - every table is crossJoined with a broadcast replica index ``__r`` and
+    its keys are offset by ``r * (max_key + 1)``, so primary keys stay
+    unique and FK integrity holds within each replica (the same way TPC-H
+    dbgen scales);
+  - events x100 (~10M rows, the stream fact), lineitem/orders/dims x20,
+    documents x20 (~100k docs), embeddings x50 (~100k vectors);
+  - document text gains a per-replica suffix token and embedding vectors a
+    tiny per-(replica, component) perturbation, so dedup keeps its real
+    near-dup structure and ANN doesn't degenerate into all-ties;
+  - events timestamps shift by ``r`` seconds so per-key orderings stay
+    well-defined at 100x density.
+
+Metrics: wall time (2 runs, min) at 1x and at the blow-up, plus shuffle
+read/write bytes and peak single-stage shuffle write from the Spark UI
+REST API (the session here enables the UI; the tuned test session keeps
+it off).  Results land in SCALE_REHEARSAL.json and the marked section of
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from feature_store_healthcare_spark import queries as catalog  # noqa: E402
+from feature_store_healthcare_spark.session import RUNTIME_CONFS, configure  # noqa: E402
+from feature_store_healthcare_spark.sources import load_table  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(REPO, ".scale", "sf0.1x")
+MARKER = os.path.join(OUT, "_BUILT")
+
+#: replica counts per table (region/nation are true dims, copied as-is)
+FACTORS = {
+    "customer": 20,
+    "supplier": 20,
+    "part": 20,
+    "orders": 20,
+    "lineitem": 20,
+    "events": 100,
+    "documents": 20,
+    "embeddings": 50,
+}
+
+#: primary/foreign keys to offset per replica: table -> {col: offset_base}
+#: offset bases are max_key+1 of the REFERENCED table at sf0.1
+OFFS = {"cust": 15_000, "supp": 1_000, "part": 20_000, "order": 150_000,
+        "event": 100_000, "user": 1_500, "doc": 5_000, "vec": 2_000}
+
+REHEARSAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "eav_latest_per_key",
+    "pit_training_join",
+    "sessionize_events",
+    "pagerank_supplier_parts",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_minhash",
+    "embedding_topk_bruteforce",
+    "bm25_lexical_topk",
+    "hybrid_rrf_retrieval",
+]
+
+
+def rehearsal_spark() -> SparkSession:
+    builder = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("scale-rehearsal")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "true")  # REST metrics source
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
+
+
+def _replicate(df, k: int):
+    """crossJoin with a broadcast replica index 0..k-1."""
+    r = df.sparkSession.range(k).withColumnRenamed("id", "__r")
+    return df.crossJoin(F.broadcast(r))
+
+
+def build(spark: SparkSession) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    r = F.col("__r")
+
+    def off(col, base):
+        return (F.col(col) + r * base).alias(col)
+
+    t0 = time.time()
+    for name in ("region", "nation"):
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{name}.parquet")
+        )
+
+    cust = _replicate(load_table(spark, SRC, "customer"), FACTORS["customer"])
+    cust.select(
+        off("c_custkey", OFFS["cust"]), "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment",
+    ).write.mode("overwrite").parquet(os.path.join(OUT, "customer.parquet"))
+
+    supp = _replicate(load_table(spark, SRC, "supplier"), FACTORS["supplier"])
+    supp.select(
+        off("s_suppkey", OFFS["supp"]),
+        *[c for c in supp.columns if c not in ("s_suppkey", "__r")],
+    ).write.mode("overwrite").parquet(os.path.join(OUT, "supplier.parquet"))
+
+    part = _replicate(load_table(spark, SRC, "part"), FACTORS["part"])
+    part.select(
+        off("p_partkey", OFFS["part"]),
+        *[c for c in part.columns if c not in ("p_partkey", "__r")],
+    ).write.mode("overwrite").parquet(os.path.join(OUT, "part.parquet"))
+
+    orders = _replicate(load_table(spark, SRC, "orders"), FACTORS["orders"])
+    orders.select(
+        off("o_orderkey", OFFS["order"]), off("o_custkey", OFFS["cust"]),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(OUT, "orders.parquet"))
+
+    li = _replicate(load_table(spark, SRC, "lineitem"), FACTORS["lineitem"])
+    li.select(
+        off("l_orderkey", OFFS["order"]), off("l_partkey", OFFS["part"]),
+        off("l_suppkey", OFFS["supp"]),
+        *[c for c in li.columns
+          if c not in ("l_orderkey", "l_partkey", "l_suppkey", "__r")],
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "lineitem.parquet")
+    )
+
+    ev = _replicate(load_table(spark, SRC, "events"), FACTORS["events"])
+    ev.select(
+        off("event_id", OFFS["event"]),
+        # users grow 20x (matching customer); temporal density grows 5x;
+        # the r-second shift keeps per-key event orderings well-defined
+        (F.col("user_id") + (r % 20) * OFFS["user"]).alias("user_id"),
+        (F.col("ts") + F.make_dt_interval(secs=r.cast("double"))).alias("ts"),
+        "event_type", "value", "props",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
+    )
+
+    docs = _replicate(load_table(spark, SRC, "documents"), FACTORS["documents"])
+    newtext = F.concat(F.col("text"), F.lit(" rep"), r.cast("string"))
+    docs.select(
+        off("doc_id", OFFS["doc"]), newtext.alias("text"), "lang", "source",
+        F.length(newtext).alias("n_chars"),
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "documents.parquet")
+    )
+
+    emb = _replicate(load_table(spark, SRC, "embeddings"), FACTORS["embeddings"])
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x + ((r * 37 + i * 11) % 13 - 6).cast("float") * 0.0005,
+    )
+    emb.select(
+        off("vec_id", OFFS["vec"]), perturbed.alias("embedding"), "label",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "embeddings.parquet")
+    )
+
+    with open(MARKER, "w") as fh:
+        fh.write(json.dumps({"src": SRC, "factors": FACTORS}))
+    print(f"built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# Spark UI REST metrics
+# --------------------------------------------------------------------------
+
+def _stages(spark) -> dict[int, dict]:
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as resp:
+            data = json.loads(resp.read())
+        return {
+            (s["stageId"], s["attemptId"]): s
+            for s in data
+        }
+    except Exception:
+        return {}
+
+
+def _shuffle_delta(before: dict, after: dict) -> dict:
+    new = [s for k, s in after.items() if k not in before]
+    return {
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6, 1
+        ),
+        "peak_stage_shuffle_write_mb": round(
+            max((s.get("shuffleWriteBytes", 0) for s in new), default=0) / 1e6, 1
+        ),
+        "n_stages": len(new),
+    }
+
+
+def run_suite(spark: SparkSession, sf_dir: str, label: str) -> dict[str, dict]:
+    from bench import EXTRA  # reuse the amortized-index runners
+
+    out: dict[str, dict] = {}
+    qs = catalog.queries()
+    for name in REHEARSAL:
+        fn = qs.get(name) or EXTRA.get(name)
+        times = []
+        rows = 0
+        before = _stages(spark)
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            times.append(time.time() - t0)
+        after = _stages(spark)
+        m = _shuffle_delta(before, after)
+        m.update({"sec": round(min(times), 2), "rows": rows})
+        out[name] = m
+        print(f"{label:>6} {name:32s} {m['sec']:8.2f}s rows={rows:>9} "
+              f"shW={m['shuffle_write_mb']}MB", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    spark = rehearsal_spark()
+    if "--skip-build" not in sys.argv and not os.path.exists(MARKER):
+        build(spark)
+    elif "--skip-build" not in sys.argv:
+        print(f"reusing {OUT}", file=sys.stderr)
+    if "--build-only" in sys.argv:
+        return 0
+
+    base = run_suite(spark, SRC, "1x")
+    big = run_suite(spark, OUT, "blowup")
+
+    factors = {n: FACTORS for n in ()}  # per-query data factor varies by table
+    report = {
+        "src": SRC,
+        "blowup_dir": OUT,
+        "factors": FACTORS,
+        "queries": {
+            name: {
+                "sec_1x": base[name]["sec"],
+                "sec_big": big[name]["sec"],
+                "time_ratio": round(big[name]["sec"] / max(base[name]["sec"], 1e-9), 1),
+                "rows_1x": base[name]["rows"],
+                "rows_big": big[name]["rows"],
+                "shuffle_write_mb_big": big[name]["shuffle_write_mb"],
+                "peak_stage_shuffle_write_mb_big": big[name][
+                    "peak_stage_shuffle_write_mb"
+                ],
+            }
+            for name in REHEARSAL
+        },
+    }
+    with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps({k: v["time_ratio"] for k, v in report["queries"].items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
