@@ -108,6 +108,47 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_pairs_from_bands(
+    banded: DataFrame,
+    id_col: str,
+    broadcast_candidates: bool = False,
+) -> DataFrame:
+    """Candidate pairs from a (id, band, bkey) band table: self-equi-join
+    on ``bkey`` (the band id is folded into the digest, so one key carries
+    both), distinct (id_a, id_b) with id_a < id_b.
+
+    This is the join every LSH family bottoms out in, split out so the
+    100 TB path can run it against a STORED band table (the per-corpus LSH
+    index ``stores.write_bucketed`` persists, bucketed by ``bkey``): a
+    bucketed self-join zips bucket i with bucket i — zero shuffle on the
+    corpus-sized side, re-usable across arrival batches.
+
+    ``broadcast_candidates=False`` (default): shuffled equi-join.  The band
+    key is an md5/xxhash digest — uniformly distributed by construction —
+    so unlike the natural-language shingle join in
+    :func:`ngram_jaccard_pairs` there is no hot-key skew and the shuffle
+    scales to corpus sizes far beyond broadcast range.  ``True`` broadcasts
+    the build side: fastest when the band table fits the broadcast budget
+    (small corpora, the bench/test path), a non-starter at 100 TB where the
+    band table is #docs × bands rows.
+    """
+    left = banded.alias("l")
+    right = banded.alias("r")
+    if broadcast_candidates:
+        right = F.broadcast(right)
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,45 +157,39 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """OP-49: candidate near-duplicate pairs via banded MinHash-LSH.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
     documents colliding on any full band become a candidate pair.  Returns
     distinct (id_a, id_b) with id_a < id_b.
+
+    ``broadcast_candidates``: None (default) auto-sizes from the
+    MATERIALIZED band-table row count (the table is persisted and consumed
+    immediately after, so the count is a one-pass compute the join would do
+    anyway): broadcast under :data:`_BROADCAST_ROW_BUDGET` rows, shuffled
+    equi-join on the uniformly-hashed (band, bkey) key beyond (see
+    :func:`lsh_pairs_from_bands`).  Pass True/False to pin a strategy.
     """
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable)
-    band_entries = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + i}").cast("string") for i in range(rows_per_band)]
-        band_entries.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
-    ).select(id_col, "b.band", "b.bkey")
+    banded = _banded_signatures(sig, id_col, num_hashes, bands)
     # banded feeds both join sides; persist so the signature computation
     # (scan → shingle explode → 16-way min agg) runs once, not twice.
+    # (A 100 TB run writes it through stores.write_bucketed instead and
+    # calls lsh_pairs_from_bands on the stored index — same join below.)
     banded = banded.persist()
-    left = banded.alias("l")
-    # One row per (doc, band) — tiny relative to the corpus text, so
-    # broadcast the build side: no shuffle, no hot-band skew.
-    right = F.broadcast(banded.alias("r"))
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bkey") == F.col("r.bkey"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+    if broadcast_candidates is None:
+        broadcast_candidates = banded.count() <= _BROADCAST_ROW_BUDGET
+    return lsh_pairs_from_bands(banded, id_col, broadcast_candidates)
+
+
+#: Auto-strategy cutover for LSH candidate joins: band/chunk tables under
+#: this many rows (tens of MB of fixed-width digests) broadcast; beyond it
+#: the shuffled equi-join is the only shape that survives — at 100 TB the
+#: band table is #docs × bands ≈ billions of rows.
+_BROADCAST_ROW_BUDGET = 1_000_000
 
 
 def ngram_jaccard_pairs(
@@ -352,50 +387,91 @@ def cluster_survivors(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash signature per doc (OP-49 variant): each token hashes to a
     ``bits``-wide value; bit i of the signature is 1 iff the sum over tokens
     of ±1 (by token-hash bit i) is positive.
 
-    Token hash is the low 8 hex chars of md5 (portable across engines).
+    ``portable=False`` (production default): xxhash64 token hash — the full
+    64-bit signature space, JVM-vectorized, no hex-string round-trip.
+    ``portable=True`` (bits ≤ 32): low 8 hex chars of md5, reproducible
+    bit-for-bit in any engine with md5 — the form the DuckDB-checked
+    catalog entries pin.
     Implemented as ``bits`` conditional-sum aggregates — no per-bit explode.
     Output: (id_col, simhash: long).
     """
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long"))
+    tok = F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    if portable:
+        assert bits <= 32, "portable md5 path carries 32 hash bits"
+        h = F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long")
+        bitmask = [F.lit(1 << i) for i in range(bits)]
+    else:
+        assert bits <= 64
+        h = F.xxhash64(F.col("tok"))
+        # JVM-side shifts: 1L << 63 is Long.MIN_VALUE (sign bit), which a
+        # Python literal can't express as a LongType lit.
+        bitmask = [
+            F.shiftleft(F.lit(1).cast("long"), i) for i in range(bits)
+        ]
+    tokens = df.select(F.col(id_col), tok).withColumn("h", h)
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(bitmask[i]) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     sums = tokens.groupBy(id_col).agg(*aggs)
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+        # bits are disjoint → OR-assembly (no signed-overflow semantics to
+        # reason about at bit 63, unlike arithmetic +)
+        bit = F.when(F.col(f"b{i}") > 0, bitmask[i]).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+def simhash_candidates(
+    sig: DataFrame,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Pigeonhole candidate pairs from a (id, simhash) table: split the
+    signature into ``max_hamming+1`` chunks; a pair within the Hamming
+    budget must agree exactly on ≥1 chunk, so candidates come from an
+    equi-join on (chunk_id, chunk_value) — never an O(n²) cross join.
+    Output: distinct (id_a, id_b, sh_a, sh_b), id_a < id_b — the exact
+    bit_count filter is the caller's.
 
-    Pigeonhole banding: split the signature into ``max_hamming+1`` chunks;
-    any qualifying pair agrees exactly on ≥1 chunk → candidates from an
-    equi-join on (chunk_id, chunk_value), then exact bit_count filter.
+    Chunk width is ``bits // chunks``: 64-bit signatures give 21-bit
+    chunks at max_hamming=2 (2M distinct values per chunk) and 16-bit at
+    max_hamming=3 (65k values) — candidate volume stays near-linear in
+    corpus size.  32-bit signatures at max_hamming=2 leave 10-bit chunks
+    (1,024 values), where candidates grow ~N²·chunks/2^width — quadratic
+    long before 100 TB, so the 32-bit form is only for portable-oracle
+    checks.  Any bits not covered by ``chunks × width`` (e.g. bit 63 with
+    21-bit chunks) can only DECREASE the in-chunk Hamming distance, so
+    pigeonhole recall stays exact; the final filter XORs full signatures.
+
+    ``broadcast_candidates``: same contract as
+    :func:`lsh_pairs_from_bands` — None auto-sizes from the materialized
+    chunk-table count, True pins the small-corpus broadcast, False pins
+    the shuffled equi-join that survives corpus scale.
     """
     chunks = max_hamming + 1
     width = bits // chunks
-    sig = simhash_signatures(df, id_col, text_col, bits=bits)
     entries = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * width)
+            # unsigned shift: the top chunk of a 64-bit signature must not
+            # sign-extend when the sign bit is set
+            F.shiftrightunsigned(F.col("simhash"), c * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("cval"),
         )
@@ -407,11 +483,13 @@ def simhash_pairs(
     # banded feeds both join sides — persist so the simhash computation
     # runs once, not twice (same pattern as minhash_lsh_pairs).
     banded = banded.persist()
+    if broadcast_candidates is None:
+        broadcast_candidates = banded.count() <= _BROADCAST_ROW_BUDGET
     l = banded.alias("l")
-    # (doc, chunk) rows are signature-sized — broadcast the build side to
-    # keep hot low-cardinality chunk values from skewing a shuffled join.
-    r = F.broadcast(banded.alias("r"))
-    cand = (
+    r = banded.alias("r")
+    if broadcast_candidates:
+        r = F.broadcast(r)
+    return (
         l.join(r, on=[F.col("l.chunk") == F.col("r.chunk"),
                       F.col("l.cval") == F.col("r.cval"),
                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
@@ -422,6 +500,29 @@ def simhash_pairs(
             F.col("r.simhash").alias("sh_b"),
         )
         .distinct()
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    portable: bool = False,
+    broadcast_candidates: bool | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — exact by the
+    pigeonhole principle (see :func:`simhash_candidates` for the banding,
+    chunk-width, and join-strategy scale analysis).
+
+    Production default: 64-bit xxhash64 signatures (wide chunks → sparse
+    candidate buckets, sub-quadratic candidate volume).  The 32-bit
+    ``portable=True`` form exists for engine-portable oracle checks only.
+    """
+    sig = simhash_signatures(df, id_col, text_col, bits=bits, portable=portable)
+    cand = simhash_candidates(
+        sig, id_col, bits, max_hamming, broadcast_candidates=broadcast_candidates
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
@@ -503,7 +604,14 @@ def burst_dedup(
 def _banded_signatures(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Fold a wide minhash signature into (id, band, bkey) rows."""
+    """Fold a wide minhash signature into (id, band, bkey) rows.
+
+    The band id is folded INTO the digest (``md5(band || values)``), so the
+    candidate join downstream is a single-key equi-join on ``bkey`` —
+    cross-band collisions are impossible by construction, and a stored band
+    table bucketed by ``bkey`` gives a shuffle-free bucketed self-join
+    (multi-key joins over a single-column bucket layout don't engage
+    Spark's bucketed-scan planning)."""
     rows_per_band = num_hashes // bands
     band_entries = []
     for b in range(bands):
@@ -513,7 +621,8 @@ def _banded_signatures(
         ]
         band_entries.append(
             F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("bkey"),
             )
         )
     return sig.select(

@@ -679,6 +679,7 @@ def cosine_topk_blas(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     exclude_self: bool = True,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k via per-Arrow-batch BLAS — the production form
     of the brute-force scan: the query matrix ships once in the kernel
@@ -692,8 +693,27 @@ def cosine_topk_blas(
     ~1 ulp (BLAS accumulation order differs), so this is the BENCH/SERVE
     variant; the oracle-checked catalog entry stays on the bit-exact
     expression path.  Ties break by corpus id, like cosine_topk.
+
+    The contract is query batch ≪ corpus (the query matrix ships in every
+    task's closure); ``max_query_rows`` enforces it — a query side larger
+    than the bound raises before anything is collected, instead of
+    silently OOMing the driver/executors.  Raise it deliberately if you
+    know the d×|Q| matrix fits your closure budget; for corpus×corpus
+    scoring use the bucketed/LSH paths instead.
     """
-    q_rows = queries.select(query_id, "embedding").collect()
+    # bounded probe: collects at most max_query_rows+1 rows even when the
+    # caller hands a corpus-sized DataFrame by mistake
+    q_rows = (
+        queries.select(query_id, "embedding").limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_blas query side exceeds max_query_rows="
+            f"{max_query_rows}: the kernel broadcasts the full query matrix "
+            "in its closure, so an unbounded query side is a driver/executor "
+            "OOM. Pass a smaller batch, raise max_query_rows deliberately, "
+            "or use the distributed pair-join/LSH variants."
+        )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -993,11 +993,13 @@ def _simhash_oracle(bits: int = 32) -> str:
 
 @query("simhash_signatures", _simhash_oracle())
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-49 (SimHash variant): 32-bit portable simhash per document.
-    Pair-matching at scale uses the pigeonhole chunk join
-    (operators.dedup.simhash_pairs, unit-tested)."""
+    """OP-49 (SimHash variant): 32-bit portable (md5-derived) simhash per
+    document — the engine-portable form the DuckDB oracle reproduces.
+    Production runs use the 64-bit xxhash64 default
+    (operators.dedup.simhash_signatures, pinned ≡ brute force in
+    test_operators)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(docs, "doc_id", "text", bits=32)
+    return dedup.simhash_signatures(docs, "doc_id", "text", bits=32, portable=True)
 
 
 @query(
@@ -2747,9 +2749,14 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole chunk banding (operators.dedup.simhash_pairs) — exact by the
     pigeonhole principle (3 disjoint chunks, ≤2 differing bits → ≥1 clean
     chunk), so it matches the oracle's O(n²) XOR-popcount scan while the
-    engine only scores candidates sharing a chunk."""
+    engine only scores candidates sharing a chunk.  32-bit portable md5
+    signatures here ONLY because the oracle must reproduce them; the
+    production default is 64-bit xxhash64 with ≥16-bit chunks
+    (sub-quadratic candidates — see operators.dedup.simhash_candidates)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=2)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=2, portable=True
+    )
 
 
 @query(

@@ -599,3 +599,92 @@ def test_cluster_aware_split_no_leakage(spark, sf_dir):
         sp.groupBy("component").count().where(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+# -------------------------------------------- dedup candidate-join scale paths
+
+def test_minhash_lsh_join_strategies_agree(spark, sf_dir):
+    """The broadcast, shuffled, and auto-sized candidate joins are three
+    physical strategies for ONE semantic: identical pair sets.  The
+    shuffled path is the corpus-scale one (the band table at 100 TB is
+    #docs x bands rows — far beyond broadcast range)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(n=3, num_hashes=16, bands=4)
+    bcast = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", broadcast_candidates=True, **kw).collect()}
+    shuf = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", broadcast_candidates=False, **kw).collect()}
+    auto = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", **kw).collect()}
+    assert bcast == shuf == auto
+    assert len(bcast) > 0
+
+
+def test_simhash64_production_equals_bruteforce(spark, sf_dir):
+    """The production 64-bit xxhash64 simhash path (wide pigeonhole
+    chunks, broadcast OR shuffled candidate join) returns EXACTLY the
+    pairs an O(n^2) XOR-popcount scan finds — banding is a pure
+    candidate-generation optimization, never a recall trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(
+        docs, "doc_id", "text", bits=64, portable=False
+    ).persist()
+    brute = {
+        tuple(r)
+        for r in (
+            sig.alias("a")
+            .join(sig.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    for flag in (True, False):
+        fast = {
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                docs, "doc_id", "text", bits=64, max_hamming=3,
+                broadcast_candidates=flag,
+            ).collect()
+        }
+        assert fast == brute
+    assert len(brute) > 0
+    sig.unpersist()
+
+
+def test_simhash64_candidates_subquadratic(spark):
+    """Candidate-volume regression pin: at sf0.01 (500 docs, 124,750
+    possible pairs) the 64-bit/21-bit-chunk banding inspects <1% of all
+    pairs, >=10x fewer than the 32-bit/10-bit-chunk oracle form whose
+    1,024-value chunks go ~quadratic long before 100 TB.  (Measured at
+    round 4: 534 vs 17,675 candidates.)"""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    sig32 = dedup.simhash_signatures(docs, "doc_id", "text", bits=32, portable=True)
+    c32 = dedup.simhash_candidates(sig32, "doc_id", 32, 2).count()
+    sig64 = dedup.simhash_signatures(docs, "doc_id", "text", bits=64, portable=False)
+    c64 = dedup.simhash_candidates(sig64, "doc_id", 64, 2).count()
+    assert c64 < 0.01 * all_pairs
+    assert c64 * 10 < c32
+
+
+def test_cosine_topk_blas_query_bound_guard(spark, sf_dir):
+    """The BLAS kernel's contract is query batch << corpus (the query
+    matrix rides in every task closure).  An oversized query side must
+    fail fast BEFORE collecting — not OOM the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.cosine_topk_blas(q, emb, k=3, max_query_rows=10)
+    # at or under the bound it runs
+    out = similarity.cosine_topk_blas(
+        q.limit(5), emb, k=3, max_query_rows=10
+    )
+    assert out.count() > 0

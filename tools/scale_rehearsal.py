@@ -232,13 +232,18 @@ def run_suite(spark: SparkSession, sf_dir: str, label: str) -> dict[str, dict]:
         fn = qs.get(name) or EXTRA.get(name)
         times = []
         rows = 0
-        before = _stages(spark)
-        for _ in range(2):
+        before = after = {}
+        for i in range(2):
+            # snapshot stage metrics around the LAST run only, so shuffle
+            # bytes reflect one execution, not the sum of both timing runs
+            if i == 1:
+                before = _stages(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows = df.count()
             times.append(time.time() - t0)
-        after = _stages(spark)
+            if i == 1:
+                after = _stages(spark)
         m = _shuffle_delta(before, after)
         m.update({"sec": round(min(times), 2), "rows": rows})
         out[name] = m
@@ -259,7 +264,6 @@ def main() -> int:
     base = run_suite(spark, SRC, "1x")
     big = run_suite(spark, OUT, "blowup")
 
-    factors = {n: FACTORS for n in ()}  # per-query data factor varies by table
     report = {
         "src": SRC,
         "blowup_dir": OUT,
