@@ -939,6 +939,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_lsh_shuffled", _minhash_oracle())
+def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49, the corpus-scale strategy of dedup_minhash_lsh: identical
+    banded signatures, but the candidate join is the shuffled equi-join on
+    the uniform band digest (broadcast_candidates=False) — the only shape
+    that survives when the band table is #docs × bands ≈ billions of rows.
+    Same oracle as the broadcast entry: two physical strategies, one
+    semantic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True,
+        broadcast_candidates=False,
+    )
+
+
 def _jaccard_oracle(n: int = 2, threshold: float = 0.12) -> str:
     shingle = "concat_ws(' ', t[i], t[i+1])"
     return f"""

@@ -69,15 +69,105 @@ REHEARSAL = [
     "q3_shipping_priority",
     "eav_latest_per_key",
     "pit_training_join",
+    "pit_training_join_bucketed",
     "sessionize_events",
     "pagerank_supplier_parts",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_shuffled",
+    "simhash_pairs_prod64",
     "dedup_ngram_jaccard",
     "dedup_incremental_minhash",
     "embedding_topk_bruteforce",
+    "embedding_ivf_topk",
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
 ]
+
+
+# --------------------------------------------------------------------------
+# Rehearsal-only runners: the de-broadcast / bucketed scale paths that the
+# catalog's oracle-pinned entries deliberately don't exercise
+# --------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _minhash_shuffled(spark, sf_dir):
+    """The 100 TB candidate-join shape: shuffled equi-join on the band
+    digest, never a broadcast (same signature params as the catalog's
+    dedup_minhash_lsh so the strategy delta is isolated)."""
+    from feature_store_healthcare_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=16, bands=4,
+        portable=True, broadcast_candidates=False,
+    )
+
+
+def _simhash_prod64(spark, sf_dir):
+    """Production simhash: 64-bit xxhash64 signatures, wide pigeonhole
+    chunks, auto join strategy — the sub-quadratic-candidates form."""
+    from feature_store_healthcare_spark.operators import dedup
+
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", bits=64, max_hamming=3
+    )
+
+
+def _pit_bucketed(spark, sf_dir):
+    """The zero-exchange PIT training join over bucketed spine/values
+    tables — same query as the catalog's pit_training_join, but both sides
+    pre-bucketed on the entity key via stores.write_bucketed.  The bucket
+    write is a one-time index build: the first timed run pays it, the
+    second reuses the stored tables, and run_suite's min() reports the
+    steady-state join cost (exactly how a 100 TB run amortizes layout)."""
+    from pyspark.sql import functions as FF
+
+    from feature_store_healthcare_spark.operators.pit import point_in_time_join
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
+    sp_t, va_t = f"reh_pit_spine_{label}", f"reh_pit_vals_{label}"
+    if not spark.catalog.tableExists(sp_t):
+        ev = load_table(spark, sf_dir, "events")
+        spine = ev.where(FF.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        vals = ev.where(FF.col("event_type") == "click").select(
+            "user_id", FF.col("value").alias("click_value"), "ts", "event_id"
+        )
+        write_bucketed(
+            spine, sp_t, "user_id", 32,
+            os.path.join(REPO, ".scale", "buckets", sp_t),
+        )
+        write_bucketed(
+            vals, va_t, "user_id", 32,
+            os.path.join(REPO, ".scale", "buckets", va_t),
+        )
+    return point_in_time_join(
+        read_table(spark, sp_t), read_table(spark, va_t),
+        on="user_id", spine_ts="ts", value_ts="ts",
+        value_cols=["click_value"], tiebreak=["event_id"],
+        spine_keys=["event_id"],
+    )
+
+
+REHEARSAL_EXTRA = {
+    "dedup_minhash_lsh_shuffled": _minhash_shuffled,
+    "simhash_pairs_prod64": _simhash_prod64,
+    "pit_training_join_bucketed": _pit_bucketed,
+}
+
+#: timing-run count overrides (default 2, min taken).  The exact pairwise
+#: Jaccard is deliberately kept in the suite as the documented quadratic
+#: case (this corpus's bigram frequencies are uniformly hot — median
+#: bigram appears in 285/5000 docs — so candidate pairs grow ~400x at 20x
+#: replication and the stop-shingle guard is all-or-nothing here; the
+#: production near-dup path on hot corpora is MinHash-LSH, measured in the
+#: same suite).  One run records the blow-up honestly without spending an
+#: hour re-proving it.
+RUNS = {"dedup_ngram_jaccard": 1}
 
 
 def rehearsal_spark() -> SparkSession:
@@ -223,26 +313,29 @@ def _shuffle_delta(before: dict, after: dict) -> dict:
     }
 
 
-def run_suite(spark: SparkSession, sf_dir: str, label: str) -> dict[str, dict]:
+def run_suite(
+    spark: SparkSession, sf_dir: str, label: str, names: list[str] | None = None
+) -> dict[str, dict]:
     from bench import EXTRA  # reuse the amortized-index runners
 
     out: dict[str, dict] = {}
     qs = catalog.queries()
-    for name in REHEARSAL:
-        fn = qs.get(name) or EXTRA.get(name)
+    for name in names if names is not None else REHEARSAL:
+        fn = qs.get(name) or EXTRA.get(name) or REHEARSAL_EXTRA.get(name)
         times = []
         rows = 0
         before = after = {}
-        for i in range(2):
+        n_runs = RUNS.get(name, 2)
+        for i in range(n_runs):
             # snapshot stage metrics around the LAST run only, so shuffle
-            # bytes reflect one execution, not the sum of both timing runs
-            if i == 1:
+            # bytes reflect one execution, not the sum of the timing runs
+            if i == n_runs - 1:
                 before = _stages(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows = df.count()
             times.append(time.time() - t0)
-            if i == 1:
+            if i == n_runs - 1:
                 after = _stages(spark)
         m = _shuffle_delta(before, after)
         m.update({"sec": round(min(times), 2), "rows": rows})
@@ -253,6 +346,13 @@ def run_suite(spark: SparkSession, sf_dir: str, label: str) -> dict[str, dict]:
 
 
 def main() -> int:
+    # --only a,b,c: measure just those REHEARSAL entries and merge them
+    # into an existing SCALE_REHEARSAL.json (incremental re-measurement)
+    names = REHEARSAL
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            names = [n for n in arg.split("=", 1)[1].split(",") if n]
+
     spark = rehearsal_spark()
     if "--skip-build" not in sys.argv and not os.path.exists(MARKER):
         build(spark)
@@ -261,29 +361,35 @@ def main() -> int:
     if "--build-only" in sys.argv:
         return 0
 
-    base = run_suite(spark, SRC, "1x")
-    big = run_suite(spark, OUT, "blowup")
+    base = run_suite(spark, SRC, "1x", names)
+    big = run_suite(spark, OUT, "blowup", names)
 
+    out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+    queries: dict[str, dict] = {}
+    if names is not REHEARSAL and os.path.exists(out_path):
+        with open(out_path) as fh:
+            queries = json.load(fh).get("queries", {})
+    queries.update({
+        name: {
+            "sec_1x": base[name]["sec"],
+            "sec_big": big[name]["sec"],
+            "time_ratio": round(big[name]["sec"] / max(base[name]["sec"], 1e-9), 1),
+            "rows_1x": base[name]["rows"],
+            "rows_big": big[name]["rows"],
+            "shuffle_write_mb_big": big[name]["shuffle_write_mb"],
+            "peak_stage_shuffle_write_mb_big": big[name][
+                "peak_stage_shuffle_write_mb"
+            ],
+        }
+        for name in names
+    })
     report = {
         "src": SRC,
         "blowup_dir": OUT,
         "factors": FACTORS,
-        "queries": {
-            name: {
-                "sec_1x": base[name]["sec"],
-                "sec_big": big[name]["sec"],
-                "time_ratio": round(big[name]["sec"] / max(base[name]["sec"], 1e-9), 1),
-                "rows_1x": base[name]["rows"],
-                "rows_big": big[name]["rows"],
-                "shuffle_write_mb_big": big[name]["shuffle_write_mb"],
-                "peak_stage_shuffle_write_mb_big": big[name][
-                    "peak_stage_shuffle_write_mb"
-                ],
-            }
-            for name in REHEARSAL
-        },
+        "queries": {n: queries[n] for n in REHEARSAL if n in queries},
     }
-    with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps({k: v["time_ratio"] for k, v in report["queries"].items()}))
     return 0
