@@ -227,7 +227,12 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n=n, size_col="__sz")
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
-        sh = sh.join(F.broadcast(freq.where(F.col("__f") <= max_shingle_freq)), "shingle").drop("__f")
+        guard = freq.where(F.col("__f") <= max_shingle_freq)
+        # the allowed-shingle list is vocabulary-sized — it broadcasts only
+        # while the candidate join itself does; beyond broadcast range both
+        # run as shuffled joins on the same shingle key
+        build_guard = F.broadcast(guard) if broadcast_candidates else guard
+        sh = sh.join(build_guard, "shingle").drop("__f")
     # The shingle table feeds BOTH sides of the self-join; without
     # materialization each re-runs the scan+explode — two corpus passes at
     # scale.  persist() computes it once here; a 100 TB run would write it
@@ -355,34 +360,46 @@ def cluster_survivors(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_components: bool | None = None,
 ) -> DataFrame:
     """Cluster-level dedup verdict for every doc: ``(id_col, component,
     cluster_size, is_keeper)``.  Docs in no pair are their own singleton
     component; the deterministic keeper is the minimum id per component.
 
-    The components table holds only clustered docs (≪ corpus), so the
-    join back to the full corpus broadcasts.
+    Scale shape: the components table holds one row per doc that appears
+    in a candidate pair — usually ≪ corpus, but corpus-sized in the
+    worst case (every doc clustered), so ``broadcast_components`` follows
+    the same contract as the LSH joins: None auto-sizes from the
+    materialized component count (cheap — connected_components returns a
+    checkpointed table), True pins the broadcast, False pins a shuffled
+    join on the uniform id key.  ``cluster_size`` comes from a window
+    over ``component`` — one shuffle on the component key — NOT a
+    groupBy + broadcast join-back: the per-component size table has one
+    row per component, which on a mostly-singleton corpus is
+    corpus-sized and must never be broadcast.
     """
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
         "id", id_col
     )
+    if broadcast_components is None:
+        broadcast_components = comp.count() <= _BROADCAST_ROW_BUDGET
+    right = F.broadcast(comp) if broadcast_components else comp
     labeled = (
         df.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
+        .join(right, id_col, "left")
         .select(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
-    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        labeled.join(F.broadcast(sizes), "component")
-        .select(
-            id_col,
-            "component",
-            "cluster_size",
-            (F.col(id_col) == F.col("component")).alias("is_keeper"),
-        )
+    w = Window.partitionBy("component")
+    return labeled.select(
+        id_col,
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("component")).alias("is_keeper"),
     )
 
 

@@ -688,3 +688,25 @@ def test_cosine_topk_blas_query_bound_guard(spark, sf_dir):
         q.limit(5), emb, k=3, max_query_rows=10
     )
     assert out.count() > 0
+
+
+def test_cluster_survivors_join_strategies_agree(spark, sf_dir):
+    """cluster_survivors' component join: broadcast, shuffled, and
+    auto-sized strategies give identical verdicts (the component table is
+    corpus-sized in the worst case, so the shuffled path must exist and
+    must agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    ).persist()
+    outs = []
+    for flag in (True, False, None):
+        outs.append(sorted(
+            tuple(r)
+            for r in dedup.cluster_survivors(
+                docs, pairs, "doc_id", broadcast_components=flag
+            ).collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == docs.count()
+    pairs.unpersist()
