@@ -70,7 +70,13 @@ REHEARSAL = [
     "eav_latest_per_key",
     "pit_training_join",
     "pit_training_join_bucketed",
+    "pivot_event_type_stats",
+    "window_rank_orders",
+    "tumbling_window_counts",
     "sessionize_events",
+    "json_extract_events",
+    "cdc_apply_changes",
+    "feature_drift_psi",
     "pagerank_supplier_parts",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_shuffled",
