@@ -483,15 +483,20 @@ def simhash_candidates(
     """
     chunks = max_hamming + 1
     width = bits // chunks
+
+    def _chunk_val(c: int) -> Column:
+        # unsigned shift: the top chunk of a 64-bit signature must not
+        # sign-extend when the sign bit is set
+        shifted = F.shiftrightunsigned(F.col("simhash"), c * width)
+        if width >= 64:
+            # single full-width chunk (max_hamming=0): the mask is all 64
+            # bits, which a signed LongType literal can't express — and
+            # none is needed
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     entries = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            # unsigned shift: the top chunk of a 64-bit signature must not
-            # sign-extend when the sign bit is set
-            F.shiftrightunsigned(F.col("simhash"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("cval"),
-        )
+        F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("cval"))
         for c in range(chunks)
     ]
     banded = sig.select(

@@ -563,3 +563,75 @@ def test_burst_dedup_matches_naive(spark, rows, gap):
                 want.add(eid)
             prev = sec
     assert kept == want
+
+
+# random short documents over a tiny vocabulary — near-dups arise naturally
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=1,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=doc_texts, max_hamming=st.integers(0, 4))
+@SETTINGS
+def test_simhash_pigeonhole_exact_vs_bruteforce(spark, texts, max_hamming):
+    """The production 64-bit simhash candidate banding is EXACT by the
+    pigeonhole principle on arbitrary corpora: pairs returned by the
+    chunked candidate join + bit_count filter equal the O(n²) XOR scan,
+    for every Hamming budget (chunk widths shift with the budget)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = dedup.simhash_signatures(docs, "doc_id", "text", bits=64, portable=False)
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_hamming
+    }
+    got = {
+        tuple(r)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", bits=64, max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_minhash_band_join_matches_naive_collisions(spark, texts):
+    """lsh_pairs_from_bands returns exactly the pairs whose banded
+    signatures collide on >=1 band — checked against a naive Python
+    band-collision scan, for both join strategies."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n=2, num_hashes=8)
+    banded = dedup._banded_signatures(sig, "doc_id", 8, 4)
+    rows = banded.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.bkey, set()).add(r.doc_id)
+    expected = {
+        (a, b)
+        for members in by_key.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    for flag in (True, False):
+        got = {
+            tuple(r)
+            for r in dedup.lsh_pairs_from_bands(
+                banded, "doc_id", broadcast_candidates=flag
+            ).collect()
+        }
+        assert got == expected
