@@ -78,6 +78,7 @@ REHEARSAL = [
     "cdc_apply_changes",
     "feature_drift_psi",
     "online_kv_point_get",
+    "streaming_tumbling_rollup",
     "pagerank_supplier_parts",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_shuffled",
@@ -186,11 +187,63 @@ def _online_kv_point_get(spark, sf_dir):
     return stores.kv_point_get(spark, path, "user", "42")
 
 
+def _streaming_tumbling(spark, sf_dir):
+    """Structured Streaming throughput at scale: run the watermarked
+    tumbling-window rollup over the events table as an 8-micro-batch
+    availableNow stream (file source, parquet sink).  Checkpoint/output
+    are wiped per run so every timing is a FULL reprocess — this measures
+    per-event stream cost at 1x vs 100x, not checkpoint skip.  The 1x
+    source is pre-split into 16 files once so both scales progress through
+    the same number of micro-batches (watermarks only advance between
+    batches; a single-file source would emit nothing in append mode)."""
+    import shutil
+
+    from feature_store_healthcare_spark.streaming import pipeline
+
+    label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
+    base = os.path.join(REPO, ".scale", "stream", label)
+    if label == "base":
+        src = os.path.join(base, "src")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            load_table(spark, sf_dir, "events").repartition(16).write.mode(
+                "overwrite"
+            ).parquet(src)
+        per_trigger = 2  # 16 files / 2 = 8 micro-batches
+    else:
+        src = os.path.join(sf_dir, "events.parquet")  # already 64 files
+        per_trigger = 8
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(src)
+        # watermarks require TIMESTAMP; session TZ is pinned UTC so the
+        # cast from the parquet ntz column is an identity
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = pipeline.tumbling_window_features(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 REHEARSAL_EXTRA = {
     "dedup_minhash_lsh_shuffled": _minhash_shuffled,
     "simhash_pairs_prod64": _simhash_prod64,
     "pit_training_join_bucketed": _pit_bucketed,
     "online_kv_point_get": _online_kv_point_get,
+    "streaming_tumbling_rollup": _streaming_tumbling,
 }
 
 #: timing-run count overrides (default 2, min taken).  The exact pairwise
