@@ -483,6 +483,13 @@ def simhash_candidates(
     """
     chunks = max_hamming + 1
     width = bits // chunks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {chunks} chunks but the "
+            f"signature has only {bits} bits — zero-width chunks would "
+            "collide every pair (an accidental cross join). Use a wider "
+            "signature or a smaller Hamming budget."
+        )
 
     def _chunk_val(c: int) -> Column:
         # unsigned shift: the top chunk of a 64-bit signature must not

@@ -73,3 +73,16 @@ def test_minhash_empty_text(spark):
     # empty/whitespace docs still produce one signature row each (the
     # single empty shingle), never a crash or a dropped doc
     assert sigs.count() == 2
+
+
+def test_simhash_zero_width_chunks_rejected(spark):
+    """A Hamming budget needing more chunks than signature bits would give
+    zero-width chunks — every pair collides, an accidental cross join.
+    Must raise, not silently go quadratic."""
+    import pytest as _pytest
+
+    from feature_store_healthcare_spark.operators import dedup as _dedup
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="zero-width"):
+        _dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=40)
