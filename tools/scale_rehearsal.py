@@ -84,6 +84,7 @@ REHEARSAL = [
     "dedup_minhash_lsh_shuffled",
     "simhash_pairs_prod64",
     "dedup_ngram_jaccard",
+    "dedup_cluster_survivors",
     "dedup_incremental_minhash",
     "embedding_topk_bruteforce",
     "embedding_ivf_topk",
