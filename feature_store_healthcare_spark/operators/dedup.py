@@ -180,8 +180,7 @@ def minhash_lsh_pairs(
     # (A 100 TB run writes it through stores.write_bucketed instead and
     # calls lsh_pairs_from_bands on the stored index — same join below.)
     banded = banded.persist()
-    if broadcast_candidates is None:
-        broadcast_candidates = banded.count() <= _BROADCAST_ROW_BUDGET
+    _, broadcast_candidates = _auto_build_side(banded, broadcast_candidates)
     return lsh_pairs_from_bands(banded, id_col, broadcast_candidates)
 
 
@@ -190,6 +189,18 @@ def minhash_lsh_pairs(
 #: the shuffled equi-join is the only shape that survives — at 100 TB the
 #: band table is #docs × bands ≈ billions of rows.
 _BROADCAST_ROW_BUDGET = 1_000_000
+
+
+def _auto_build_side(df: DataFrame, pinned: bool | None) -> tuple[DataFrame, bool]:
+    """Resolve a join build side against the broadcast budget: ``pinned``
+    True/False forces the strategy; None counts the MATERIALIZED table
+    (callers pass a persisted/checkpointed frame, so the count is a pass
+    the join pays anyway) and broadcasts under :data:`_BROADCAST_ROW_BUDGET`.
+    Returns (possibly-hinted frame, resolved flag) — the single cutover
+    policy for every size-dependent broadcast in this module."""
+    if pinned is None:
+        pinned = df.count() <= _BROADCAST_ROW_BUDGET
+    return (F.broadcast(df) if pinned else df), pinned
 
 
 def ngram_jaccard_pairs(
@@ -383,9 +394,7 @@ def cluster_survivors(
     comp = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
         "id", id_col
     )
-    if broadcast_components is None:
-        broadcast_components = comp.count() <= _BROADCAST_ROW_BUDGET
-    right = F.broadcast(comp) if broadcast_components else comp
+    right, _ = _auto_build_side(comp, broadcast_components)
     labeled = (
         df.select(id_col)
         .join(right, id_col, "left")
@@ -512,12 +521,8 @@ def simhash_candidates(
     # banded feeds both join sides — persist so the simhash computation
     # runs once, not twice (same pattern as minhash_lsh_pairs).
     banded = banded.persist()
-    if broadcast_candidates is None:
-        broadcast_candidates = banded.count() <= _BROADCAST_ROW_BUDGET
     l = banded.alias("l")
-    r = banded.alias("r")
-    if broadcast_candidates:
-        r = F.broadcast(r)
+    r, _ = _auto_build_side(banded.alias("r"), broadcast_candidates)
     return (
         l.join(r, on=[F.col("l.chunk") == F.col("r.chunk"),
                       F.col("l.cval") == F.col("r.cval"),

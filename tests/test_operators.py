@@ -658,13 +658,19 @@ def test_simhash64_production_equals_bruteforce(spark, sf_dir):
     sig.unpersist()
 
 
-def test_simhash64_candidates_subquadratic(spark):
+def test_simhash64_candidates_subquadratic(spark, sf_dir):
     """Candidate-volume regression pin: at sf0.01 (500 docs, 124,750
     possible pairs) the 64-bit/21-bit-chunk banding inspects <1% of all
     pairs, >=10x fewer than the 32-bit/10-bit-chunk oracle form whose
     1,024-value chunks go ~quadratic long before 100 TB.  (Measured at
-    round 4: 534 vs 17,675 candidates.)"""
-    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    round 4: 534 vs 17,675 candidates.)  sf0.01 (not the suite's sf0.001)
+    because 50 docs give too few collisions for a stable ratio; the dir is
+    derived from the conftest fixture so the data root stays one knob."""
+    import os
+
+    docs = load_table(
+        spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"), "documents"
+    )
     n = docs.count()
     all_pairs = n * (n - 1) // 2
     sig32 = dedup.simhash_signatures(docs, "doc_id", "text", bits=32, portable=True)

@@ -102,16 +102,9 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
-def _minhash_shuffled(spark, sf_dir):
-    """The 100 TB candidate-join shape: shuffled equi-join on the band
-    digest, never a broadcast (same signature params as the catalog's
-    dedup_minhash_lsh so the strategy delta is isolated)."""
-    from feature_store_healthcare_spark.operators import dedup
-
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=16, bands=4,
-        portable=True, broadcast_candidates=False,
-    )
+# dedup_minhash_lsh_shuffled needs no runner here: it became a registered
+# catalog query (same DuckDB oracle as the broadcast entry), and the
+# lookup chain resolves catalog names first.
 
 
 def _simhash_prod64(spark, sf_dir):
@@ -138,7 +131,9 @@ def _pit_bucketed(spark, sf_dir):
 
     label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
     sp_t, va_t = f"reh_pit_spine_{label}", f"reh_pit_vals_{label}"
-    if not spark.catalog.tableExists(sp_t):
+    # check BOTH tables: a crash between the two writes must not leave a
+    # half-built index that later runs trust
+    if not (spark.catalog.tableExists(sp_t) and spark.catalog.tableExists(va_t)):
         ev = load_table(spark, sf_dir, "events")
         spine = ev.where(FF.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts"
@@ -240,11 +235,25 @@ def _streaming_tumbling(spark, sf_dir):
 
 
 REHEARSAL_EXTRA = {
-    "dedup_minhash_lsh_shuffled": _minhash_shuffled,
     "simhash_pairs_prod64": _simhash_prod64,
     "pit_training_join_bucketed": _pit_bucketed,
     "online_kv_point_get": _online_kv_point_get,
     "streaming_tumbling_rollup": _streaming_tumbling,
+}
+
+#: Entries whose runner amortizes a DISK index (bucketed tables, KV export)
+#: or wipes its own state per run (streaming): these keep the session
+#: cache across timing runs by design.  Everything else gets
+#: spark.catalog.clearCache() before EVERY timed run, so persisted
+#: intermediates (LSH band tables, CC edge lists, IVF centroids) are
+#: recomputed inside the measured execution — otherwise Spark's
+#: CacheManager substitutes run 1's never-unpersisted cache into run 2's
+#: canonically-identical plan and the "measured" run skips its own
+#: signature/index shuffles entirely (0.0 MB shuffle artifacts).
+AMORTIZED = {
+    "pit_training_join_bucketed",
+    "online_kv_point_get",
+    "streaming_tumbling_rollup",
 }
 
 #: timing-run count overrides (default 2, min taken).  The exact pairwise
@@ -410,11 +419,18 @@ def run_suite(
     qs = catalog.queries()
     for name in names if names is not None else REHEARSAL:
         fn = qs.get(name) or EXTRA.get(name) or REHEARSAL_EXTRA.get(name)
+        if fn is None:
+            raise SystemExit(f"unknown rehearsal entry: {name!r}")
         times = []
         rows = 0
         before = after = {}
         n_runs = RUNS.get(name, 2)
         for i in range(n_runs):
+            if name not in AMORTIZED:
+                # cold per run: drop persisted intermediates so each timed
+                # execution pays its own signature/index computation (see
+                # the AMORTIZED note)
+                spark.catalog.clearCache()
             # snapshot stage metrics around the LAST run only, so shuffle
             # bytes reflect one execution, not the sum of the timing runs
             if i == n_runs - 1:
@@ -442,6 +458,17 @@ def main() -> int:
             names = [n for n in arg.split("=", 1)[1].split(",") if n]
 
     spark = rehearsal_spark()
+    # validate BEFORE the (expensive) suites run: a typo'd --only name must
+    # fail here with the name, not as a NoneType crash mid-suite
+    qs = catalog.queries()
+    from bench import EXTRA as _BEXTRA
+
+    unknown = [
+        n for n in names
+        if n not in qs and n not in _BEXTRA and n not in REHEARSAL_EXTRA
+    ]
+    if unknown:
+        raise SystemExit(f"unknown rehearsal entries: {unknown}")
     if "--skip-build" not in sys.argv and not os.path.exists(MARKER):
         build(spark)
     elif "--skip-build" not in sys.argv:
@@ -471,11 +498,16 @@ def main() -> int:
         }
         for name in names
     })
+    # REHEARSAL order first, then any ad-hoc --only names — a measured
+    # entry is never silently dropped from the report
+    ordered = [n for n in REHEARSAL if n in queries] + [
+        n for n in queries if n not in REHEARSAL
+    ]
     report = {
         "src": SRC,
         "blowup_dir": OUT,
         "factors": FACTORS,
-        "queries": {n: queries[n] for n in REHEARSAL if n in queries},
+        "queries": {n: queries[n] for n in ordered},
     }
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
