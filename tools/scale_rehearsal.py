@@ -80,6 +80,7 @@ REHEARSAL = [
     "online_kv_point_get",
     "streaming_tumbling_rollup",
     "pagerank_supplier_parts",
+    "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_shuffled",
     "simhash_pairs_prod64",
@@ -90,6 +91,8 @@ REHEARSAL = [
     "embedding_ivf_topk",
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
+    "multimodal_image_features",
+    "phi_scrub_notes",
 ]
 
 
