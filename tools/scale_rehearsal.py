@@ -47,6 +47,14 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(REPO, ".scale", "sf0.1x")
 MARKER = os.path.join(OUT, "_BUILT")
 
+#: --deep: events-only blow-up at x1000 (~100M rows).  One order of
+#: magnitude past the main rehearsal for the feature-store core, whose
+#: queries touch only the events fact — the dims are not written, so a
+#: query that silently depended on one would fail loudly here.
+DEEP_OUT = os.path.join(REPO, ".scale", "sf0.1deep")
+DEEP_MARKER = os.path.join(DEEP_OUT, "_BUILT")
+DEEP_EVENTS_FACTOR = 1000
+
 #: replica counts per table (region/nation are true dims, copied as-is)
 FACTORS = {
     "customer": 20,
@@ -95,6 +103,21 @@ REHEARSAL = [
     "phi_scrub_notes",
 ]
 
+#: the --deep suite: every entry reads ONLY the events fact
+DEEP = [
+    "eav_latest_per_key",
+    "pit_training_join",
+    "pit_training_join_bucketed",
+    "pivot_event_type_stats",
+    "tumbling_window_counts",
+    "sessionize_events",
+    "json_extract_events",
+    "cdc_apply_changes",
+    "feature_drift_psi",
+    "online_kv_point_get",
+    "streaming_tumbling_rollup",
+]
+
 
 # --------------------------------------------------------------------------
 # Rehearsal-only runners: the de-broadcast / bucketed scale paths that the
@@ -103,6 +126,18 @@ REHEARSAL = [
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
+
+
+def _dir_label(sf_dir: str) -> str:
+    """Which scale a runner is being timed at — keys the per-scale disk
+    indexes (bucketed tables, KV exports, stream sources) so a deep run
+    can never silently reuse a base-scale index."""
+    p = os.path.abspath(sf_dir)
+    if p == os.path.abspath(OUT):
+        return "big"
+    if p == os.path.abspath(DEEP_OUT):
+        return "deep"
+    return "base"
 
 
 # dedup_minhash_lsh_shuffled needs no runner here: it became a registered
@@ -132,7 +167,7 @@ def _pit_bucketed(spark, sf_dir):
     from feature_store_healthcare_spark.operators.pit import point_in_time_join
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
-    label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
+    label = _dir_label(sf_dir)
     sp_t, va_t = f"reh_pit_spine_{label}", f"reh_pit_vals_{label}"
     # check BOTH tables: a crash between the two writes must not leave a
     # half-built index that later runs trust
@@ -172,7 +207,7 @@ def _online_kv_point_get(spark, sf_dir):
     from feature_store_healthcare_spark import stores
     from feature_store_healthcare_spark.operators.pit import latest_per_key
 
-    label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
+    label = _dir_label(sf_dir)
     path = os.path.join(REPO, ".scale", "kv", label)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
@@ -199,7 +234,7 @@ def _streaming_tumbling(spark, sf_dir):
 
     from feature_store_healthcare_spark.streaming import pipeline
 
-    label = "big" if os.path.abspath(sf_dir) == os.path.abspath(OUT) else "base"
+    label = _dir_label(sf_dir)
     base = os.path.join(REPO, ".scale", "stream", label)
     if label == "base":
         src = os.path.join(base, "src")
@@ -209,8 +244,9 @@ def _streaming_tumbling(spark, sf_dir):
             ).parquet(src)
         per_trigger = 2  # 16 files / 2 = 8 micro-batches
     else:
-        src = os.path.join(sf_dir, "events.parquet")  # already 64 files
-        per_trigger = 8
+        # big is written as 64 files, deep as 128 — 8 micro-batches both
+        src = os.path.join(sf_dir, "events.parquet")
+        per_trigger = 8 if label == "big" else 16
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     for d in (out, ckpt):
@@ -377,6 +413,27 @@ def build(spark: SparkSession) -> None:
     print(f"built {OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
 
 
+def build_deep(spark: SparkSession) -> None:
+    """Events x1000 (~100M rows): user space grows 100x (10x per-user
+    density), timestamps shift r seconds so per-key orderings stay
+    well-defined, event_ids stay globally unique via replica offsets."""
+    os.makedirs(DEEP_OUT, exist_ok=True)
+    r = F.col("__r")
+    t0 = time.time()
+    ev = _replicate(load_table(spark, SRC, "events"), DEEP_EVENTS_FACTOR)
+    ev.select(
+        (F.col("event_id") + r * OFFS["event"]).alias("event_id"),
+        (F.col("user_id") + (r % 100) * OFFS["user"]).alias("user_id"),
+        (F.col("ts") + F.make_dt_interval(secs=r.cast("double"))).alias("ts"),
+        "event_type", "value", "props",
+    ).repartition(128).write.mode("overwrite").parquet(
+        os.path.join(DEEP_OUT, "events.parquet")
+    )
+    with open(DEEP_MARKER, "w") as fh:
+        fh.write(json.dumps({"src": SRC, "events_factor": DEEP_EVENTS_FACTOR}))
+    print(f"built {DEEP_OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+
 # --------------------------------------------------------------------------
 # Spark UI REST metrics
 # --------------------------------------------------------------------------
@@ -454,8 +511,11 @@ def run_suite(
 
 def main() -> int:
     # --only a,b,c: measure just those REHEARSAL entries and merge them
-    # into an existing SCALE_REHEARSAL.json (incremental re-measurement)
-    names = REHEARSAL
+    # into an existing SCALE_REHEARSAL.json (incremental re-measurement).
+    # --deep: run the events-only DEEP suite at x1000 instead, landing in
+    # the report's separate "deep" section.
+    deep = "--deep" in sys.argv
+    names = DEEP if deep else REHEARSAL
     for arg in sys.argv[1:]:
         if arg.startswith("--only="):
             names = [n for n in arg.split("=", 1)[1].split(",") if n]
@@ -472,49 +532,61 @@ def main() -> int:
     ]
     if unknown:
         raise SystemExit(f"unknown rehearsal entries: {unknown}")
-    if "--skip-build" not in sys.argv and not os.path.exists(MARKER):
-        build(spark)
+    blow_dir, marker, tag = (
+        (DEEP_OUT, DEEP_MARKER, "deep") if deep else (OUT, MARKER, "big")
+    )
+    if "--skip-build" not in sys.argv and not os.path.exists(marker):
+        (build_deep if deep else build)(spark)
     elif "--skip-build" not in sys.argv:
-        print(f"reusing {OUT}", file=sys.stderr)
+        print(f"reusing {blow_dir}", file=sys.stderr)
     if "--build-only" in sys.argv:
         return 0
 
     base = run_suite(spark, SRC, "1x", names)
-    big = run_suite(spark, OUT, "blowup", names)
+    big = run_suite(spark, blow_dir, tag, names)
 
     out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
-    queries: dict[str, dict] = {}
-    if names is not REHEARSAL and os.path.exists(out_path):
+    # merge-preserving: an incremental (--only / --deep) run must never
+    # drop entries an earlier full run measured
+    report: dict = {"src": SRC, "blowup_dir": OUT, "factors": FACTORS}
+    if os.path.exists(out_path):
         with open(out_path) as fh:
-            queries = json.load(fh).get("queries", {})
-    queries.update({
+            report.update(json.load(fh))
+    measured = {
         name: {
             "sec_1x": base[name]["sec"],
-            "sec_big": big[name]["sec"],
+            f"sec_{tag}": big[name]["sec"],
             "time_ratio": round(big[name]["sec"] / max(base[name]["sec"], 1e-9), 1),
             "rows_1x": base[name]["rows"],
-            "rows_big": big[name]["rows"],
-            "shuffle_write_mb_big": big[name]["shuffle_write_mb"],
-            "peak_stage_shuffle_write_mb_big": big[name][
+            f"rows_{tag}": big[name]["rows"],
+            f"shuffle_write_mb_{tag}": big[name]["shuffle_write_mb"],
+            f"peak_stage_shuffle_write_mb_{tag}": big[name][
                 "peak_stage_shuffle_write_mb"
             ],
         }
         for name in names
-    })
-    # REHEARSAL order first, then any ad-hoc --only names — a measured
-    # entry is never silently dropped from the report
-    ordered = [n for n in REHEARSAL if n in queries] + [
-        n for n in queries if n not in REHEARSAL
-    ]
-    report = {
-        "src": SRC,
-        "blowup_dir": OUT,
-        "factors": FACTORS,
-        "queries": {n: queries[n] for n in ordered},
     }
+    if deep:
+        section = report.setdefault(
+            "deep", {"events_factor": DEEP_EVENTS_FACTOR, "queries": {}}
+        )
+        section["queries"].update(measured)
+        ordered = [n for n in DEEP if n in section["queries"]] + [
+            n for n in section["queries"] if n not in DEEP
+        ]
+        section["queries"] = {n: section["queries"][n] for n in ordered}
+    else:
+        queries = report.get("queries", {})
+        queries.update(measured)
+        # REHEARSAL order first, then any ad-hoc --only names — a measured
+        # entry is never silently dropped from the report
+        ordered = [n for n in REHEARSAL if n in queries] + [
+            n for n in queries if n not in REHEARSAL
+        ]
+        report["queries"] = {n: queries[n] for n in ordered}
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
-    print(json.dumps({k: v["time_ratio"] for k, v in report["queries"].items()}))
+    print(json.dumps({k: v["time_ratio"] for k, v in measured.items()}))
     return 0
 
 
