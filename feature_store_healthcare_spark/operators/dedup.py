@@ -117,6 +117,16 @@ def lsh_pairs_from_bands(
     on ``bkey`` (the band id is folded into the digest, so one key carries
     both), distinct (id_a, id_b) with id_a < id_b.
 
+    **Hard contract — digest provenance**: ``bkey`` MUST have been built by
+    :func:`_banded_signatures` (or an equivalent that folds the band id
+    INTO the digest, ``md5(band || values)``).  The join deliberately keys
+    on ``bkey`` alone; a band table whose digest omits the band id (e.g.
+    one persisted before this digest scheme, or custom banding) makes
+    cross-band collisions possible, and those false candidate pairs flow
+    STRAIGHT into the output — minhash candidates are not re-verified
+    downstream.  Rebuild stale/foreign band tables through
+    ``minhash_signatures`` → ``_banded_signatures`` before calling this.
+
     This is the join every LSH family bottoms out in, split out so the
     100 TB path can run it against a STORED band table (the per-corpus LSH
     index ``stores.write_bucketed`` persists, bucketed by ``bkey``): a
@@ -211,6 +221,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     broadcast_candidates: bool = True,
+    candidate_budget: int = 50_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """OP-49 (exact variant): pairwise Jaccard over distinct word n-grams for
     every pair sharing ≥1 shingle; keep pairs with similarity ≥ threshold.
@@ -230,6 +242,17 @@ def ngram_jaccard_pairs(
     broadcast range, set it False and pair ``max_shingle_freq`` with AQE
     skew-join splitting — stop-shingle removal is what bounds the blow-up
     at 100 TB, exactly as common-word removal does in production pipelines.
+
+    **Tripwire** (``candidate_budget``): this operator is the engine's ONE
+    deliberately quadratic path — the verification oracle for the LSH
+    family, not the production answer.  Before the self-join it estimates
+    the candidate-pair count as Σ f·(f−1)/2 over the post-guard shingle
+    frequencies (one cheap aggregate on the already-persisted shingle
+    table) and raises with the measured estimate when it exceeds the
+    budget, unless ``force=True``.  On a hot corpus there may be NO
+    ``max_shingle_freq`` that both keeps recall and fits the budget — the
+    raise message points at :func:`minhash_lsh_pairs`, which is that
+    corpus's answer (measured 238× faster at 20× scale, SCALE.md).
     """
     # Set sizes ride along on every exploded row (known before the explode)
     # so no groupBy-and-join-back is needed to compute Jaccard denominators.
@@ -249,6 +272,24 @@ def ngram_jaccard_pairs(
     # scale.  persist() computes it once here; a 100 TB run would write it
     # to a (bucketed) table instead, same plan downstream.
     sh = sh.persist()
+    if not force:
+        est = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .agg(F.sum(F.col("__f") * (F.col("__f") - 1) / 2).alias("__pairs"))
+            .first()["__pairs"]
+            or 0
+        )
+        if est > candidate_budget:
+            sh.unpersist()
+            raise ValueError(
+                f"ngram_jaccard_pairs: estimated {int(est):,} candidate pairs "
+                f"exceeds candidate_budget={candidate_budget:,}. This exact "
+                "operator is quadratic in hot-shingle frequency and exists as "
+                "the verification oracle for the LSH family — use "
+                "minhash_lsh_pairs for production corpora, tighten "
+                "max_shingle_freq, or pass force=True to proceed anyway."
+            )
     # Spread probe rows by doc so pair generation parallelism is data-size-,
     # not key-distribution-, bound.  ×4 over core count keeps each task's
     # partial-aggregation hash map small: candidate pairs are quadratic in
@@ -430,6 +471,16 @@ def simhash_signatures(
     catalog entries pin.
     Implemented as ``bits`` conditional-sum aggregates — no per-bit explode.
     Output: (id_col, simhash: long).
+
+    .. versionchanged:: round 4
+       **Breaking default flip**: defaults moved from ``bits=32`` +
+       md5-token-hash to ``bits=64`` + xxhash64.  Signatures produced under
+       the old defaults are NOT comparable to new-default signatures (no
+       error is raised — hamming distances are simply meaningless across
+       the two families).  Callers that persist signatures should pass
+       ``bits``/``portable`` explicitly and recompute any stored values
+       produced before the flip; ``portable=True, bits=32`` reproduces the
+       old family exactly.
     """
     tok = F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     if portable:

@@ -13,8 +13,12 @@ Reference semantics re-expressed:
 Tie-breaking: the reference is ambiguous (``max`` keeps the first maximum at
 feature_registry.py:490, the serving scan keeps the first-seen at
 feature_server.py:560-565, and neither consults created_timestamp).  This
-engine is deterministic: order by ``(ts, *tiebreak)`` descending — callers
-pass e.g. ``created_timestamp`` or a stable row id as the tiebreak.
+engine is deterministic on ANY input: order by ``(ts, *tiebreak)``
+descending, then — should (ts, tiebreak) fully tie — by the remaining
+orderable payload columns, a total order over everything Spark can compare.
+Callers pass e.g. ``created_timestamp`` or a stable row id as the tiebreak;
+rows identical in every orderable column are indistinguishable, so the
+fallback never changes which *distinct* row wins.
 
 Scale design (100 TB):
 
@@ -52,8 +56,37 @@ def as_of_filter(
     return df.where(F.col(ts_col) <= bound)
 
 
-def _ordering_struct(ts_col: str, tiebreak: Sequence[str]) -> Column:
-    return F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+def _is_orderable(dtype) -> bool:
+    """True when Spark can sort/compare the type (MapType and maps nested in
+    structs/arrays are the unorderable cases)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _is_orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _tie_fallback_cols(
+    df: DataFrame, exclude: Sequence[str]
+) -> list[str]:
+    """Orderable columns usable as a last-resort total-order key when
+    ``(ts, *tiebreak)`` fully ties.  Appending these to the ordering makes
+    the argmax deterministic on ANY input — the contract SURVEY §0 demands
+    (the reference's ``max``/first-seen tie ambiguity,
+    feature_registry.py:490 vs feature_server.py:560-565, is the defect this
+    engine fixes).  Unorderable columns (maps) are skipped; rows identical
+    in every orderable column are genuinely indistinguishable, so any pick
+    is the same row."""
+    seen = set(exclude)
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in seen and _is_orderable(f.dataType)
+    ]
 
 
 def latest_per_key(
@@ -72,8 +105,12 @@ def latest_per_key(
     ``row_number() == 1``.
     """
     df = as_of_filter(df, ts_col, as_of)
+    # Last-resort total order: when (ts, *tiebreak) fully ties, fall back to
+    # the remaining orderable payload columns so BOTH strategies pick the
+    # same (max-payload) row bit-for-bit on any input.
+    fallback = _tie_fallback_cols(df, [*keys, ts_col, *tiebreak])
     if strategy == "window":
-        order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+        order = [F.col(c).desc() for c in (ts_col, *tiebreak, *fallback)]
         w = Window.partitionBy(*keys).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -83,7 +120,7 @@ def latest_per_key(
     payload_cols = [c for c in df.columns if c not in keys]
     agg = F.max_by(
         F.struct(*[F.col(c) for c in payload_cols]),
-        _ordering_struct(ts_col, tiebreak),
+        F.struct(*[F.col(c) for c in (ts_col, *tiebreak, *fallback)]),
     ).alias("__latest")
     out = df.groupBy(*keys).agg(agg)
     return out.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload_cols])
@@ -192,16 +229,25 @@ def point_in_time_join(
 
     group_cols = [c for c in spine.columns]  # spine columns all survive
     tb_cols = [F.col(f"__v_tb_{c}") for c in tiebreak]
+    # Same determinism contract as latest_per_key: when (ts, *tiebreak)
+    # fully ties, the orderable value columns break the tie (max payload for
+    # backward/max_by, min for forward/nearest/min_by — each direction's
+    # extreme, but always the SAME row for the same input).
+    fb_cols = [
+        F.col(f"__v_{c}")
+        for c in value_cols
+        if _is_orderable(values.schema[c].dataType)
+    ]
     if direction == "nearest":
         us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
         dist = F.abs(us(F.col("__v_ts")) - us(F.col(spine_ts)))
         is_forward = (F.col("__v_ts") > F.col(spine_ts)).cast("int")
         # equal distance → prefer the earlier value (leak-averse, pandas
         # parity), then the smallest tiebreak
-        argpick, ordering = F.min_by, F.struct(dist, is_forward, *tb_cols)
+        argpick, ordering = F.min_by, F.struct(dist, is_forward, *tb_cols, *fb_cols)
     else:
         argpick = F.max_by if direction == "backward" else F.min_by
-        ordering = F.struct(F.col("__v_ts"), *tb_cols)
+        ordering = F.struct(F.col("__v_ts"), *tb_cols, *fb_cols)
     payload = argpick(
         F.struct(
             F.col("__v_ts"),
@@ -333,7 +379,12 @@ def intervalize(
     Partition the materialized table by the entity key for co-located
     probes.
     """
-    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    # Payload fallback keeps the interval table consistent with
+    # latest_per_key on full (ts, tiebreak) ties: ascending order means the
+    # max-payload version is LAST among its ties, so it alone gets the
+    # non-empty interval — the same winner the argmax strategies pick.
+    fallback = _tie_fallback_cols(values, [*keys, ts_col, *tiebreak])
+    order = [F.col(c).asc() for c in (ts_col, *tiebreak, *fallback)]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     out = values.withColumn(valid_from, F.col(ts_col)).withColumn(
         valid_to, F.lead(ts_col).over(w)

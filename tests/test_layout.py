@@ -47,9 +47,10 @@ def _files_containing(path, col, lo, hi):
     return hits, len(files)
 
 
-def test_zorder_skips_on_both_dims(spark, grid, tmp_path):
-    path = str(tmp_path / "zordered")
-    zorder_write(grid, path, ["x", "y"], n_files=16)
+@pytest.mark.parametrize("strategy", ["approx", "exact"])
+def test_zorder_skips_on_both_dims(spark, grid, tmp_path, strategy):
+    path = str(tmp_path / f"zordered_{strategy}")
+    zorder_write(grid, path, ["x", "y"], n_files=16, strategy=strategy)
     # a point-get slab on x must touch a minority of files; same for y —
     # a single-column sort could only achieve this for ONE of them
     x_hits, n = _files_containing(path, "x", 10, 13)
@@ -77,10 +78,44 @@ def test_single_sort_fails_one_dim(spark, grid, tmp_path):
     assert y_hits >= n - 1  # no skipping on the unsorted dim
 
 
-def test_zorder_value_is_deterministic(spark, grid):
-    a = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
-    b = sorted(r[0] for r in zorder_value(grid, ["x", "y"]).select("__z").collect())
+@pytest.mark.parametrize("strategy", ["approx", "exact"])
+def test_zorder_value_is_deterministic(spark, grid, strategy):
+    a = sorted(
+        r[0]
+        for r in zorder_value(grid, ["x", "y"], strategy=strategy).select("__z").collect()
+    )
+    b = sorted(
+        r[0]
+        for r in zorder_value(grid, ["x", "y"], strategy=strategy).select("__z").collect()
+    )
     assert a == b
+
+
+def test_zorder_approx_plan_has_no_global_window(spark, grid):
+    """The default (100 TB) path must not contain ANY window — the cut
+    points come from one percentile_approx aggregate, and quantization is a
+    codegen expression.  The exact path is the windowed control."""
+    from feature_store_healthcare_spark import plans
+
+    approx = plans.physical_plan(zorder_value(grid, ["x", "y"]), "simple")
+    assert "Window" not in approx, approx
+    exact = plans.physical_plan(
+        zorder_value(grid, ["x", "y"], strategy="exact"), "simple"
+    )
+    assert "Window" in exact
+
+
+def test_zorder_approx_handles_categorical_and_timestamp(spark):
+    """Non-numeric dims route through hash/epoch proxies and still produce
+    a full-range z-value per distinct combination."""
+    df = spark.range(256).select(
+        F.concat(F.lit("cat_"), (F.col("id") % 16).cast("string")).alias("c"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias("t"),
+    )
+    z = zorder_value(df, ["c", "t"], bits=4)
+    vals = [r[0] for r in z.select("__z").collect()]
+    assert len(vals) == 256
+    assert min(vals) >= 0 and len(set(vals)) > 16
 
 
 def test_pit_join_on_bucketed_tables_is_shuffle_free(spark, sf_dir, tmp_path):

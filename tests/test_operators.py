@@ -85,6 +85,19 @@ def test_stop_shingle_guard(docs):
     assert out.count() == 0
 
 
+def test_ngram_jaccard_candidate_budget_tripwire(docs):
+    """The quadratic oracle raises BEFORE the self-join when the Σf(f−1)/2
+    pre-flight estimate exceeds the budget; force=True proceeds."""
+    with pytest.raises(ValueError, match="candidate pairs.*candidate_budget"):
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
+        )
+    forced = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3, force=True
+    )
+    assert {(r.id_a, r.id_b) for r in forced.collect()} >= {(1, 3), (1, 5)}
+
+
 # ------------------------------------------------------------ similarity
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
@@ -668,9 +681,10 @@ def test_simhash64_candidates_subquadratic(spark, sf_dir):
     derived from the conftest fixture so the data root stays one knob."""
     import os
 
-    docs = load_table(
-        spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"), "documents"
-    )
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"sibling sf0.01 dataset not present at {sf001}")
+    docs = load_table(spark, sf001, "documents")
     n = docs.count()
     all_pairs = n * (n - 1) // 2
     sig32 = dedup.simhash_signatures(docs, "doc_id", "text", bits=32, portable=True)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark.operators import dedup
@@ -31,9 +31,14 @@ from feature_store_healthcare_spark.operators.pit import (
 
 BASE = datetime(2024, 1, 1)
 
+# derandomize: a green suite must mean the same thing every run — the r4
+# latest_per_key tie defect surfaced three rounds late purely by generation
+# luck (VERDICT r4 #2).  Hypothesis derives examples from the test body
+# hash, so coverage still shifts when a test changes.
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
@@ -65,23 +70,52 @@ def _values_df(spark, rows):
     ).coalesce(2)
 
 
-@given(values=eav_rows)
-@SETTINGS
-def test_latest_per_key_matches_naive_argmax(spark, values):
-    df = _values_df(spark, values)
-    got = {
-        r.entity_id: (r.value, r.ts, r.seq)
-        for r in latest_per_key(df, ["entity_id"], "ts", tiebreak=["seq"]).collect()
-    }
+def _naive_latest(values):
+    """Reference model: argmax by (ts, seq), then max value on full ties —
+    the payload-fallback total order latest_per_key promises."""
     want = {}
     for e, v, h, s in values:
         ts = BASE + timedelta(hours=h)
         cur = want.get(e)
-        if cur is None or (ts, s) > (cur[1], cur[2]):
+        if cur is None or (ts, s, v) > (cur[1], cur[2], cur[0]):
             want[e] = (v, ts, s)
+    return want
+
+
+# The r4 falsifying example: two rows identical in (entity, ts, seq) but
+# different value — pinned so the full-tie path is exercised every run.
+@example(values=[(0, 0, 0, 0), (0, 1, 0, 0)])
+@given(values=eav_rows)
+@SETTINGS
+def test_latest_per_key_matches_naive_argmax(spark, values):
+    df = _values_df(spark, values)
+    want = _naive_latest(values)
+    got = {
+        r.entity_id: (r.value, r.ts, r.seq)
+        for r in latest_per_key(df, ["entity_id"], "ts", tiebreak=["seq"]).collect()
+    }
     assert got == want
 
 
+@example(values=[(0, 0, 0, 0), (0, 1, 0, 0)])
+@given(values=eav_rows)
+@SETTINGS
+def test_latest_per_key_strategies_agree(spark, values):
+    """max_by and window must pick the same row bit-for-bit on any input —
+    including full (ts, tiebreak) ties broken by the payload fallback."""
+    df = _values_df(spark, values)
+    want = _naive_latest(values)
+    for strategy in ("max_by", "window"):
+        got = {
+            r.entity_id: (r.value, r.ts, r.seq)
+            for r in latest_per_key(
+                df, ["entity_id"], "ts", tiebreak=["seq"], strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+@example(values=[(0, 0, 0, 0), (0, 1, 0, 0)], spine=[(0, 1)])
 @given(values=eav_rows, spine=spine_rows)
 @SETTINGS
 def test_pit_join_leakfree_and_matches_reference(spark, values, spine):
@@ -111,7 +145,7 @@ def test_pit_join_leakfree_and_matches_reference(spark, values, spine):
         for ve, vv, vh, vs in values:
             ts = BASE + timedelta(hours=vh)
             if ve == e and ts <= as_of:  # leak-free bound (ref :483)
-                if best is None or (ts, vs) > (best[1], best[2]):
+                if best is None or (ts, vs, vv) > (best[1], best[2], best[0]):
                     best = (vv, ts, vs)
         ref[i] = best
 
