@@ -106,26 +106,31 @@ def bm25_topk(
     )
     toks = tokens(text_col)
     hit_toks = F.filter(toks, lambda t: t.isin(*term_set))
-    exploded = docs.select(
-        F.col(id_col), F.size(toks).alias("dl"), F.explode(hit_toks).alias("term")
+    # ONE tokenize pass over the corpus: (id, dl, query-term hits) — the
+    # hit arrays are tiny (query terms only), so the persisted base is
+    # |docs| narrow rows.  All three consumers below (postings, document
+    # frequency, corpus stats) read this instead of re-scanning and
+    # re-tokenizing the corpus — 3 regex+split passes collapse into 1.
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), hit_toks.alias("__hits")
+    ).persist()
+    hit = (
+        base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    hit = exploded.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
-    # Document frequency from its own cheap lineage: explode each doc's
-    # DISTINCT query-term hits and map-side partial-agg count per term —
-    # the shuffle moves ≤|terms| partial rows per task, and the tiny
-    # result broadcasts back.  NOT a window over term (one partition per
-    # term ⇒ the Zipf head serializes at scale) and NOT derived from
-    # `hit` (which would re-execute the postings shuffle).
+    # Document frequency: explode each doc's DISTINCT query-term hits and
+    # map-side partial-agg count per term — the shuffle moves ≤|terms|
+    # partial rows per task, and the tiny result broadcasts back.  NOT a
+    # window over term (one partition per term ⇒ the Zipf head serializes
+    # at scale) and NOT derived from `hit` (that would chain onto the
+    # postings shuffle instead of the cached base).
     dfreq = (
-        docs.select(
-            F.explode(F.array_distinct(hit_toks)).alias("term")
-        )
+        base.select(F.explode(F.array_distinct("__hits")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = corpus_stats(docs, text_col)
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     scored = (
         hit.join(F.broadcast(qterms), "term")

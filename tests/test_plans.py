@@ -256,20 +256,18 @@ def test_mutual_info_scans_fact_once_for_joint(spark, sf_dir, qs):
 
 
 def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
-    # One postings build plus one distinct-token explode for df (map-side
-    # partial agg; a window partitioned by term would serialize the Zipf
-    # head at scale — guard against its reintroduction); every query-side
-    # join broadcast, none sort-merge; the only Window is the final
-    # per-query top-k rank.
+    # ONE tokenize pass total: the regex+split+query-term filter appears
+    # exactly once, inside the persisted (id, dl, __hits) base scan; the
+    # postings and document-frequency branches explode the cached __hits
+    # array instead of re-scanning the corpus (round-5 single-scan
+    # rewrite).  No window partitioned by term (it would serialize the
+    # Zipf head at scale); every query-side join broadcast, none
+    # sort-merge; the only Window is the final per-query top-k rank.
     df = qs["bm25_lexical_topk"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
-    # both explodes run over the term-FILTERED token array (the plan-time
-    # pushdown of the query vocabulary into the corpus scan)
-    explodes = plan.count("explode(filter(split(trim(regexp_replace(lower(text")
-    distinct_explodes = plan.count(
-        "explode(array_distinct(filter(split(trim(regexp_replace(lower(text"
-    )
-    assert explodes == 1 and distinct_explodes == 1
+    assert plan.count("filter(split(trim(regexp_replace(lower(text") == 1
+    assert plan.count("explode(__hits") == 1
+    assert plan.count("explode(array_distinct(__hits") == 1
     assert plan.count("explode(split(") == 0  # no unfiltered corpus explode
     # ≤1 logical Window node (the top-k rank); tree section lists each as
     # "Window (n)" (WindowGroupLimit also matches the prefix — subtract).

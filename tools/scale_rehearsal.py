@@ -101,6 +101,7 @@ REHEARSAL = [
     "hybrid_rrf_retrieval",
     "multimodal_image_features",
     "phi_scrub_notes",
+    "zorder_write_lineitem",
 ]
 
 #: the --deep suite: every entry reads ONLY the events fact
@@ -273,8 +274,27 @@ def _streaming_tumbling(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _zorder_write_lineitem(spark, sf_dir):
+    """The round-5 approx-quantile Z-order path at scale: cluster lineitem
+    on (l_partkey, l_orderkey) and write.  The measured claim is the plan
+    SHAPE — one percentile_approx aggregate for the cut points (no
+    single-partition window anywhere) plus one range shuffle — so the
+    write cost scales with data, not with a global sort."""
+    import shutil
+
+    from feature_store_healthcare_spark.operators.layout import zorder_write
+
+    label = _dir_label(sf_dir)
+    out = os.path.join(REPO, ".scale", "zorder", label)
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    zorder_write(li, out, ["l_partkey", "l_orderkey"], n_files=32)
+    return spark.read.parquet(out)
+
+
 REHEARSAL_EXTRA = {
     "simhash_pairs_prod64": _simhash_prod64,
+    "zorder_write_lineitem": _zorder_write_lineitem,
     "pit_training_join_bucketed": _pit_bucketed,
     "online_kv_point_get": _online_kv_point_get,
     "streaming_tumbling_rollup": _streaming_tumbling,
