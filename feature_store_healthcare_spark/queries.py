@@ -84,7 +84,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     # feature-store semantics: EAV, PIT, registry, serving, freshness
     "eav_latest_per_key",
-    "eav_asof_lookup",
+    # round 5: the tie-fallback contract takes the as-of slot (as-of
+    # filtering stays driver-covered via pit_training_join's leak-free
+    # bound; eav_asof_lookup remains check_oracle-verified in the tail)
+    "eav_latest_tie_fallback",
     "pit_training_join",
     "pit_interval_join",
     "resample_daily_ffill",
@@ -600,6 +603,40 @@ def eav_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(
         ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"], as_of="2024-01-15 00:00:00"
     )
+
+
+@query(
+    "eav_latest_tie_fallback",
+    """
+    SELECT user_id, day, event_type, value, event_id
+    FROM (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 event_type, value, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY date_trunc('day', ts) DESC,
+                                             event_type DESC, value DESC,
+                                             event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def eav_latest_tie_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-15/20 tie contract, driver-pinned: argmax with NO caller tiebreak
+    over day-truncated timestamps — every user has many same-day rows, so
+    the winner is decided entirely by the payload-fallback total order
+    (event_type, value, event_id in column order; pit.py round-5 fix).
+    Before that fix this query was nondeterministic and could not
+    hash-match an oracle; now both strategies and the SQL window agree
+    bit-for-bit.  (The reference's `max`/first-seen ambiguity,
+    feature_registry.py:490 vs feature_server.py:560-565, is the defect
+    this pins closed.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    return latest_per_key(ev, ["user_id"], "day")
 
 
 _PIT_JOIN_SQL = """
