@@ -104,6 +104,32 @@ REHEARSAL = [
     "zorder_write_lineitem",
 ]
 
+#: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
+#: build's uniform near-dup replication (which at x200 would make EVERY doc
+#: a member of a 200-way near-dup cluster — ~1e8 candidate pairs, a
+#: measurement of output size rather than engine scaling), this corpus has
+#: a realistic shape: replicas 0-19 keep the big build's suffix-token
+#: near-dup structure (10% of the corpus in 20-way clusters, the same
+#: structure the x20 rehearsal measured), replicas 20-199 get ~120 extra
+#: hash-derived tokens so their shingle Jaccard vs the base drops to ~0.3
+#: — below the 4-row-band collision range — and they behave as the 90%
+#: distinct long tail a production corpus has.
+DEEPDOCS_OUT = os.path.join(REPO, ".scale", "sf0.1deepdocs")
+DEEPDOCS_MARKER = os.path.join(DEEPDOCS_OUT, "_BUILT")
+DEEPDOCS_FACTOR = 200
+
+#: the --deep-docs suite: every entry reads ONLY the documents table
+DEEPDOCS = [
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh_fast",
+    "dedup_incremental_minhash",
+    "bm25_lexical_topk",
+    "doc_perplexity_quality",
+    "text_quality_scores",
+    # NOT phi_scrub_notes: its notes are synthesized from the customer
+    # table, which this documents-only blow-up does not write
+]
+
 #: the --deep suite: every entry reads ONLY the events fact
 DEEP = [
     "eav_latest_per_key",
@@ -138,6 +164,8 @@ def _dir_label(sf_dir: str) -> str:
         return "big"
     if p == os.path.abspath(DEEP_OUT):
         return "deep"
+    if p == os.path.abspath(DEEPDOCS_OUT):
+        return "deepdocs"
     return "base"
 
 
@@ -458,6 +486,43 @@ def build_deep(spark: SparkSession) -> None:
 # Spark UI REST metrics
 # --------------------------------------------------------------------------
 
+def build_deepdocs(spark: SparkSession) -> None:
+    """Documents x200 (1M docs, ~10% in 20-way near-dup clusters — see the
+    DEEPDOCS_OUT note for why the long tail is made distinct)."""
+    os.makedirs(DEEPDOCS_OUT, exist_ok=True)
+    r = F.col("__r")
+    t0 = time.time()
+    docs = _replicate(load_table(spark, SRC, "documents"), DEEPDOCS_FACTOR)
+    near_dup = F.concat(F.col("text"), F.lit(" rep"), r.cast("string"))
+    # ~120 hash-derived filler tokens from a 100k synthetic vocabulary:
+    # cheap (one 64-bit hash per token), deterministic, and enough to push
+    # shingle Jaccard vs the base text to ~0.3
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(120)),
+            lambda i: F.concat(
+                F.lit("w"),
+                (F.abs(F.xxhash64(F.col("doc_id"), r, i)) % 100_000).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    distinct_tail = F.concat_ws(" ", F.col("text"), F.lit("rep"), filler)
+    newtext = F.when(r < 20, near_dup).otherwise(distinct_tail)
+    docs.select(
+        (F.col("doc_id") + r * OFFS["doc"]).alias("doc_id"),
+        newtext.alias("text"),
+        "lang",
+        "source",
+        F.length(newtext).alias("n_chars"),
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(DEEPDOCS_OUT, "documents.parquet")
+    )
+    with open(DEEPDOCS_MARKER, "w") as fh:
+        fh.write(json.dumps({"src": SRC, "documents_factor": DEEPDOCS_FACTOR}))
+    print(f"built {DEEPDOCS_OUT} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+
 def _stages(spark) -> dict[int, dict]:
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -534,8 +599,13 @@ def main() -> int:
     # into an existing SCALE_REHEARSAL.json (incremental re-measurement).
     # --deep: run the events-only DEEP suite at x1000 instead, landing in
     # the report's separate "deep" section.
-    deep = "--deep" in sys.argv
-    names = DEEP if deep else REHEARSAL
+    deepdocs = "--deep-docs" in sys.argv
+    deep = "--deep" in sys.argv and not deepdocs
+    names = DEEPDOCS if deepdocs else (DEEP if deep else REHEARSAL)
+    if deepdocs:
+        # the banded-join family pays a full signature build per timed run
+        # at 1M docs — one honest run each, like dedup_ngram_jaccard above
+        RUNS.update({"dedup_minhash_lsh_fast": 1, "dedup_incremental_minhash": 1})
     for arg in sys.argv[1:]:
         if arg.startswith("--only="):
             names = [n for n in arg.split("=", 1)[1].split(",") if n]
@@ -552,11 +622,17 @@ def main() -> int:
     ]
     if unknown:
         raise SystemExit(f"unknown rehearsal entries: {unknown}")
-    blow_dir, marker, tag = (
-        (DEEP_OUT, DEEP_MARKER, "deep") if deep else (OUT, MARKER, "big")
-    )
+    if deepdocs:
+        blow_dir, marker, tag = DEEPDOCS_OUT, DEEPDOCS_MARKER, "deepdocs"
+        builder = build_deepdocs
+    elif deep:
+        blow_dir, marker, tag = DEEP_OUT, DEEP_MARKER, "deep"
+        builder = build_deep
+    else:
+        blow_dir, marker, tag = OUT, MARKER, "big"
+        builder = build
     if "--skip-build" not in sys.argv and not os.path.exists(marker):
-        (build_deep if deep else build)(spark)
+        builder(spark)
     elif "--skip-build" not in sys.argv:
         print(f"reusing {blow_dir}", file=sys.stderr)
     if "--build-only" in sys.argv:
@@ -586,7 +662,16 @@ def main() -> int:
         }
         for name in names
     }
-    if deep:
+    if deepdocs:
+        section = report.setdefault(
+            "deepdocs", {"documents_factor": DEEPDOCS_FACTOR, "queries": {}}
+        )
+        section["queries"].update(measured)
+        ordered = [n for n in DEEPDOCS if n in section["queries"]] + [
+            n for n in section["queries"] if n not in DEEPDOCS
+        ]
+        section["queries"] = {n: section["queries"][n] for n in ordered}
+    elif deep:
         section = report.setdefault(
             "deep", {"events_factor": DEEP_EVENTS_FACTOR, "queries": {}}
         )
