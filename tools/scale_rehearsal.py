@@ -91,6 +91,7 @@ REHEARSAL = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_shuffled",
+    "dedup_minhash_lsh_stored",
     "simhash_pairs_prod64",
     "dedup_ngram_jaccard",
     "dedup_cluster_survivors",
@@ -122,6 +123,7 @@ DEEPDOCS_FACTOR = 200
 DEEPDOCS = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh_fast",
+    "dedup_minhash_lsh_stored",
     "dedup_incremental_minhash",
     "bm25_lexical_topk",
     "doc_perplexity_quality",
@@ -302,6 +304,29 @@ def _streaming_tumbling(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _lsh_stored_bands(spark, sf_dir):
+    """The steady-state LSH query cost: candidate pairs from a STORED
+    band-table index (write_bucketed on bkey — built once, reused by
+    every arrival batch / re-dedup run), vs the full-suite entries that
+    deliberately re-pay the 16-way signature build per timed run.  The
+    first timed run pays the one-time index write and min-of-2 reports
+    the amortized bucketed self-join alone — the lsh analog of
+    pit_training_join_bucketed."""
+    from feature_store_healthcare_spark.operators import dedup
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    label = _dir_label(sf_dir)
+    t = f"reh_lsh_bands_{label}"
+    if not spark.catalog.tableExists(t):
+        docs = _docs(spark, sf_dir)
+        sig = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+        banded = dedup._banded_signatures(sig, "doc_id", 16, 4)
+        write_bucketed(
+            banded, t, "bkey", 32, os.path.join(REPO, ".scale", "buckets", t)
+        )
+    return dedup.lsh_pairs_from_bands(read_table(spark, t), "doc_id")
+
+
 def _zorder_write_lineitem(spark, sf_dir):
     """The round-5 approx-quantile Z-order path at scale: cluster lineitem
     on (l_partkey, l_orderkey) and write.  The measured claim is the plan
@@ -323,6 +348,7 @@ def _zorder_write_lineitem(spark, sf_dir):
 REHEARSAL_EXTRA = {
     "simhash_pairs_prod64": _simhash_prod64,
     "zorder_write_lineitem": _zorder_write_lineitem,
+    "dedup_minhash_lsh_stored": _lsh_stored_bands,
     "pit_training_join_bucketed": _pit_bucketed,
     "online_kv_point_get": _online_kv_point_get,
     "streaming_tumbling_rollup": _streaming_tumbling,
@@ -341,6 +367,7 @@ AMORTIZED = {
     "pit_training_join_bucketed",
     "online_kv_point_get",
     "streaming_tumbling_rollup",
+    "dedup_minhash_lsh_stored",
 }
 
 #: timing-run count overrides (default 2, min taken).  The exact pairwise
