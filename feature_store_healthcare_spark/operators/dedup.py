@@ -717,13 +717,14 @@ def _banded_signatures(
 
 def minhash_lsh_pairs_cross(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
     portable: bool = False,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: NEW batch × EXISTING corpus only —
     the join every continuously-ingested corpus runs per arrival batch
@@ -734,15 +735,31 @@ def minhash_lsh_pairs_cross(
     rows against the persisted corpus band table — at 100 TB the corpus
     side is a bucketed stored index, the new side broadcasts when small.
     Returns distinct (new_id, corpus_id).
+
+    ``corpus_bands``: the steady-state form — pass the STORED (id, band,
+    bkey) corpus band table (built via ``minhash_signatures`` →
+    ``_banded_signatures`` with the SAME n/num_hashes/bands/portable and
+    persisted with ``stores.write_bucketed`` on ``bkey``) and the corpus
+    text is never re-read: per-batch cost is the delta signature build
+    plus the probe.  Same digest-provenance contract as
+    :func:`lsh_pairs_from_bands` — a band table whose digest doesn't fold
+    the band id in yields cross-band false pairs.  Exactly one of
+    ``corpus_df`` / ``corpus_bands`` must be provided.
     """
     assert num_hashes % bands == 0
+    if (corpus_df is None) == (corpus_bands is None):
+        raise ValueError("pass exactly one of corpus_df or corpus_bands")
     new_b = _banded_signatures(
         minhash_signatures(new_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
         id_col, num_hashes, bands,
     ).alias("l")
-    corp_b = _banded_signatures(
-        minhash_signatures(corpus_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
-        id_col, num_hashes, bands,
+    corp_b = (
+        corpus_bands
+        if corpus_bands is not None
+        else _banded_signatures(
+            minhash_signatures(corpus_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
+            id_col, num_hashes, bands,
+        )
     ).alias("r")
     # the DELTA is the small side by construction — broadcast it so the
     # persisted corpus band table is probed in place, never shuffled

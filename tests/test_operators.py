@@ -568,6 +568,36 @@ def test_incremental_minhash_cross_set_only(spark, sf_dir):
     assert cross == want
 
 
+def test_incremental_minhash_stored_bands_equivalent(spark, sf_dir):
+    """The steady-state form — probing a prebuilt corpus band table —
+    returns exactly the recompute path's pairs; passing both or neither
+    corpus inputs raises."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    recompute = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.minhash_lsh_pairs_cross(
+            new, corpus, "doc_id", "text", portable=True
+        ).collect()
+    }
+    bands = dedup._banded_signatures(
+        dedup.minhash_signatures(corpus, "doc_id", "text", portable=True),
+        "doc_id", 16, 4,
+    )
+    stored = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.minhash_lsh_pairs_cross(
+            new, None, "doc_id", "text", portable=True, corpus_bands=bands
+        ).collect()
+    }
+    assert stored == recompute and stored
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.minhash_lsh_pairs_cross(new, corpus, "doc_id", "text", corpus_bands=bands)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.minhash_lsh_pairs_cross(new, None, "doc_id", "text")
+
+
 def test_cosine_topk_blas_matches_expression_path(spark, sf_dir):
     """The BLAS kernel scan returns the same neighbors as the bit-exact
     expression path (scores to ~1 ulp, identical ids/ranks)."""
