@@ -96,6 +96,15 @@ def minhash_signatures(
     but reproducible bit-for-bit in any engine with md5 (used by the
     DuckDB-checked query catalog).
     Output: (id_col, mh_0..mh_{k-1}).
+
+    Why NOT Kirsch–Mitzenmacher double hashing (``(h1 + i·h2) mod p`` from
+    two hashes instead of one per seed): measured at 1M docs (round 5),
+    swapping the family left the signature-build wall-time unchanged
+    (195 vs 198 s — the build is explode/partial-agg-bound, not
+    hash-bound) while the correlated band rows inflated LSH candidate
+    pairs ~58% (a shingle with small (h1, h2) tends to minimize EVERY
+    h_i, so P(full-band match) ≫ J^rows) — all precision cost, no speed
+    benefit.  Per-seed independent hashes stay.
     """
     sh = shingles(df, id_col, text_col, n=n)
     aggs = []
