@@ -254,11 +254,23 @@ def ngram_jaccard_pairs(
 
     **Tripwire** (``candidate_budget``): this operator is the engine's ONE
     deliberately quadratic path — the verification oracle for the LSH
-    family, not the production answer.  Before the self-join it estimates
-    the candidate-pair count as Σ f·(f−1)/2 over the post-guard shingle
-    frequencies (one cheap aggregate on the already-persisted shingle
-    table) and raises with the measured estimate when it exceeds the
-    budget, unless ``force=True``.  On a hot corpus there may be NO
+    family, not the production answer.  The candidate volume is estimated
+    as Σ f·(f−1)/2 over the post-guard shingle frequencies; when it
+    exceeds the budget the query raises, unless ``force=True``.  The
+    estimate counts candidate JOIN ROWS, not distinct pairs — a pair
+    sharing k shingles is counted k times.  That overcount is
+    deliberate: join rows are what the quadratic cost actually tracks
+    (the aggregate that dedups them must first materialize every row),
+    so size ``candidate_budget`` in join rows, not pairs.
+
+    The guard runs IN-PLAN, not as a separate pre-flight job (the round-5
+    eager ``.first()`` cost the bench an extra full pass over the shingle
+    table): the estimate is a broadcast one-row subquery carrying an
+    ``assert_true``, evaluated while the broadcast materializes — i.e.
+    BEFORE the probe stage launches, at any scale — and therefore raises
+    at ACTION time (Spark wraps the message in a runtime error), not at
+    call time.  On the failure path the persisted shingle table stays
+    cached until the session clears it.  On a hot corpus there may be NO
     ``max_shingle_freq`` that both keeps recall and fits the budget — the
     raise message points at :func:`minhash_lsh_pairs`, which is that
     corpus's answer (measured 238× faster at 20× scale, SCALE.md).
@@ -281,24 +293,6 @@ def ngram_jaccard_pairs(
     # scale.  persist() computes it once here; a 100 TB run would write it
     # to a (bucketed) table instead, same plan downstream.
     sh = sh.persist()
-    if not force:
-        est = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__f"))
-            .agg(F.sum(F.col("__f") * (F.col("__f") - 1) / 2).alias("__pairs"))
-            .first()["__pairs"]
-            or 0
-        )
-        if est > candidate_budget:
-            sh.unpersist()
-            raise ValueError(
-                f"ngram_jaccard_pairs: estimated {int(est):,} candidate pairs "
-                f"exceeds candidate_budget={candidate_budget:,}. This exact "
-                "operator is quadratic in hot-shingle frequency and exists as "
-                "the verification oracle for the LSH family — use "
-                "minhash_lsh_pairs for production corpora, tighten "
-                "max_shingle_freq, or pass force=True to proceed anyway."
-            )
     # Spread probe rows by doc so pair generation parallelism is data-size-,
     # not key-distribution-, bound.  ×4 over core count keeps each task's
     # partial-aggregation hash map small: candidate pairs are quadratic in
@@ -306,7 +300,43 @@ def ngram_jaccard_pairs(
     # small-heap executors (the map spills, but 32 concurrent tasks × big
     # maps still spike the heap before spill kicks in).
     parallelism = df.sparkSession.sparkContext.defaultParallelism * 4
-    l = sh.repartition(parallelism, id_col).alias("l")
+    probe = sh.repartition(parallelism, id_col)
+    if not force:
+        est = F.coalesce(
+            F.sum(F.col("__f") * (F.col("__f") - 1) / 2), F.lit(0.0)
+        )
+        guard_row = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .agg(est.alias("__est"))
+            .select(
+                F.assert_true(
+                    F.col("__est") <= F.lit(float(candidate_budget)),
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: estimated "),
+                        F.format_number(F.col("__est"), 0),
+                        F.lit(
+                            " candidate join rows exceeds candidate_budget="
+                            f"{candidate_budget:,}. This exact operator is "
+                            "quadratic in hot-shingle frequency and exists as "
+                            "the verification oracle for the LSH family — use "
+                            "minhash_lsh_pairs for production corpora, tighten "
+                            "max_shingle_freq, or pass force=True to proceed "
+                            "anyway."
+                        ),
+                    ),
+                ).alias("__g")
+            )
+        )
+        # The filter references __g so neither the guard join nor the
+        # assert can be pruned; the broadcast side raises while it
+        # materializes — before any probe task starts the quadratic join.
+        probe = (
+            probe.crossJoin(F.broadcast(guard_row))
+            .where(F.coalesce(F.col("__g").isNull(), F.lit(True)))
+            .drop("__g")
+        )
+    l = probe.alias("l")
     r = sh.alias("r")
     build = F.broadcast(r) if broadcast_candidates else r
     out = (
@@ -734,6 +764,7 @@ def minhash_lsh_pairs_cross(
     bands: int = 4,
     portable: bool = False,
     corpus_bands: DataFrame | None = None,
+    broadcast_delta: bool | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: NEW batch × EXISTING corpus only —
     the join every continuously-ingested corpus runs per arrival batch
@@ -741,9 +772,26 @@ def minhash_lsh_pairs_cross(
 
     Same banded signatures as :func:`minhash_lsh_pairs`, but the equi-join
     is strictly cross-set, so the work per day is O(|new|·bands) probe
-    rows against the persisted corpus band table — at 100 TB the corpus
-    side is a bucketed stored index, the new side broadcasts when small.
-    Returns distinct (new_id, corpus_id).
+    rows against the persisted corpus band table.  Returns distinct
+    (new_id, corpus_id).
+
+    ``broadcast_delta``: the delta side follows the module's single
+    cutover policy (:func:`_auto_build_side`) — None (default) counts the
+    delta band table and broadcasts only under
+    :data:`_BROADCAST_ROW_BUDGET` rows, so a daily-sized delta is probed
+    against the corpus in place while a backfill-sized delta falls back
+    to the shuffled equi-join on the uniformly-hashed ``bkey`` (an
+    unconditional broadcast would attempt multi-GB driver shipping
+    exactly on the operator a bulk re-ingest calls).  True/False pins the
+    strategy.  Under auto-sizing the delta band table is persisted so its
+    signature build (scan → shingle explode → k-way min agg) runs once:
+    the sizing count materializes the cache the join then reads.
+
+    The join keys on ``bkey`` alone — the band id is folded into the
+    digest (:func:`_banded_signatures`), so bkey equality implies band
+    equality, and a corpus index bucketed by ``bkey``
+    (``stores.write_bucketed``) satisfies the join's distribution with no
+    corpus-side shuffle even on the non-broadcast path.
 
     ``corpus_bands``: the steady-state form — pass the STORED (id, band,
     bkey) corpus band table (built via ``minhash_signatures`` →
@@ -753,7 +801,8 @@ def minhash_lsh_pairs_cross(
     plus the probe.  Same digest-provenance contract as
     :func:`lsh_pairs_from_bands` — a band table whose digest doesn't fold
     the band id in yields cross-band false pairs.  Exactly one of
-    ``corpus_df`` / ``corpus_bands`` must be provided.
+    ``corpus_df`` / ``corpus_bands`` must be provided.  After admitting
+    the delta, close the loop with :func:`append_band_index`.
     """
     assert num_hashes % bands == 0
     if (corpus_df is None) == (corpus_bands is None):
@@ -761,7 +810,11 @@ def minhash_lsh_pairs_cross(
     new_b = _banded_signatures(
         minhash_signatures(new_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable),
         id_col, num_hashes, bands,
-    ).alias("l")
+    )
+    if broadcast_delta is None:
+        new_b = new_b.persist()
+    new_b, _ = _auto_build_side(new_b, broadcast_delta)
+    new_b = new_b.alias("l")
     corp_b = (
         corpus_bands
         if corpus_bands is not None
@@ -770,22 +823,60 @@ def minhash_lsh_pairs_cross(
             id_col, num_hashes, bands,
         )
     ).alias("r")
-    # the DELTA is the small side by construction — broadcast it so the
-    # persisted corpus band table is probed in place, never shuffled
     return (
-        corp_b.join(
-            F.broadcast(new_b),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bkey") == F.col("r.bkey"),
-            ],
-        )
+        corp_b.join(new_b, on=[F.col("l.bkey") == F.col("r.bkey")])
         .select(
             F.col(f"l.{id_col}").alias("new_id"),
             F.col(f"r.{id_col}").alias("corpus_id"),
         )
         .distinct()
     )
+
+
+def append_band_index(
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    path: str,
+    n_buckets: int,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+) -> None:
+    """Maintain the stored LSH band index: append the delta's (id, band,
+    bkey) rows to the bucketed corpus band table — the closing step of the
+    daily incremental loop (probe with :func:`minhash_lsh_pairs_cross`
+    ``corpus_bands=`` → cluster/dedup → admit survivors → **append their
+    bands here**), so tomorrow's probe sees today's admitted docs without
+    ever rebuilding the index from text.
+
+    Signature parameters (``n``/``num_hashes``/``bands``/``portable``) and
+    the bucket layout (``n_buckets`` on ``bkey``) MUST match the existing
+    index — Spark rejects a mismatched bucket spec on append, but a
+    mismatched hash family is silent and poisons every future probe (the
+    digest-provenance contract of :func:`lsh_pairs_from_bands`).  On a
+    first call the table is created, so the same function bootstraps and
+    maintains the index.
+
+    Scale: cost is the delta's own signature build plus one bucketed write
+    of |delta|·bands fixed-width rows — no read of the existing index, no
+    compaction (appends add files per bucket; bucket membership stays
+    correct, so probes never degrade in correctness — re-cluster the
+    files with a periodic rewrite if per-bucket file counts grow).
+    """
+    from feature_store_healthcare_spark.stores import write_bucketed
+
+    delta_bands = _banded_signatures(
+        minhash_signatures(
+            delta_df, id_col, text_col, n=n, num_hashes=num_hashes, portable=portable
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    write_bucketed(delta_bands, table, "bkey", n_buckets, path, mode="append")
 
 
 def span_duplicates(

