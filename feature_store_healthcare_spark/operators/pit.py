@@ -15,7 +15,10 @@ feature_registry.py:490, the serving scan keeps the first-seen at
 feature_server.py:560-565, and neither consults created_timestamp).  This
 engine is deterministic on ANY input: order by ``(ts, *tiebreak)``
 descending, then — should (ts, tiebreak) fully tie — by the remaining
-orderable payload columns, a total order over everything Spark can compare.
+orderable payload columns IN SORTED-NAME ORDER, a total order over
+everything Spark can compare that is also stable under column reordering
+and additive schema evolution (physical column position never decides a
+winner).
 Callers pass e.g. ``created_timestamp`` or a stable row id as the tiebreak;
 rows identical in every orderable column are indistinguishable, so the
 fallback never changes which *distinct* row wins.
@@ -57,17 +60,32 @@ def as_of_filter(
 
 
 def _is_orderable(dtype) -> bool:
-    """True when Spark can sort/compare the type (MapType and maps nested in
-    structs/arrays are the unorderable cases)."""
+    """True when Spark can sort/compare the type.  A WHITELIST, not a
+    MapType blacklist: Spark 4 grew unorderable atomic types (VariantType,
+    the spatial types — both AtomicType subclasses), and any future
+    addition should default to "skip it from the tie fallback", not to an
+    AnalysisException (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE) at plan
+    time.  Arrays and structs are orderable iff every element/field is."""
     from pyspark.sql import types as T
 
-    if isinstance(dtype, T.MapType):
-        return False
     if isinstance(dtype, T.ArrayType):
         return _is_orderable(dtype.elementType)
     if isinstance(dtype, T.StructType):
         return all(_is_orderable(f.dataType) for f in dtype.fields)
-    return True
+    return isinstance(
+        dtype,
+        (
+            T.NumericType,
+            T.StringType,
+            T.CharType,
+            T.VarcharType,
+            T.BinaryType,
+            T.BooleanType,
+            T.DatetimeType,  # Date / Timestamp / TimestampNTZ / Time
+            T.AnsiIntervalType,  # day-time + year-month intervals
+            T.NullType,
+        ),
+    )
 
 
 def _tie_fallback_cols(
@@ -78,15 +96,20 @@ def _tie_fallback_cols(
     the argmax deterministic on ANY input — the contract SURVEY §0 demands
     (the reference's ``max``/first-seen tie ambiguity,
     feature_registry.py:490 vs feature_server.py:560-565, is the defect this
-    engine fixes).  Unorderable columns (maps) are skipped; rows identical
-    in every orderable column are genuinely indistinguishable, so any pick
-    is the same row."""
+    engine fixes).  Unorderable columns (maps, variants, spatial) are
+    skipped; rows identical in every orderable column are genuinely
+    indistinguishable, so any pick is the same row.
+
+    Returned SORTED BY NAME, not in schema order: the fallback winner must
+    not silently change when a reader adds or reorders payload columns —
+    sorted names make the total order stable under schema evolution (same
+    columns ⇒ same winner, regardless of physical position)."""
     seen = set(exclude)
-    return [
+    return sorted(
         f.name
         for f in df.schema.fields
         if f.name not in seen and _is_orderable(f.dataType)
-    ]
+    )
 
 
 def latest_per_key(
@@ -118,10 +141,26 @@ def latest_per_key(
             .drop("__rn")
         )
     payload_cols = [c for c in df.columns if c not in keys]
-    agg = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols]),
-        F.struct(*[F.col(c) for c in (ts_col, *tiebreak, *fallback)]),
-    ).alias("__latest")
+    ordered: list[str] = []
+    for c in (ts_col, *tiebreak, *fallback):
+        if c not in ordered:
+            ordered.append(c)
+    if set(ordered) == set(payload_cols):
+        # Every payload column is orderable, so ONE struct in ordering
+        # sequence serves as both comparison key and payload: max(struct)
+        # is the lexicographic (ts, *tiebreak, *fallback) argmax, and the
+        # aggregate buffer carries each column ONCE instead of twice
+        # (max_by's separate payload + ordering structs double per-row
+        # width on wide tables).
+        agg = F.max(F.struct(*[F.col(c) for c in ordered])).alias("__latest")
+    else:
+        # Unorderable payload (maps/variants) can ride only in the value
+        # struct, so the ordering struct must stay separate — the width
+        # cost is paid only on schemas that need it.
+        agg = F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            F.struct(*[F.col(c) for c in (ts_col, *tiebreak, *fallback)]),
+        ).alias("__latest")
     out = df.groupBy(*keys).agg(agg)
     return out.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload_cols])
 
@@ -230,12 +269,13 @@ def point_in_time_join(
     group_cols = [c for c in spine.columns]  # spine columns all survive
     tb_cols = [F.col(f"__v_tb_{c}") for c in tiebreak]
     # Same determinism contract as latest_per_key: when (ts, *tiebreak)
-    # fully ties, the orderable value columns break the tie (max payload for
-    # backward/max_by, min for forward/nearest/min_by — each direction's
-    # extreme, but always the SAME row for the same input).
+    # fully ties, the orderable value columns break the tie in SORTED-NAME
+    # order (max payload for backward/max_by, min for forward/nearest/
+    # min_by — each direction's extreme, but always the SAME row for the
+    # same input, independent of physical column order).
     fb_cols = [
         F.col(f"__v_{c}")
-        for c in value_cols
+        for c in sorted(value_cols)
         if _is_orderable(values.schema[c].dataType)
     ]
     if direction == "nearest":

@@ -608,13 +608,12 @@ def eav_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "eav_latest_tie_fallback",
     """
-    SELECT user_id, day, event_type, value, event_id
+    SELECT user_id, day, event_type, value
     FROM (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                 event_type, value, event_id,
+                 event_type, value,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY date_trunc('day', ts) DESC,
-                                             event_type DESC, value DESC,
-                                             event_id DESC) AS rn
+                                             event_type DESC, value DESC) AS rn
           FROM events)
     WHERE rn = 1
     """,
@@ -623,18 +622,19 @@ def eav_latest_tie_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-15/20 tie contract, driver-pinned: argmax with NO caller tiebreak
     over day-truncated timestamps — every user has many same-day rows, so
     the winner is decided entirely by the payload-fallback total order
-    (event_type, value, event_id in column order; pit.py round-5 fix).
-    Before that fix this query was nondeterministic and could not
-    hash-match an oracle; now both strategies and the SQL window agree
-    bit-for-bit.  (The reference's `max`/first-seen ambiguity,
-    feature_registry.py:490 vs feature_server.py:560-565, is the defect
-    this pins closed.)"""
+    (event_type then value: the orderable payload in SORTED-NAME order,
+    pit.py round-6 contract — physical column position never decides; the
+    unique event_id is deliberately excluded so the MULTI-column fallback
+    chain, not an id, picks every winner).  Before the round-5 fix this
+    query was nondeterministic and could not hash-match an oracle; now
+    both strategies and the SQL window agree bit-for-bit.  (The
+    reference's `max`/first-seen ambiguity, feature_registry.py:490 vs
+    feature_server.py:560-565, is the defect this pins closed.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
         "event_type",
         "value",
-        "event_id",
     )
     return latest_per_key(ev, ["user_id"], "day")
 

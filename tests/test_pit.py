@@ -432,3 +432,44 @@ def test_nearest_asof_requires_tolerance(spark):
             spark.range(1), spark.range(1), on="id", spine_ts="id",
             value_ts="id", direction="nearest",
         )
+
+
+def test_unorderable_payload_columns_are_skipped(spark):
+    """ADVICE r5 (medium): a table carrying unorderable payload — a map AND
+    a Spark-4 variant column — must not make the argmax raise
+    DATATYPE_MISMATCH.INVALID_ORDERING_TYPE: the whitelist skips both from
+    the fallback ordering, both strategies still agree, and the winning
+    row's unorderable values survive intact."""
+    df = (
+        spark.createDataFrame(
+            [
+                ("e1", 1.0, datetime(2024, 1, 1, 10), 1, '{"a": 1}'),
+                ("e1", 2.0, datetime(2024, 1, 1, 12), 2, '{"a": 2}'),
+                ("e2", 3.0, datetime(2024, 1, 1, 11), 3, '{"a": 3}'),
+            ],
+            "entity_id string, value double, ts timestamp_ntz, seq long, js string",
+        )
+        .withColumn("vpay", F.parse_json("js"))
+        .withColumn("mpay", F.create_map(F.lit("k"), F.col("value")))
+        .drop("js")
+    )
+    for strategy in ("max_by", "window"):
+        got = {
+            r.entity_id: r
+            for r in latest_per_key(
+                df, ["entity_id"], "ts", tiebreak=["seq"], strategy=strategy
+            ).collect()
+        }
+        assert got["e1"].value == 2.0 and got["e2"].value == 3.0, strategy
+        assert got["e1"].mpay == {"k": 2.0}, strategy
+        assert '2' in str(got["e1"].vpay), strategy
+    # the PIT join's fallback must skip them too when they ride as values
+    spine = spark.createDataFrame(
+        [(1, "e1", datetime(2024, 1, 1, 13))],
+        "row_id long, entity_id string, as_of timestamp_ntz",
+    )
+    out = point_in_time_join(
+        spine, df, on="entity_id", spine_ts="as_of", value_ts="ts",
+        value_cols=["value", "vpay", "mpay"], spine_keys=["row_id"],
+    ).collect()
+    assert out[0].value == 2.0 and out[0].mpay == {"k": 2.0}
