@@ -309,6 +309,98 @@ def embedding_near_dup_pairs(
     )
 
 
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_decimals: int | None = None,
+    broadcast_build: bool = True,
+    candidate_budget: int = 50_000_000,
+    force: bool = False,
+) -> DataFrame:
+    """OP-49 (embedding-cosine, exact): ALL pairs with cosine ≥ threshold —
+    the brute-force O(n²) verification oracle for
+    :func:`embedding_near_dup_pairs`, the same role
+    ``dedup.ngram_jaccard_pairs`` plays for the MinHash family, with the
+    SAME candidate-budget tripwire.  Production corpora go through the
+    LSH-bucketed path; this exists to verify it on bounded samples.
+
+    Norms are precomputed per vector (2 sqrt-folds per row instead of per
+    pair) and the dot is statically unrolled at ``dim`` so the pair scan
+    stays in codegen.  ``round_decimals`` rounds the cosine before
+    thresholding (oracle parity with SQL engines whose float formatting
+    differs).  Output: (id_a, id_b, cosine).
+
+    **Tripwire** (``candidate_budget``): the candidate volume is exactly
+    n·(n−1)/2 for n corpus rows — no estimate slack here, unlike the
+    Jaccard oracle's join-row overcount.  When it exceeds the budget the
+    query raises unless ``force=True``.  The guard runs IN-PLAN as a
+    broadcast one-row subquery carrying ``assert_true`` — it evaluates
+    while the broadcast materializes, BEFORE any pair task launches, and
+    raises at action time (Spark wraps the message in a runtime error).
+
+    ``broadcast_build`` pins the build side's strategy: True (default) is
+    right whenever the corpus passes the tripwire (a budget-sized corpus
+    is broadcast-sized by construction); False falls back to a shuffled
+    theta-join for oversized ``force=True`` runs.
+    """
+    norm = _norm(F.col(corpus_vec), dim=dim)
+    a = corpus.select(
+        F.col(corpus_id).alias("id_a"),
+        F.col(corpus_vec).alias("__va"),
+        norm.alias("__na"),
+    )
+    b = corpus.select(
+        F.col(corpus_id).alias("id_b"),
+        F.col(corpus_vec).alias("__vb"),
+        norm.alias("__nb"),
+    )
+    if not force:
+        est = F.col("__n") * (F.col("__n") - 1) / 2
+        guard_row = (
+            corpus.agg(F.count("*").cast("double").alias("__n"))
+            .select(
+                F.assert_true(
+                    est <= F.lit(float(candidate_budget)),
+                    F.concat(
+                        F.lit("cosine_pairs_exact: "),
+                        F.format_number(est, 0),
+                        F.lit(
+                            " candidate pairs exceeds candidate_budget="
+                            f"{candidate_budget:,}. This exact operator is "
+                            "quadratic in corpus size and exists as the "
+                            "verification oracle for the LSH family — use "
+                            "embedding_near_dup_pairs for production "
+                            "corpora, or pass force=True to proceed anyway."
+                        ),
+                    ),
+                ).alias("__g")
+            )
+        )
+        # Same shape as ngram_jaccard_pairs' guard: the filter references
+        # __g so the subquery can't be pruned, and the broadcast side
+        # raises while it materializes — before any pair task starts.
+        a = (
+            a.crossJoin(F.broadcast(guard_row))
+            .where(F.coalesce(F.col("__g").isNull(), F.lit(True)))
+            .drop("__g")
+        )
+    build = F.broadcast(b) if broadcast_build else b
+    pairs = a.join(build, on=F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb"), dim=dim) / (
+        F.col("__na") * F.col("__nb")
+    )
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the classic coarse-quantizer scale path
 # ---------------------------------------------------------------------------

@@ -1578,28 +1578,16 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-49 (embedding-cosine, exact): all pairs with cosine >= 0.35,
-    brute force with the deterministic sequential-fold dot product and a
-    4-decimal round before thresholding.  The LSH-bucketed scale path
-    (similarity.embedding_near_dup_pairs) is unit-tested against this."""
+    """OP-49 (embedding-cosine, exact): all pairs with cosine >= 0.35 via
+    similarity.cosine_pairs_exact — the quarantined quadratic verification
+    oracle for the LSH-bucketed scale path
+    (similarity.embedding_near_dup_pairs), guarded by the same in-plan
+    candidate-budget tripwire as the Jaccard oracle.  Deterministic
+    sequential dot product, 4-decimal round before thresholding for
+    bit-identical DuckDB parity."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms precomputed per vector (2 sqrt-folds per row instead of per
-    # pair); dot unrolled at the known dim so it stays in codegen.  Same
-    # arithmetic in the same order as the fold → bit-identical cosine.
-    norm = similarity._norm(F.col("embedding"), dim=64)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), norm.alias("__na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), norm.alias("__nb")
-    )
-    pairs = a.join(F.broadcast(b), on=F.col("id_a") < F.col("id_b"))
-    dot = similarity._dot(F.col("__va"), F.col("__vb"), dim=64)
-    cos = F.round(dot / (F.col("__na") * F.col("__nb")), 4)
-    return (
-        pairs.withColumn("cosine", cos)
-        .where(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", "cosine")
+    return similarity.cosine_pairs_exact(
+        emb, threshold=0.35, dim=64, round_decimals=4
     )
 
 

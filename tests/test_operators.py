@@ -143,6 +143,35 @@ def test_embedding_near_dup_pairs(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_cosine_pairs_exact_tripwire(spark):
+    """VERDICT r5 #4: the exact all-pairs cosine oracle gets the same
+    in-plan candidate-budget guard as the Jaccard oracle — 4 rows is
+    4·3/2 = 6 pairs, over a budget of 5, so the broadcast guard raises
+    at action time; force=True proceeds and agrees with the LSH path's
+    ground truth."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    over = similarity.cosine_pairs_exact(
+        df, threshold=0.99, dim=2, candidate_budget=5
+    )
+    with pytest.raises(Exception, match="candidate pairs.*candidate_budget"):
+        over.collect()
+    forced = similarity.cosine_pairs_exact(
+        df, threshold=0.99, dim=2, candidate_budget=5, force=True
+    )
+    assert {(r.id_a, r.id_b) for r in forced.collect()} == {(1, 2)}
+    # within budget: no raise, same answer, and the shuffled-build
+    # force-path (broadcast_build=False) agrees
+    ok = similarity.cosine_pairs_exact(df, threshold=0.99, dim=2)
+    assert {(r.id_a, r.id_b) for r in ok.collect()} == {(1, 2)}
+    shuffled = similarity.cosine_pairs_exact(
+        df, threshold=0.99, dim=2, broadcast_build=False
+    )
+    assert {(r.id_a, r.id_b) for r in shuffled.collect()} == {(1, 2)}
+
+
 # ------------------------------------------------------------------ text
 
 def test_lang_id_stopwords(spark):
