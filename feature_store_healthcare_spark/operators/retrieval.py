@@ -72,6 +72,24 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# The persisted (id, dl, __hits) base of the MOST RECENT bm25_topk call.
+# The hit arrays are query-batch-specific, so cached bases are never
+# reusable across calls — each new call releases its predecessor, capping
+# the session's footprint at ONE corpus-sized narrow projection instead of
+# one per call (the round-5 form leaked them all).  unpersist() only drops
+# cached blocks: a still-unmaterialized older result recomputes, it does
+# not break.
+_BM25_BASE_CACHE: list[DataFrame] = []
+
+
+def release_bm25_cache(blocking: bool = False) -> None:
+    """Drop the last bm25_topk call's persisted base now (callers that
+    have materialized their result and want the memory back immediately,
+    rather than at the next bm25_topk call)."""
+    while _BM25_BASE_CACHE:
+        _BM25_BASE_CACHE.pop().unpersist(blocking=blocking)
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -89,6 +107,12 @@ def bm25_topk(
     broadcast; the corpus is touched by exactly one postings build.  Output:
     (query_id, id_col, score, rank), score rounded to ``round_to`` before
     ranking, ties broken by document id.
+
+    Cache contract: the single-scan (id, dl, __hits) base is persisted
+    because three branches consume it, and it stays cached until the NEXT
+    bm25_topk call (or :func:`release_bm25_cache`) releases it — so
+    materialize the returned plan before issuing the next query batch, or
+    the base recomputes.
     """
     spark = docs.sparkSession
     q = spark.createDataFrame(queries, "query_id string, query string")
@@ -111,9 +135,11 @@ def bm25_topk(
     # |docs| narrow rows.  All three consumers below (postings, document
     # frequency, corpus stats) read this instead of re-scanning and
     # re-tokenizing the corpus — 3 regex+split passes collapse into 1.
+    release_bm25_cache()
     base = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), hit_toks.alias("__hits")
     ).persist()
+    _BM25_BASE_CACHE.append(base)
     hit = (
         base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
         .groupBy(id_col, "term")

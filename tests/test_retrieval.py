@@ -64,6 +64,29 @@ def test_bm25_is_deterministic(corpus):
     assert sorted(r1, key=key) == sorted(r2, key=key)
 
 
+def test_bm25_base_cache_released_per_call(corpus):
+    """ADVICE r5: each bm25_topk call releases its predecessor's persisted
+    (id, dl, __hits) base (hit arrays are query-specific, never reusable),
+    so the session holds at most ONE cached base; release_bm25_cache drops
+    it eagerly; an older result whose base was released still recomputes
+    the same answer."""
+    sc = corpus.sparkSession.sparkContext
+    n_cached = lambda: len(sc._jsc.sc().getRDDStorageInfo())  # noqa: E731
+    r1 = retrieval.bm25_topk(corpus, "doc_id", "text", [("a", "hash scan")], k=3)
+    first = r1.collect()
+    after_first = n_cached()
+    r2 = retrieval.bm25_topk(corpus, "doc_id", "text", [("b", "merge join")], k=3)
+    r2.collect()
+    assert n_cached() <= after_first  # predecessor released, not stacked
+    retrieval.release_bm25_cache(blocking=True)
+    assert n_cached() < after_first or after_first == 0
+    # recompute path after release: same rows
+    again = retrieval.bm25_topk(corpus, "doc_id", "text", [("a", "hash scan")], k=3)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(first, key=key) == sorted(again.collect(), key=key)
+    retrieval.release_bm25_cache(blocking=True)
+
+
 def test_rrf_fuse_prefers_doubly_ranked(spark):
     a = spark.createDataFrame(
         [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id string, doc_id int, rank int"
