@@ -72,6 +72,31 @@ def query(name: str, oracle: str | None = None):
 #: (SURVEY.md §2 + the LLM-pipeline extensions) — every family must have at
 #: least one driver-verified green row.  Everything not listed follows in
 #: definition order and is still covered by tools/check_oracle.py locally.
+#:
+#: ROTATION POLICY (the window is hard-capped at 50; ~144 catalog queries
+#: compete for it):
+#: 1. Every operator family below keeps ≥1 slot in the window at all
+#:    times; a family's slot may change WHICH query holds it, but a
+#:    family is never evicted wholesale.
+#: 2. Within a family, the slot goes to the query pinning the STRONGEST
+#:    contract — e.g. round 5 moved the EAV/as-of family's second slot
+#:    from `eav_asof_lookup` (plain as-of filter, a semantics subset of
+#:    the always-pinned `pit_training_join`) to `eav_latest_tie_fallback`
+#:    (the tie-determinism contract NO other query exercises).  A query
+#:    whose semantics are strictly covered by another pinned query is the
+#:    first to rotate out.
+#: 3. A rotated-out query stays registered (tail order) and MUST stay
+#:    green in tools/check_oracle.py at sf0.01 AND sf0.1 each round — the
+#:    local gate runs all ~144, so rotation never un-verifies anything;
+#:    it only changes which 50 the driver independently re-proves.
+#: 4. Family → slots map: relational core 8 (q1, q3, linkage, filter/
+#:    project, expectations, range join, correlated subquery, window);
+#:    EAV/PIT/feature-store 14 (latest, tie-fallback, PIT join+interval,
+#:    resample, pivot, null-fill, freshness, ACL, consistency, sha2 ids,
+#:    target-enc, cardinality, serving rollup) + json; time/session/CDC 3;
+#:    dedup+curation 4; chunking/skew/graph 3; similarity+retrieval 3;
+#:    text quality/LM/packing 3; experiments/PMI/MRR 3; privacy 2;
+#:    multimodal 2; drift/analysis/sampling 4.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # relational core: scan/filter/project/join/agg/window/sort/subquery
     "q1_pricing_summary",
