@@ -1,4 +1,5 @@
-"""Time-series resampling to a fixed grain with forward fill
+"""Time-series resampling to a fixed grain with forward fill, plus batch
+gap-sessionization
 (★ driver-extension surface; the reference serves only the single latest
 value per feature — feature_server.py:313 — and cannot produce the
 regular-grid history a sequence model trains on).
@@ -21,8 +22,48 @@ Plan shape (scales to 100 TB of events):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str | Sequence[str],
+    ts_col: str,
+    gap: int = 7200,
+    tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """OP-45 (batch twin of streaming session windows): append a per-entity
+    ``session_col`` — a new session starts where the gap since the
+    previous event exceeds ``gap`` seconds.  Classic lag + running sum;
+    deterministic ordering via ``(ts_col, *tiebreak)``.
+
+    Plan shape: ONE hash shuffle on the entity key serves the lag window,
+    the running sum, and (because any downstream per-(entity, session)
+    rollup's clustering is satisfied by the same partitioning) the usual
+    aggregate that follows.  Over an entity-bucketed table even that one
+    exchange disappears — measured 2.33 GB → 0 MB shuffle at 100M rows
+    (SCALE.md ×1000 deep rehearsal, sessionize_events_bucketed).  The
+    per-entity sort is local CPU and linear; session state is one lag
+    value, so no per-entity memory growth.  The streaming equivalent is
+    streaming/pipeline.session_window_features (F.session_window)."""
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    # ntz → epoch seconds via timestamp (session TZ pinned UTC → identity)
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    g = secs - F.lag(secs).over(w)
+    new_s = F.when(g.isNull() | (g > gap), 1).otherwise(0)
+    return (
+        df.withColumn("__new_s", new_s)
+        .withColumn(
+            session_col,
+            F.sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("__new_s")
+    )
 
 
 def daily_latest(

@@ -1358,20 +1358,15 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-45 (batch sessionization): gap-based sessions (2 h of inactivity
-    closes a session) via lag + running sum — the batch twin of
+    """OP-45 (batch sessionization, operators.resample.sessionize):
+    gap-based sessions (2 h of inactivity closes a session) via lag +
+    running sum — the batch twin of
     streaming/pipeline.session_window_features.  Deterministic ordering:
     (ts, event_id).  One shuffle on user_id serves both windows and the
-    final aggregate."""
+    final aggregate (zero over a bucketed table — SCALE.md ×1000)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ntz → epoch seconds via timestamp (session TZ pinned UTC → identity)
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
-    sessions = ev.withColumn("new_s", new_s).withColumn(
-        "session_id",
-        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sessions = resample.sessionize(
+        ev, "user_id", "ts", gap=2 * 3600, tiebreak=["event_id"]
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
@@ -5529,13 +5524,8 @@ def session_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_store_healthcare_spark.operators import graph
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
-    sessions = ev.withColumn("new_s", new_s).withColumn(
-        "session_id",
-        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sessions = resample.sessionize(
+        ev, "user_id", "ts", gap=2 * 3600, tiebreak=["event_id"]
     )
     baskets = sessions.select(
         F.concat_ws(

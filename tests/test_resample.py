@@ -45,3 +45,24 @@ def test_resample_ffill_grid_fill_and_staleness(spark):
     assert got[("u2", "2024-03-01")] == (None, None)
     assert got[("u2", "2024-03-03")] == (7.0, 0)
     assert got[("u2", "2024-03-05")] == (7.0, 2)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        ("u1", datetime.datetime(2024, 3, 1, 9, 0), 1),
+        ("u1", datetime.datetime(2024, 3, 1, 10, 0), 2),   # 1h gap: same session
+        ("u1", datetime.datetime(2024, 3, 1, 12, 0), 3),   # exactly 2h: same (> not >=)
+        ("u1", datetime.datetime(2024, 3, 1, 14, 0, 1), 4),  # 2h + 1s: NEW session
+        ("u2", datetime.datetime(2024, 3, 1, 9, 0), 5),    # other entity: own session 1
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid int")
+    out = resample.sessionize(df, "user", "ts", gap=2 * 3600, tiebreak=["eid"])
+    got = {r.eid: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    # the helper column never leaks into the output schema
+    assert "__new_s" not in out.columns
+    # multi-column entity + custom output name
+    out2 = resample.sessionize(
+        df, ["user", "eid"], "ts", gap=1, session_col="s"
+    )
+    assert all(r.s == 1 for r in out2.collect())  # every row its own entity

@@ -390,18 +390,12 @@ def _sessionize_bucketed(spark, sf_dir):
     (its keys are a superset), so the whole query runs with ZERO exchanges
     after the one-time layout build.  The per-bucket sort remains — that
     is CPU, not network, and is the part that scales with local data."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as FF
 
+    from feature_store_healthcare_spark.operators.resample import sessionize
+
     ev = _events_bucketed(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = FF.col("ts").cast("timestamp").cast("long")
-    gap = secs - FF.lag(secs).over(w)
-    new_s = FF.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
-    sessions = ev.withColumn("new_s", new_s).withColumn(
-        "session_id",
-        FF.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sessions = sessionize(ev, "user_id", "ts", gap=2 * 3600, tiebreak=["event_id"])
     return sessions.groupBy("user_id", "session_id").agg(
         FF.min("ts").alias("session_start"),
         FF.max("ts").alias("session_end"),
