@@ -72,14 +72,18 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-# The persisted (id, dl, __hits) base of the MOST RECENT bm25_topk call.
-# The hit arrays are query-batch-specific, so cached bases are never
-# reusable across calls — each new call releases its predecessor, capping
-# the session's footprint at ONE corpus-sized narrow projection instead of
-# one per call (the round-5 form leaked them all).  unpersist() only drops
-# cached blocks: a still-unmaterialized older result recomputes, it does
-# not break.
-_BM25_BASE_CACHE: list[DataFrame] = []
+# The persisted (id, dl, __hits) base of the MOST RECENT bm25_topk call,
+# keyed by its analyzed plan's semanticHash.  The hit arrays are
+# query-batch-specific, so a DIFFERENT batch's base is never reusable —
+# each new call releases a non-matching predecessor, capping the session's
+# footprint at ONE corpus-sized narrow projection instead of one per call
+# (the round-5 form leaked them all).  A semantically IDENTICAL base
+# (same corpus, same query terms — e.g. the hybrid-retrieval entry
+# re-running the lexical leg) is reused instead of rebuilt, preserving
+# what Spark's CacheManager used to do implicitly for identical persisted
+# plans.  unpersist() only drops cached blocks: a still-unmaterialized
+# older result recomputes, it does not break.
+_BM25_BASE_CACHE: list[tuple[int, DataFrame]] = []
 
 
 def release_bm25_cache(blocking: bool = False) -> None:
@@ -87,7 +91,7 @@ def release_bm25_cache(blocking: bool = False) -> None:
     have materialized their result and want the memory back immediately,
     rather than at the next bm25_topk call)."""
     while _BM25_BASE_CACHE:
-        _BM25_BASE_CACHE.pop().unpersist(blocking=blocking)
+        _BM25_BASE_CACHE.pop()[1].unpersist(blocking=blocking)
 
 
 def bm25_topk(
@@ -135,11 +139,19 @@ def bm25_topk(
     # |docs| narrow rows.  All three consumers below (postings, document
     # frequency, corpus stats) read this instead of re-scanning and
     # re-tokenizing the corpus — 3 regex+split passes collapse into 1.
-    release_bm25_cache()
     base = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), hit_toks.alias("__hits")
-    ).persist()
-    _BM25_BASE_CACHE.append(base)
+    )
+    # semanticHash of the ANALYZED plan: equal ⇒ same corpus + same query
+    # terms ⇒ the cached base is byte-identical — reuse it; different ⇒
+    # the predecessor can never be hit again — release it before caching.
+    plan_key = base._jdf.queryExecution().analyzed().semanticHash()
+    if _BM25_BASE_CACHE and _BM25_BASE_CACHE[0][0] == plan_key:
+        base = _BM25_BASE_CACHE[0][1]
+    else:
+        release_bm25_cache()
+        base = base.persist()
+        _BM25_BASE_CACHE.append((plan_key, base))
     hit = (
         base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
         .groupBy(id_col, "term")

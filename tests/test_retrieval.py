@@ -75,8 +75,14 @@ def test_bm25_base_cache_released_per_call(corpus):
     r1 = retrieval.bm25_topk(corpus, "doc_id", "text", [("a", "hash scan")], k=3)
     first = r1.collect()
     after_first = n_cached()
+    # same corpus + same terms: the cached base is REUSED, not rebuilt
+    # (the hybrid-retrieval entry depends on this for its lexical leg)
+    cache_before = list(retrieval._BM25_BASE_CACHE)
+    retrieval.bm25_topk(corpus, "doc_id", "text", [("a", "hash scan")], k=3).collect()
+    assert retrieval._BM25_BASE_CACHE == cache_before
     r2 = retrieval.bm25_topk(corpus, "doc_id", "text", [("b", "merge join")], k=3)
     r2.collect()
+    assert retrieval._BM25_BASE_CACHE != cache_before  # new batch: swapped
     assert n_cached() <= after_first  # predecessor released, not stacked
     retrieval.release_bm25_cache(blocking=True)
     assert n_cached() < after_first or after_first == 0
