@@ -863,8 +863,9 @@ def append_band_index(
     Scale: cost is the delta's own signature build plus one bucketed write
     of |delta|·bands fixed-width rows — no read of the existing index, no
     compaction (appends add files per bucket; bucket membership stays
-    correct, so probes never degrade in correctness — re-cluster the
-    files with a periodic rewrite if per-bucket file counts grow).
+    correct, so probes never degrade in correctness — run
+    ``stores.compact_bucketed`` periodically to collapse the accumulated
+    per-bucket files back to one).
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 

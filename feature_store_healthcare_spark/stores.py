@@ -164,6 +164,78 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[list[str], int, list[str], str]:
+    """(bucket columns, bucket count, sort columns, location) from the
+    catalog — the source of truth a maintenance rewrite must match."""
+    info = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table!r} is not a bucketed table")
+
+    def names(s: str) -> list[str]:
+        return [c.strip(" `") for c in s.strip("[]").split(",") if c.strip()]
+
+    return (
+        names(info["Bucket Columns"]),
+        int(info["Num Buckets"]),
+        names(info.get("Sort Columns", "[]")),
+        info["Location"],
+    )
+
+
+def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
+    """Rewrite an append-grown bucketed table so each bucket holds ONE file
+    — the periodic maintenance step behind ``mode="append"`` writers
+    (``dedup.append_band_index`` most of all: every daily append adds a
+    file per bucket, and a year of appends makes each bucket-local probe
+    open ~365 small files).  Bucket membership is correct at any file
+    count, so compaction changes COST, never results.
+
+    The rewrite reuses the table's own catalog spec (bucket columns/count,
+    sort columns) — never caller-supplied, so it cannot silently change
+    the layout — and pre-partitions by the bucket expression so each
+    write task emits exactly its one bucket file.  The swap is
+    drop-and-rename through the catalog: metadata-quick but NOT atomic
+    (this engine has no ACID table format in the container — a real
+    deployment would be one ``REPLACE TABLE`` on Delta/Iceberg; readers
+    mid-swap should retry).  Returns the OLD location for the caller to
+    delete once no reader needs it.
+    """
+    bucket_cols, n_buckets, sort_cols, old_location = _bucket_spec(spark, table)
+    if len(bucket_cols) != 1 or len(sort_cols) > 1:
+        raise NotImplementedError(
+            "compact_bucketed mirrors write_bucketed's single bucket/sort "
+            f"column contract; {table!r} has {bucket_cols=} {sort_cols=}"
+        )
+    # Read the FILES, not the catalog table: the bucketed scan advertises
+    # HashPartitioning(bucket_col, n) so the planner elides the repartition
+    # below as redundant — but the actual task layout of a many-files-per-
+    # bucket table is file splits, and the write would emit one file per
+    # (task, bucket) instead of one per bucket.  A plain parquet scan keeps
+    # the exchange, and write-side bucket assignment comes from the row
+    # VALUES, so correctness never depended on the scan's metadata.
+    compacted = spark.read.parquet(old_location).repartition(
+        n_buckets, F.col(bucket_cols[0])
+    )
+    tmp = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+    write_bucketed(
+        compacted,
+        tmp,
+        bucket_cols[0],
+        n_buckets,
+        new_path,
+        sort_col=sort_cols[0] if sort_cols else None,
+    )
+    spark.sql(f"DROP TABLE `{table}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}`")
+    return old_location
+
+
 # ---------------------------------------------------------------------------
 # KV export — the documented online-latency gap (SURVEY.md §4.2), closed
 # ---------------------------------------------------------------------------

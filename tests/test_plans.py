@@ -139,6 +139,48 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_compact_bucketed_rewrite(spark, tmp_path):
+    """Maintenance for append-grown bucketed tables (append_band_index's
+    documented periodic rewrite): compaction collapses N files per bucket
+    to ONE, keeps the catalog bucket spec (so co-located joins stay
+    shuffle-free), returns the old location for cleanup, and never changes
+    results."""
+    import glob
+
+    from feature_store_healthcare_spark.stores import (
+        _bucket_spec,
+        compact_bucketed,
+        read_table,
+        write_bucketed,
+    )
+
+    df = spark.range(200).selectExpr("id", "id % 50 as k")
+    path1 = str(tmp_path / "cmp_v1")
+    for i, mode in enumerate(["overwrite", "append", "append"]):
+        write_bucketed(df, "cmp_b", "k", 4, path1, sort_col="id", mode=mode)
+    assert len(glob.glob(path1 + "/part-*")) > 4  # append-grown
+    before = sorted(map(tuple, read_table(spark, "cmp_b").collect()))
+    try:
+        old_loc = compact_bucketed(spark, "cmp_b", str(tmp_path / "cmp_v2"))
+        assert old_loc.endswith("cmp_v1")
+        files = glob.glob(str(tmp_path / "cmp_v2" / "part-*"))
+        assert len(files) == 4  # one per bucket (50 keys fill all 4)
+        cols, n, sort, loc = _bucket_spec(spark, "cmp_b")
+        assert (cols, n, sort) == (["k"], 4, ["id"]) and loc.endswith("cmp_v2")
+        after = sorted(map(tuple, read_table(spark, "cmp_b").collect()))
+        assert before == after
+        # a non-bucketed table is rejected, not silently rewritten
+        spark.range(3).write.mode("overwrite").option(
+            "path", str(tmp_path / "plain")
+        ).saveAsTable("cmp_plain")
+        with pytest.raises(ValueError, match="not a bucketed table"):
+            compact_bucketed(spark, "cmp_plain", str(tmp_path / "plain2"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cmp_b")
+        spark.sql("DROP TABLE IF EXISTS cmp_b__compact")
+        spark.sql("DROP TABLE IF EXISTS cmp_plain")
+
+
 def test_bucketed_pit_join_zero_exchange(spark, sf_dir, tmp_path):
     """SURVEY §4.2's last custom row: spine AND values bucketed on the
     entity key with the same bucket count → the whole PIT training join
