@@ -86,21 +86,40 @@ def test_stop_shingle_guard(docs):
 
 
 def test_ngram_jaccard_candidate_budget_tripwire(docs):
-    """The quadratic oracle refuses to run when the Σf(f−1)/2 in-plan
-    estimate exceeds the budget — the guard is a broadcast subquery, so it
-    raises at ACTION time, while the broadcast materializes and before any
-    probe task starts the quadratic join (round-6 form: the round-5 eager
-    pre-flight cost an extra full shingle pass per call); force=True
-    proceeds."""
-    over = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
-    )
-    with pytest.raises(Exception, match="candidate join rows.*candidate_budget"):
-        over.collect()
+    """The quadratic oracle refuses to run when the F2-sketch estimate of
+    Σf(f−1)/2 exceeds the budget — a memoized eager pre-flight raising at
+    CALL time (round-6 form; the round-5 eager exact groupBy and the
+    interim in-plan broadcast-assert both cost every call a pass the memo
+    now pays once per corpus); force=True proceeds."""
+    with pytest.raises(ValueError, match="candidate join rows.*candidate_budget"):
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
+        )
+    # the raise memoized the estimate: a second call must still raise
+    # (the memo stores the estimate, not the verdict)
+    with pytest.raises(ValueError, match="candidate join rows"):
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3
+        )
     forced = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5, candidate_budget=3, force=True
     )
     assert {(r.id_a, r.id_b) for r in forced.collect()} >= {(1, 3), (1, 5)}
+    # sketch sanity: the memoized estimate is within 2x of the exact
+    # Σf(f−1)/2 on this corpus (deterministic hashes → stable value)
+    from pyspark.sql import functions as F
+
+    sh = dedup.shingles(docs, "doc_id", "text", n=2, size_col="__sz")
+    exact = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("e"))
+        .collect()[0]
+        .e
+    )
+    key = sh._jdf.queryExecution().analyzed().semanticHash()
+    est = dedup._JACCARD_GUARD_MEMO[key]
+    assert exact / 2 <= est <= exact * 2, (est, exact)
 
 
 # ------------------------------------------------------------ similarity
