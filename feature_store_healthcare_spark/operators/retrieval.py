@@ -242,22 +242,27 @@ def unigram_perplexity(
     token is in-vocabulary by construction, so MLE needs no smoothing);
     nll(doc) = -Σ tf·ln p(t) / dl, ppl = e^nll.
 
-    Plan shape: ONE tokenize + explode pass over the corpus — the
-    persisted postings table feeds all three consumers (the round-5 form
-    paid two more corpus tokenize passes for term counts and the token
-    total): per-term corpus counts are ct = Σ tf over the postings
-    (map-side partial-agg on term; the Zipf head is combined map-side,
-    never a window over term), the token total is Σ tf over the whole
-    table, and the term table joins back on term (pre-aggregated per
-    (doc, term), AQE handles the Zipf head) → partial-agg groupBy doc.
-    The persisted postings stay cached until the session clears them
-    (same contract as ngram_jaccard_pairs' shingle table).
-    Output: (id_col, n_tokens, nll, ppl) with nll rounded to ``round_to``
-    and ppl to 3 decimals.
+    Plan shape: postings → per-term corpus counts (one shuffle on term)
+    → join back on term (pre-aggregated per (doc, term), AQE handles the
+    Zipf head) → partial-agg groupBy doc.  Output: (id_col, n_tokens, nll,
+    ppl) with nll rounded to ``round_to`` and ppl to 3 decimals.
     """
-    post = postings(docs, id_col, text_col).persist()
-    term_counts = post.groupBy("term").agg(F.sum("tf").alias("ct"))
-    total = post.agg(F.sum("tf").alias("total"))
+    post = postings(docs, id_col, text_col)
+    # Corpus term counts from their own cheap lineage: explode tokens and
+    # map-side partial-agg count per term (shuffle carries ≤|vocab| partial
+    # rows per task; the Zipf head is combined map-side, never one
+    # partition — a window over term would serialize it at scale).  The
+    # total token count never needs the explode at all: it is Σ dl over
+    # docs.  Both are small; the term table joins back into the postings
+    # (broadcast when the vocabulary fits, shuffle join otherwise).
+    term_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    total = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
+        F.sum("__dl").alias("total")
+    )
     joined = post.join(term_counts, "term").crossJoin(F.broadcast(total))
     logp = F.log(F.col("ct").cast("double") / F.col("total").cast("double"))
     per_doc = joined.groupBy(id_col).agg(
@@ -288,16 +293,11 @@ def bigram_logprob_score(
     where c(w·) counts the token as a bigram HISTORY (each doc's last
     token excluded) and V is the distinct-unigram vocabulary size.
 
-    Plan shape: ONE tokenize + slide + explode pass over the corpus (via
-    dedup.shingles), pre-aggregated per (doc, bigram) and persisted;
-    corpus bigram counts DERIVE from that table (c2 = Σ tf per bigram —
-    an aggregate over the distinct-(doc, bigram) table, not a second
-    corpus tokenize as in the round-5 form), history counts derive from
-    the bigram counts, and V rides a broadcast.  Every per-key aggregate
-    is map-side partial — never a window over the bigram key (Zipf head).
-    Docs with <2 tokens are excluded.  The persisted (doc, bigram, tf)
-    table stays cached until the session clears it (same contract as
-    ngram_jaccard_pairs' shingle table).
+    Plan shape: doc bigrams reuse dedup.shingles (tokenize + slide +
+    explode) and pre-aggregate per (doc, bigram); corpus bigram and
+    history counts come from their own explode + map-side partial-agg
+    lineages (Zipf head combined map-side — never a window over the
+    bigram key); V rides a broadcast.  Docs with <2 tokens are excluded.
     Output: (id_col, n_bigrams, bigram_nll).
     """
     from feature_store_healthcare_spark.operators.dedup import shingles
@@ -305,10 +305,13 @@ def bigram_logprob_score(
     toks = tokens(text_col)
     multi = docs.where(F.size(toks) >= 2)
     bi = shingles(multi, id_col, text_col, n=2, distinct=False)
-    doc_bi = bi.groupBy(id_col, "shingle").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).persist()
-    bi_counts = doc_bi.groupBy("shingle").agg(F.sum("tf").alias("c2"))
+    doc_bi = bi.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    bi_counts = (
+        shingles(multi.select(F.lit(0).alias("__z"), text_col), "__z", text_col,
+                 n=2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
     # History counts DERIVE from the bigram-count table: c(w·) = Σ c2 over
     # bigrams whose first token is w — an aggregate over the tiny distinct-
     # bigram table, not a third pass over the corpus.

@@ -321,14 +321,12 @@ def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
 
 
 def test_perplexity_no_term_window(spark, sf_dir, qs):
-    # ONE corpus tokenize+explode (the persisted postings feed term
-    # counts, the token total, and the join — round-6 single-scan form);
-    # no window partitioned by term (Zipf-skew hazard), no sort-merge
-    # join.
+    # postings explode + term-count explode; no window partitioned by term
+    # (Zipf-skew hazard), no sort-merge join.
     df = qs["doc_perplexity_quality"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
     explodes = plan.count("explode(split(trim(regexp_replace(lower(text")
-    assert explodes == 1
+    assert explodes == 2
     assert "Window" not in plan
     assert plans.count_sort_merge_joins(df) == 0
 
