@@ -246,6 +246,15 @@ def unigram_perplexity(
     → join back on term (pre-aggregated per (doc, term), AQE handles the
     Zipf head) → partial-agg groupBy doc.  Output: (id_col, n_tokens, nll,
     ppl) with nll rounded to ``round_to`` and ppl to 3 decimals.
+
+    Negative result (round 6, measured): deriving term counts and the
+    token total from a PERSISTED postings table (the bm25 single-scan
+    pattern) was 0.5 s faster at sf0.1 but **10× slower at ×200 docs**
+    (26.5 → 275 s) — postings are |docs|·|terms-per-doc| ≈ 190M rows at
+    1M docs, and caching that costs far more than the two extra tokenize
+    passes it saves.  The single-scan trade only pays when the shared
+    base is |docs|-narrow (bm25's hit arrays); corpus-wide postings must
+    stay lineage-recomputed (or live as a bucketed TABLE, never a cache).
     """
     post = postings(docs, id_col, text_col)
     # Corpus term counts from their own cheap lineage: explode tokens and
