@@ -309,6 +309,12 @@ def embedding_near_dup_pairs(
     )
 
 
+#: cosine_pairs_exact's tripwire memo: corpus-plan semanticHash → row
+#: count (ints only — bounded by the number of distinct corpora a session
+#: verifies).  Same pattern as dedup._JACCARD_GUARD_MEMO.
+_COSINE_GUARD_MEMO: dict[int, int] = {}
+
+
 def cosine_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -316,7 +322,7 @@ def cosine_pairs_exact(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_decimals: int | None = None,
-    broadcast_build: bool = True,
+    broadcast_build: bool | None = None,
     candidate_budget: int = 50_000_000,
     force: bool = False,
 ) -> DataFrame:
@@ -335,16 +341,17 @@ def cosine_pairs_exact(
 
     **Tripwire** (``candidate_budget``): the candidate volume is exactly
     n·(n−1)/2 for n corpus rows — no estimate slack here, unlike the
-    Jaccard oracle's join-row overcount.  When it exceeds the budget the
-    query raises unless ``force=True``.  The guard runs IN-PLAN as a
-    broadcast one-row subquery carrying ``assert_true`` — it evaluates
-    while the broadcast materializes, BEFORE any pair task launches, and
-    raises at action time (Spark wraps the message in a runtime error).
+    Jaccard oracle's join-row overcount.  The count is MEMOIZED on the
+    corpus plan's semanticHash (one count per distinct corpus per
+    session) and the check raises ``ValueError`` at CALL time, the same
+    contract as the Jaccard tripwire.  ``force=True`` skips the check.
 
-    ``broadcast_build`` pins the build side's strategy: True (default) is
-    right whenever the corpus passes the tripwire (a budget-sized corpus
-    is broadcast-sized by construction); False falls back to a shuffled
-    theta-join for oversized ``force=True`` runs.
+    ``broadcast_build``: None (default) auto-sizes from the same memoized
+    count — the build side broadcasts only while the whole corpus fits
+    comfortably in a broadcast (n ≤ 1M rows), and a forced oversized run
+    falls back to the shuffled theta-join instead of attempting an
+    unbounded driver broadcast.  True/False pins the strategy (a pinned
+    ``force=True`` call runs with zero guard overhead — no count at all).
     """
     norm = _norm(F.col(corpus_vec), dim=dim)
     a = corpus.select(
@@ -357,36 +364,24 @@ def cosine_pairs_exact(
         F.col(corpus_vec).alias("__vb"),
         norm.alias("__nb"),
     )
-    if not force:
-        est = F.col("__n") * (F.col("__n") - 1) / 2
-        guard_row = (
-            corpus.agg(F.count("*").cast("double").alias("__n"))
-            .select(
-                F.assert_true(
-                    est <= F.lit(float(candidate_budget)),
-                    F.concat(
-                        F.lit("cosine_pairs_exact: "),
-                        F.format_number(est, 0),
-                        F.lit(
-                            " candidate pairs exceeds candidate_budget="
-                            f"{candidate_budget:,}. This exact operator is "
-                            "quadratic in corpus size and exists as the "
-                            "verification oracle for the LSH family — use "
-                            "embedding_near_dup_pairs for production "
-                            "corpora, or pass force=True to proceed anyway."
-                        ),
-                    ),
-                ).alias("__g")
+    if not force or broadcast_build is None:
+        key = corpus._jdf.queryExecution().analyzed().semanticHash()
+        n = _COSINE_GUARD_MEMO.get(key)
+        if n is None:
+            n = corpus.count()
+            _COSINE_GUARD_MEMO[key] = n
+        est = n * (n - 1) / 2
+        if not force and est > candidate_budget:
+            raise ValueError(
+                f"cosine_pairs_exact: {est:,.0f} candidate pairs exceeds "
+                f"candidate_budget={candidate_budget:,}. This exact "
+                "operator is quadratic in corpus size and exists as the "
+                "verification oracle for the LSH family — use "
+                "embedding_near_dup_pairs for production corpora, or pass "
+                "force=True to proceed anyway."
             )
-        )
-        # Same shape as ngram_jaccard_pairs' guard: the filter references
-        # __g so the subquery can't be pruned, and the broadcast side
-        # raises while it materializes — before any pair task starts.
-        a = (
-            a.crossJoin(F.broadcast(guard_row))
-            .where(F.coalesce(F.col("__g").isNull(), F.lit(True)))
-            .drop("__g")
-        )
+        if broadcast_build is None:
+            broadcast_build = n <= 1_000_000
     build = F.broadcast(b) if broadcast_build else b
     pairs = a.join(build, on=F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("__va"), F.col("__vb"), dim=dim) / (

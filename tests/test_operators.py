@@ -164,19 +164,19 @@ def test_embedding_near_dup_pairs(spark):
 
 def test_cosine_pairs_exact_tripwire(spark):
     """VERDICT r5 #4: the exact all-pairs cosine oracle gets the same
-    in-plan candidate-budget guard as the Jaccard oracle — 4 rows is
-    4·3/2 = 6 pairs, over a budget of 5, so the broadcast guard raises
-    at action time; force=True proceeds and agrees with the LSH path's
-    ground truth."""
+    candidate-budget guard as the Jaccard oracle — 4 rows is 4·3/2 = 6
+    pairs, over a budget of 5, so the memoized eager guard raises at
+    CALL time (and again from the memo on a second call); force=True
+    proceeds and agrees with the LSH path's ground truth."""
     df = spark.createDataFrame(
         [(1, [1.0, 0.01]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    over = similarity.cosine_pairs_exact(
-        df, threshold=0.99, dim=2, candidate_budget=5
-    )
-    with pytest.raises(Exception, match="candidate pairs.*candidate_budget"):
-        over.collect()
+    for _ in range(2):  # second raise comes from the memo, not a recount
+        with pytest.raises(ValueError, match="candidate pairs.*candidate_budget"):
+            similarity.cosine_pairs_exact(
+                df, threshold=0.99, dim=2, candidate_budget=5
+            )
     forced = similarity.cosine_pairs_exact(
         df, threshold=0.99, dim=2, candidate_budget=5, force=True
     )
@@ -189,6 +189,14 @@ def test_cosine_pairs_exact_tripwire(spark):
         df, threshold=0.99, dim=2, broadcast_build=False
     )
     assert {(r.id_a, r.id_b) for r in shuffled.collect()} == {(1, 2)}
+    # a pinned force run needs no count: a fresh corpus plan must NOT
+    # enter the memo when force=True and broadcast_build is pinned
+    df2 = df.where(F.col("vec_id") != 4)
+    key2 = df2._jdf.queryExecution().analyzed().semanticHash()
+    similarity.cosine_pairs_exact(
+        df2, threshold=0.99, dim=2, force=True, broadcast_build=True
+    ).collect()
+    assert key2 not in similarity._COSINE_GUARD_MEMO
 
 
 # ------------------------------------------------------------------ text
