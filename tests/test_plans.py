@@ -442,12 +442,26 @@ def test_stored_band_table_self_join_zero_corpus_shuffle(spark, sf_dir, tmp_path
         expected = dedup.lsh_pairs_from_bands(
             banded, "doc_id", broadcast_candidates=True
         )
-        assert sorted(map(tuple, pairs.collect())) == sorted(
-            map(tuple, expected.collect())
+        want = sorted(map(tuple, pairs.collect()))
+        assert want == sorted(map(tuple, expected.collect()))
+        # COMPACTION PRESERVES CO-LOCATION: after compact_bucketed the
+        # same self-join must still zip bucket-to-bucket (≤1 exchange)
+        # and return identical pairs — i.e. the maintenance rewrite never
+        # costs the index its layout.
+        from feature_store_healthcare_spark.stores import compact_bucketed
+
+        compact_bucketed(spark, "lsh_bands_b", str(tmp_path / "bands_b2"))
+        after = dedup.lsh_pairs_from_bands(
+            read_table(spark, "lsh_bands_b"), "doc_id",
+            broadcast_candidates=False,
         )
+        assert plans.count_exchanges(after) <= 1
+        assert "BroadcastExchange" not in plans.physical_plan(after, "simple")
+        assert sorted(map(tuple, after.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lsh_bands_b")
+        spark.sql("DROP TABLE IF EXISTS lsh_bands_b__compact")
 
 
 def test_incremental_cross_delta_over_budget_shuffles(

@@ -186,6 +186,11 @@ def test_exact_dedup_idempotent_keep_min(spark, values):
 )
 @SETTINGS
 def test_sessionize_gap_counting(spark, events):
+    """resample.sessionize (the round-6 operator all three call sites
+    share) assigns the SAME per-event session id as a naive per-user fold
+    over (ts, event_id)-sorted events — not just matching session counts."""
+    from feature_store_healthcare_spark.operators.resample import sessionize
+
     df = spark.createDataFrame(
         [
             (i, u, BASE + timedelta(hours=h))
@@ -193,26 +198,20 @@ def test_sessionize_gap_counting(spark, events):
         ],
         "event_id long, user_id long, ts timestamp_ntz",
     ).coalesce(2)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    new_s = F.when(gap.isNull() | (gap > 2 * 3600), 1).otherwise(0)
-    sessions = (
-        df.withColumn("s", new_s)
-        .groupBy("user_id")
-        .agg(F.sum("s").alias("n_sessions"))
-    )
-    got = {r.user_id: r.n_sessions for r in sessions.collect()}
-    by_user = {}
-    for u, h in events:
-        by_user.setdefault(u, []).append(h)
+    out = sessionize(df, "user_id", "ts", gap=2 * 3600, tiebreak=["event_id"])
+    got = {r.event_id: (r.user_id, r.session_id) for r in out.collect()}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, h) in enumerate(events):
+        by_user.setdefault(u, []).append((h, i))
     want = {}
-    for u, hs in by_user.items():
-        hs = sorted(hs)
-        n = 1 + sum(1 for a, b in zip(hs, hs[1:]) if (b - a) * 3600 > 7200)
-        want[u] = n
+    for u, rows in by_user.items():
+        rows.sort()  # (hour, event_id) — the operator's declared order
+        sid, prev = 0, None
+        for h, i in rows:
+            if prev is None or (h - prev) * 3600 > 7200:
+                sid += 1
+            want[i] = (u, sid)
+            prev = h
     assert got == want
 
 
