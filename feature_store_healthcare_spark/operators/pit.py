@@ -97,8 +97,12 @@ def _tie_fallback_cols(
     (the reference's ``max``/first-seen tie ambiguity,
     feature_registry.py:490 vs feature_server.py:560-565, is the defect this
     engine fixes).  Unorderable columns (maps, variants, spatial) are
-    skipped; rows identical in every orderable column are genuinely
-    indistinguishable, so any pick is the same row.
+    skipped — so on schemas WITHOUT them, rows identical in every
+    orderable column are genuinely indistinguishable and any pick is the
+    same row; on schemas WITH them, rows tying on every orderable column
+    may still differ in the unorderable payload, and the argmax is
+    deterministic only up to that payload (no engine can order what Spark
+    can't compare — pass a unique ``tiebreak`` to pin such rows).
 
     Returned SORTED BY NAME, not in schema order: the fallback winner must
     not silently change when a reader adds or reorders payload columns —
