@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_store_healthcare_spark.caching import PlanCache
 from feature_store_healthcare_spark.operators.dedup import normalize_text
 
 
@@ -72,26 +73,199 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-# The persisted (id, dl, __hits) base of the MOST RECENT bm25_topk call,
-# keyed by its analyzed plan's semanticHash.  The hit arrays are
-# query-batch-specific, so a DIFFERENT batch's base is never reusable —
-# each new call releases a non-matching predecessor, capping the session's
-# footprint at ONE corpus-sized narrow projection instead of one per call
-# (the round-5 form leaked them all).  A semantically IDENTICAL base
-# (same corpus, same query terms — e.g. the hybrid-retrieval entry
-# re-running the lexical leg) is reused instead of rebuilt, preserving
-# what Spark's CacheManager used to do implicitly for identical persisted
-# plans.  unpersist() only drops cached blocks: a still-unmaterialized
-# older result recomputes, it does not break.
-_BM25_BASE_CACHE: list[tuple[int, DataFrame]] = []
+# ---------------------------------------------------------------------------
+# Stored postings index — the text family's 100 TB path
+# ---------------------------------------------------------------------------
+#
+# Round-6 measured rule (BASELINE.md): corpus-wide postings are
+# |docs|·|terms-per-doc| rows — persist()ing them costs more than the
+# tokenize passes it saves (10× WORSE at ×200 docs); they must live as a
+# bucketed TABLE, never a cache.  These builders are that table: build
+# once per corpus, probe per query batch with no re-tokenize and (being
+# bucketed on the join/group key) no corpus-sized shuffle — the exact
+# treatment the LSH band index got in round 5 (1.59 s vs 182.7 s).
+
+
+def build_postings_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Build the stored unigram inverted index: the :func:`postings` table
+    ``(id_col, term, tf, dl)`` written bucketed+sorted by ``term`` (every
+    probe — query-term filter, per-term df/ct aggregation, postings⋈counts
+    join — keys on ``term``, so the bucketed layout satisfies their
+    distribution with zero corpus-side shuffle), plus a one-row
+    ``{table}__stats`` side table (n_docs, avgdl) so scorers never rescan
+    the corpus for constants.
+
+    Maintenance mirrors the LSH band index: this builder bootstraps;
+    per-batch deltas append through ``stores.write_bucketed(...,
+    mode="append")`` (recompute ``__stats`` from the delta counts), and
+    ``stores.compact_bucketed`` collapses append-grown buckets.
+    """
+    from feature_store_healthcare_spark.stores import write_bucketed
+
+    post = postings(docs, id_col, text_col)
+    write_bucketed(post, table, "term", n_buckets, path, sort_col="term")
+    stats = corpus_stats(docs, text_col)
+    (
+        stats.coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}__stats")
+        .saveAsTable(f"{table}__stats")
+    )
+
+
+def _index_id_col(post: DataFrame, reserved: tuple[str, ...]) -> str:
+    """The document-id column of a stored postings table = the one column
+    that is not part of the fixed postings schema."""
+    ids = [c for c in post.columns if c not in reserved]
+    if len(ids) != 1:
+        raise ValueError(
+            f"postings table must be (id, {', '.join(reserved)}); got {post.columns}"
+        )
+    return ids[0]
+
+
+def bm25_topk_from_index(
+    spark,
+    table: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 top-``k`` against a stored :func:`build_postings_index` table —
+    bit-identical results to :func:`bm25_topk` on the same corpus, with the
+    corpus never re-read or re-tokenized.
+
+    Plan shape: the query-term ``IN`` filter reaches the postings scan as a
+    pushed filter (the table is sorted by ``term`` within buckets, so
+    row-group min/max stats prune inside each bucket — the storage analog
+    of reading only the queried postings lists); document frequency is a
+    groupBy on ``term`` over the already-filtered hits, satisfied by the
+    bucket layout with no exchange; scoring is the same broadcast-joins
+    tail as the single-scan path.
+    """
+    from feature_store_healthcare_spark.stores import read_table
+
+    post = read_table(spark, table)
+    id_col = _index_id_col(post, ("term", "tf", "dl"))
+    term_set = sorted(
+        {t for _, qt in queries for t in " ".join(qt.lower().split()).split(" ") if t}
+    )
+    hit = post.where(F.col("term").isin(term_set))
+    # one row per (doc, term) by construction ⇒ df(term) = count of hits
+    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = read_table(spark, f"{table}__stats")
+    q = spark.createDataFrame(queries, "query_id string, query string")
+    qterms = q.select(
+        "query_id", F.explode(F.array_distinct(tokens("query"))).alias("term")
+    )
+    return _bm25_score(hit, qterms, dfreq, stats, id_col, k, k1, b, round_to)
+
+
+def _bm25_score(
+    hit: DataFrame,
+    qterms: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    round_to: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: hits ⋈ query terms ⋈ per-term df ⋈ corpus
+    stats (all small sides broadcast), Robertson/Lucene idf, saturating tf
+    normalization, rounded score, per-query rank with id tiebreak."""
+    scored = (
+        hit.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum(idf * tf_norm), round_to).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return agg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def unigram_perplexity_from_index(
+    spark, table: str, round_to: int = 6
+) -> DataFrame:
+    """:func:`unigram_perplexity` against a stored postings index — same
+    output, no corpus re-read.  Everything the unigram LM needs derives
+    from the postings themselves: ``ct(term) = Σ tf`` and
+    ``total = Σ tf`` (Σ per-doc dl ≡ Σ tf), so the term-count aggregate,
+    the postings⋈counts join AND the per-doc fold all key on columns the
+    bucket layout already distributes — the plan's only corpus-sized
+    exchange is the final per-doc groupBy.
+    """
+    from feature_store_healthcare_spark.stores import read_table
+
+    post = read_table(spark, table)
+    id_col = _index_id_col(post, ("term", "tf", "dl"))
+    term_counts = post.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = term_counts.agg(F.sum("ct").alias("total"))
+    return _perplexity_score(post, term_counts, total, id_col, round_to)
+
+
+def _perplexity_score(
+    post: DataFrame,
+    term_counts: DataFrame,
+    total: DataFrame,
+    id_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Shared unigram-LM scoring tail: postings ⋈ term counts (pre-agg per
+    (doc, term); AQE splits the Zipf head) → per-doc nll/ppl fold."""
+    joined = post.join(term_counts, "term").crossJoin(F.broadcast(total))
+    logp = F.log(F.col("ct").cast("double") / F.col("total").cast("double"))
+    per_doc = joined.groupBy(id_col).agg(
+        F.max("dl").alias("n_tokens"),
+        (-F.sum(F.col("tf") * logp) / F.max("dl")).alias("__nll"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("__nll"), round_to).alias("nll"),
+        F.round(F.exp(F.col("__nll")), 3).alias("ppl"),
+    )
+
+
+# The persisted (id, dl, __hits) base of the MOST RECENT bm25_topk call.
+# The hit arrays are query-batch-specific, so a DIFFERENT batch's base is
+# never reusable — each new call releases a non-matching predecessor,
+# capping the session's footprint at ONE corpus-sized narrow projection
+# instead of one per call (the round-5 form leaked them all).  A
+# semantically IDENTICAL base (same corpus, same query terms — e.g. the
+# hybrid-retrieval entry re-running the lexical leg) is reused instead of
+# rebuilt.  Reuse is semanticHash CONFIRMED BY sameResult (round-6
+# ADVICE: a 32-bit hash collision between two (corpus, batch) plans must
+# rebuild, never serve one batch's hit arrays to another) — the shared
+# caching.PlanCache policy, which this call site pioneered in round 6.
+_BM25_BASE_CACHE = PlanCache("bm25_topk.base")
 
 
 def release_bm25_cache(blocking: bool = False) -> None:
     """Drop the last bm25_topk call's persisted base now (callers that
     have materialized their result and want the memory back immediately,
     rather than at the next bm25_topk call)."""
-    while _BM25_BASE_CACHE:
-        _BM25_BASE_CACHE.pop()[1].unpersist(blocking=blocking)
+    _BM25_BASE_CACHE.release(blocking=blocking)
 
 
 def bm25_topk(
@@ -142,16 +316,10 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), hit_toks.alias("__hits")
     )
-    # semanticHash of the ANALYZED plan: equal ⇒ same corpus + same query
+    # Same ANALYZED plan (hash + sameResult) ⇒ same corpus + same query
     # terms ⇒ the cached base is byte-identical — reuse it; different ⇒
-    # the predecessor can never be hit again — release it before caching.
-    plan_key = base._jdf.queryExecution().analyzed().semanticHash()
-    if _BM25_BASE_CACHE and _BM25_BASE_CACHE[0][0] == plan_key:
-        base = _BM25_BASE_CACHE[0][1]
-    else:
-        release_bm25_cache()
-        base = base.persist()
-        _BM25_BASE_CACHE.append((plan_key, base))
+    # the predecessor can never be hit again — released before caching.
+    base = _BM25_BASE_CACHE.get_or_persist(base)
     hit = (
         base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
         .groupBy(id_col, "term")
@@ -169,25 +337,7 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-
-    scored = (
-        hit.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    agg = scored.groupBy("query_id", id_col).agg(
-        F.round(F.sum(idf * tf_norm), round_to).alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
-    return agg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _bm25_score(hit, qterms, dfreq, stats, id_col, k, k1, b, round_to)
 
 
 def rrf_fuse(
@@ -272,18 +422,7 @@ def unigram_perplexity(
     total = docs.select(F.size(tokens(text_col)).alias("__dl")).agg(
         F.sum("__dl").alias("total")
     )
-    joined = post.join(term_counts, "term").crossJoin(F.broadcast(total))
-    logp = F.log(F.col("ct").cast("double") / F.col("total").cast("double"))
-    per_doc = joined.groupBy(id_col).agg(
-        F.max("dl").alias("n_tokens"),
-        (-F.sum(F.col("tf") * logp) / F.max("dl")).alias("__nll"),
-    )
-    return per_doc.select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        F.round(F.col("__nll"), round_to).alias("nll"),
-        F.round(F.exp(F.col("__nll")), 3).alias("ppl"),
-    )
+    return _perplexity_score(post, term_counts, total, id_col, round_to)
 
 
 def bigram_logprob_score(
@@ -329,9 +468,24 @@ def bigram_logprob_score(
         .groupBy("w")
         .agg(F.sum("c2").alias("c1"))
     )
-    vocab = docs.select(F.explode(toks).alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    vocab = docs.select(F.explode(toks).alias("v")).agg(
+        F.countDistinct("v").alias("v")
     )
+    return _bigram_score(doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to)
+
+
+def _bigram_score(
+    doc_bi: DataFrame,
+    bi_counts: DataFrame,
+    hist_counts: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    add_k: float,
+    round_to: int,
+) -> DataFrame:
+    """Shared bigram-LM scoring tail: per-doc bigram tf ⋈ corpus bigram
+    counts ⋈ history counts, add-k smoothing against the broadcast
+    vocabulary size, per-doc mean-nll fold."""
     scored = (
         doc_bi.join(bi_counts, "shingle")
         .withColumn("w", F.split(F.col("shingle"), " ")[0])
@@ -348,3 +502,67 @@ def bigram_logprob_score(
             "bigram_nll"
         ),
     )
+
+
+def build_bigram_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Build the stored bigram index for :func:`bigram_logprob_from_index`:
+    per-document bigram term frequencies ``(id_col, shingle, tf)`` written
+    bucketed+sorted by ``shingle`` (docs with <2 tokens excluded, matching
+    :func:`bigram_logprob_score`), plus a one-row ``{table}__stats`` table
+    carrying the distinct-unigram vocabulary size ``v``.
+
+    Everything else the bigram LM needs — corpus bigram counts
+    ``c2 = Σ tf`` and history counts ``c1`` — derives from the stored
+    table itself at probe time, on aggregations the bucket layout
+    satisfies without a corpus-sized shuffle.
+    """
+    from feature_store_healthcare_spark.operators.dedup import shingles
+    from feature_store_healthcare_spark.stores import write_bucketed
+
+    toks = tokens(text_col)
+    multi = docs.where(F.size(toks) >= 2)
+    bi = shingles(multi, id_col, text_col, n=2, distinct=False)
+    doc_bi = bi.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    write_bucketed(doc_bi, table, "shingle", n_buckets, path, sort_col="shingle")
+    vocab = docs.select(F.explode(toks).alias("v")).agg(F.countDistinct("v").alias("v"))
+    (
+        vocab.coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}__stats")
+        .saveAsTable(f"{table}__stats")
+    )
+
+
+def bigram_logprob_from_index(
+    spark, table: str, add_k: float = 0.5, round_to: int = 6
+) -> DataFrame:
+    """:func:`bigram_logprob_score` against a stored
+    :func:`build_bigram_index` table — same output, no corpus re-read and
+    no re-shingling.
+
+    This is the catalog's shuffle-heaviest query family made index-shaped:
+    the live form re-tokenizes the corpus three ways (13 exchanges,
+    SCALE.md); here corpus bigram counts are a groupBy the bucket layout
+    satisfies with no exchange, the doc⋈counts join is bucket-co-located,
+    and only the vocabulary-sized history table and the final per-doc fold
+    shuffle at all.
+    """
+    from feature_store_healthcare_spark.stores import read_table
+
+    doc_bi = read_table(spark, table)
+    id_col = _index_id_col(doc_bi, ("shingle", "tf"))
+    bi_counts = doc_bi.groupBy("shingle").agg(F.sum("tf").alias("c2"))
+    hist_counts = (
+        bi_counts.withColumn("w", F.split(F.col("shingle"), " ")[0])
+        .groupBy("w")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = read_table(spark, f"{table}__stats")
+    return _bigram_score(doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to)

@@ -30,6 +30,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from feature_store_healthcare_spark.caching import PlanCache, data_version
+
+#: One-entry cache for embedding_near_dup_pairs' inline-built LSH index
+#: (same lifecycle policy as the dedup module's caches — see
+#: caching.PlanCache and release_similarity_caches).
+_NEAR_DUP_INDEX_CACHE = PlanCache("embedding_near_dup_pairs.index")
+
+
+def release_similarity_caches(blocking: bool = False) -> None:
+    """Drop this module's cached operator intermediates now (the inline
+    near-dup LSH index) — the eager-release hook for long-lived sessions."""
+    _NEAR_DUP_INDEX_CACHE.release(blocking=blocking)
+
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Left-to-right sequential product sum — deterministic accumulation
@@ -267,13 +280,19 @@ def embedding_near_dup_pairs(
 
     ``bucketed``: a prebuilt :func:`lsh_bucket_corpus` index (typically
     persisted / stored bucketed) — passing it skips the per-call bucket
-    kernel entirely.  Without it, the index is built inline and persisted
-    for the duration of the query (it feeds both sides of the self-join),
-    then released lazily by the session's cache eviction."""
-    base = bucketed if bucketed is not None else lsh_bucket_corpus(
-        corpus, dim=dim, n_planes=n_planes, seed=seed,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
-    ).persist()
+    kernel entirely, and the caller owns its lifecycle.  Without it, the
+    index is built inline and persisted (it feeds both sides of the
+    self-join) under the module's one-entry cache: a repeat call on the
+    same corpus reuses it, a different corpus releases it, and
+    :func:`release_similarity_caches` drops it eagerly — Spark's cache
+    eviction drops blocks under pressure but never unregisters entries,
+    so an unmanaged per-call persist would leak one index per call."""
+    base = bucketed if bucketed is not None else _NEAR_DUP_INDEX_CACHE.get_or_persist(
+        lsh_bucket_corpus(
+            corpus, dim=dim, n_planes=n_planes, seed=seed,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+    )
     probes = base.select(
         "id",
         "v",
@@ -309,10 +328,12 @@ def embedding_near_dup_pairs(
     )
 
 
-#: cosine_pairs_exact's tripwire memo: corpus-plan semanticHash → row
-#: count (ints only — bounded by the number of distinct corpora a session
-#: verifies).  Same pattern as dedup._JACCARD_GUARD_MEMO.
-_COSINE_GUARD_MEMO: dict[int, int] = {}
+#: cosine_pairs_exact's tripwire memo: (corpus-plan semanticHash,
+#: input-file version) → row count (ints only — bounded by the number of
+#: distinct corpora a session verifies).  Same pattern as
+#: dedup._JACCARD_GUARD_MEMO, including the file-version component that
+#: forces a re-count when the same plan reads a grown path.
+_COSINE_GUARD_MEMO: dict[tuple[int, int], int] = {}
 
 
 def cosine_pairs_exact(
@@ -342,9 +363,11 @@ def cosine_pairs_exact(
     **Tripwire** (``candidate_budget``): the candidate volume is exactly
     n·(n−1)/2 for n corpus rows — no estimate slack here, unlike the
     Jaccard oracle's join-row overcount.  The count is MEMOIZED on the
-    corpus plan's semanticHash (one count per distinct corpus per
-    session) and the check raises ``ValueError`` at CALL time, the same
-    contract as the Jaccard tripwire.  ``force=True`` skips the check.
+    corpus plan's (semanticHash, input-file version) — one count per
+    distinct corpus per session, re-counted when the same plan reads a
+    grown path — and the check raises ``ValueError`` at CALL time, the
+    same contract as the Jaccard tripwire.  ``force=True`` skips the
+    check.
 
     ``broadcast_build``: None (default) auto-sizes from the same memoized
     count — the build side broadcasts only while the whole corpus fits
@@ -365,7 +388,10 @@ def cosine_pairs_exact(
         norm.alias("__nb"),
     )
     if not force or broadcast_build is None:
-        key = corpus._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            corpus._jdf.queryExecution().analyzed().semanticHash(),
+            data_version(corpus),
+        )
         n = _COSINE_GUARD_MEMO.get(key)
         if n is None:
             n = corpus.count()

@@ -19,6 +19,8 @@ Determinism notes are on each query.  All timestamps are naive UTC
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -87,8 +89,17 @@ def query(name: str, oracle: str | None = None):
 #:    first to rotate out.
 #: 3. A rotated-out query stays registered (tail order) and MUST stay
 #:    green in tools/check_oracle.py at sf0.01 AND sf0.1 each round — the
-#:    local gate runs all ~144, so rotation never un-verifies anything;
-#:    it only changes which 50 the driver independently re-proves.
+#:    local gate runs all catalog entries, so rotation never un-verifies
+#:    anything; it only changes which 50 the driver independently
+#:    re-proves.
+#: 3b. Queries that WRITE catalog tables (the round-7 stored-index twins:
+#:    bm25/perplexity/bigram_stored_postings, dedup_incremental_stored_
+#:    bands) stay OUT of the driver window deliberately: the driver's
+#:    session makes no warehouse-writability promise, and a failed index
+#:    build would turn a green row red for an environmental reason.  They
+#:    are verified by the local gate (same oracles as their live twins,
+#:    so the hash match proves build→store→probe ≡ single-pass), measured
+#:    in bench + the ×200 rehearsal, and plan-pinned in test_plans.
 #: 4. Family → slots map: relational core 8 (q1, q3, linkage, filter/
 #:    project, expectations, range join, correlated subquery, window);
 #:    EAV/PIT/feature-store 14 (latest, tie-fallback, PIT join+interval,
@@ -3851,9 +3862,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_perplexity_quality",
-    f"""
+_PERPLEXITY_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
     post AS (
       SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
@@ -3869,8 +3878,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / MAX(p.dl)), 3) AS ppl
     FROM post p JOIN tc USING (term) CROSS JOIN tot
     GROUP BY p.doc_id
-    """,
-)
+    """
+
+
+@query("doc_perplexity_quality", _PERPLEXITY_ORACLE)
 def doc_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ Unigram-LM perplexity (operators.retrieval.unigram_perplexity):
     each document scored under the corpus's own MLE unigram model — the
@@ -4338,9 +4349,7 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bigram_lm_fluency",
-    f"""
+_BIGRAM_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
     multi AS (SELECT * FROM toks WHERE len(t) >= 2),
     bi AS (
@@ -4366,8 +4375,10 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN hist h ON h.w = string_split(d.bg, ' ')[1]
     CROSS JOIN vocab v
     GROUP BY d.doc_id
-    """,
-)
+    """
+
+
+@query("bigram_lm_fluency", _BIGRAM_ORACLE)
 def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ Bigram-LM fluency (operators.retrieval.bigram_logprob_score):
     each document's mean −ln p(wᵢ|wᵢ₋₁) under the corpus's own add-0.5
@@ -4378,6 +4389,96 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.bigram_logprob_score(docs, "doc_id", "text", add_k=0.5)
+
+
+# ── stored-index twins (round 7) ─────────────────────────────────────────────
+#
+# The text/LM family's 100 TB form: corpus-wide postings live as bucketed
+# TABLES (the round-6 measured rule — caching them was 10× worse at ×200),
+# built once per corpus and probed per query with no re-tokenize and no
+# corpus-sized shuffle.  Each stored twin shares its live twin's oracle
+# verbatim, so the hash match proves build→store→probe reproduces the
+# single-pass computation bit-for-bit.  Index builds are memoized per
+# (session, sf_dir) — the first call in a session pays the build (bench's
+# min-of-N then reports the amortized probe), and table names are
+# sf-scoped so scale factors never collide in a shared warehouse.
+
+_STORED_INDEX_MEMO: dict[tuple[str, str, str], str] = {}
+
+
+def _stored_index(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    """Build-once-per-session stored index; returns the catalog table name.
+    ``build(table, path)`` runs with OVERWRITE semantics on first use in a
+    session, so stale leftovers from earlier sessions can't poison results.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _STORED_INDEX_MEMO:
+        table = f"fshs_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        for prefix in ("file://", "file:"):
+            if warehouse.startswith(prefix):
+                warehouse = warehouse[len(prefix):]
+                break
+        build(table, os.path.join(warehouse, table))
+        _STORED_INDEX_MEMO[key] = table
+    return _STORED_INDEX_MEMO[key]
+
+
+def _stored_postings(spark: SparkSession, sf_dir: str) -> str:
+    docs = load_table(spark, sf_dir, "documents")
+    return _stored_index(
+        spark,
+        sf_dir,
+        "post",
+        lambda t, p: retrieval.build_postings_index(
+            docs, "doc_id", "text", t, p, n_buckets=16
+        ),
+    )
+
+
+@query(
+    "bm25_stored_postings",
+    f"WITH {_bm25_ctes(10)} SELECT query_id, doc_id, score, rank FROM bm",
+)
+def bm25_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ BM25 against the STORED postings index
+    (operators.retrieval.bm25_topk_from_index): same oracle as
+    `bm25_lexical_topk`, but the corpus is never re-read — the query-term
+    filter prunes the term-sorted bucketed postings scan, and document
+    frequency aggregates on the bucket key with no exchange."""
+    table = _stored_postings(spark, sf_dir)
+    return retrieval.bm25_topk_from_index(spark, table, _BM25_QUERY_SET, k=10)
+
+
+@query("perplexity_stored_postings", _PERPLEXITY_ORACLE)
+def perplexity_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Unigram-LM perplexity against the STORED postings index
+    (operators.retrieval.unigram_perplexity_from_index): ct(term)=Σtf and
+    total=Σtf derive from the index itself; term aggregation and the
+    postings⋈counts join ride the bucket layout, so the only corpus-sized
+    exchange left is the final per-doc fold (live form: 8 exchanges)."""
+    table = _stored_postings(spark, sf_dir)
+    return retrieval.unigram_perplexity_from_index(spark, table)
+
+
+@query("bigram_lm_stored_postings", _BIGRAM_ORACLE)
+def bigram_lm_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Bigram-LM fluency against the STORED bigram index
+    (operators.retrieval.bigram_logprob_from_index) — the catalog's
+    shuffle-heaviest live plan (13 exchanges, 3 corpus tokenize passes)
+    probed index-shaped: bigram counts and the doc⋈counts join ride the
+    bucket layout; only the vocabulary-sized history table and the final
+    per-doc fold shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    table = _stored_index(
+        spark,
+        sf_dir,
+        "bigram",
+        lambda t, p: retrieval.build_bigram_index(
+            docs, "doc_id", "text", t, p, n_buckets=16
+        ),
+    )
+    return retrieval.bigram_logprob_from_index(spark, table, add_k=0.5)
 
 
 @query(
@@ -5219,6 +5320,34 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return dedup.minhash_lsh_pairs_cross(
         new, corpus, "doc_id", "text", n=3, num_hashes=16, bands=4, portable=True
+    )
+
+
+@query("dedup_incremental_stored_bands", _incr_minhash_oracle())
+def dedup_incremental_stored_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the STEADY-STATE incremental dedup form (round-6 VERDICT stretch
+    #7): the corpus band table is a STORED bkey-bucketed index
+    (dedup.build_band_index) and the daily probe is
+    minhash_lsh_pairs_cross(corpus_bands=) — per-batch cost is the delta
+    signature build plus a bucket-co-located probe; the corpus text is
+    never re-read.  Same oracle as `dedup_incremental_minhash`, so the
+    hash match proves build→store→probe ≡ the recompute twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    def build(table: str, path: str) -> None:
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        dedup.build_band_index(
+            corpus, "doc_id", "text", table, path, n_buckets=16,
+            n=3, num_hashes=16, bands=4, portable=True,
+        )
+
+    table = _stored_index(spark, sf_dir, "bands", build)
+    from feature_store_healthcare_spark.stores import read_table
+
+    return dedup.minhash_lsh_pairs_cross(
+        new, None, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        portable=True, corpus_bands=read_table(spark, table),
     )
 
 

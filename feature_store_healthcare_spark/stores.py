@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,10 +159,34 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame:
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly db-qualified) table name PER PART —
+    ``db.t`` → ``` `db`.`t` `` (wrapping the whole string in one pair of
+    backticks would make the dot part of the identifier)."""
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> DataFrame:
     """Read a bucketed table by catalog name (bucket metadata only survives
-    the catalog path — reading the parquet files directly loses it)."""
-    return spark.table(table)
+    the catalog path — reading the parquet files directly loses it).
+
+    ``swap_retry``: :func:`compact_bucketed`'s swap is drop-then-rename
+    (non-atomic — no ACID table format in this container), so a reader
+    resolving the name inside that window sees TABLE_OR_VIEW_NOT_FOUND
+    with the replacement milliseconds away.  The default retries the
+    lookup for ~2.5 s before giving up — the documented reader-side half
+    of the swap contract.  Pass False for fail-fast semantics."""
+    from pyspark.errors import AnalysisException
+
+    attempts = 10 if swap_retry else 1
+    for i in range(attempts):
+        try:
+            return spark.table(table)
+        except AnalysisException:
+            if i == attempts - 1:
+                raise
+            time.sleep(0.25)
+    raise AssertionError("unreachable")
 
 
 def _bucket_spec(
@@ -171,7 +196,7 @@ def _bucket_spec(
     catalog — the source of truth a maintenance rewrite must match."""
     info = {
         r.col_name: r.data_type
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {_quote_ident(table)}").collect()
     }
     if "Num Buckets" not in info:
         raise ValueError(f"{table!r} is not a bucketed table")
@@ -198,14 +223,36 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     The rewrite reuses the table's own catalog spec (bucket columns/count,
     sort columns) — never caller-supplied, so it cannot silently change
     the layout — and pre-partitions by the bucket expression so each
-    write task emits exactly its one bucket file.  The swap is
-    drop-and-rename through the catalog: metadata-quick but NOT atomic
-    (this engine has no ACID table format in the container — a real
-    deployment would be one ``REPLACE TABLE`` on Delta/Iceberg; readers
-    mid-swap should retry).  Returns the OLD location for the caller to
-    delete once no reader needs it.
+    write task emits exactly its one bucket file.  ``new_path`` must be a
+    FRESH location: writing over the table's current location would
+    delete the very files the compaction scan is reading (guarded with a
+    ``ValueError``).
+
+    The swap is drop-and-rename through the catalog: metadata-quick but
+    NOT atomic (this engine has no ACID table format in the container — a
+    real deployment would be one ``REPLACE TABLE`` on Delta/Iceberg).
+    Contract for the window between DROP and RENAME: concurrent readers
+    go through :func:`read_table`, whose default retry loop outlasts the
+    window; a CRASH inside it loses no data — the compacted table exists,
+    fully written, under ``{table}__compact`` at ``new_path``, and
+    recovery is re-issuing the RENAME.  Returns the OLD location for the
+    caller to delete once no reader needs it.
     """
     bucket_cols, n_buckets, sort_cols, old_location = _bucket_spec(spark, table)
+
+    def _local(uri: str) -> str:
+        for prefix in ("file://", "file:"):
+            if uri.startswith(prefix):
+                return uri[len(prefix):]
+        return uri
+
+    if os.path.abspath(_local(new_path)) == os.path.abspath(_local(old_location)):
+        raise ValueError(
+            f"compact_bucketed new_path={new_path!r} is {table!r}'s current "
+            "location — the overwrite would delete the files the compaction "
+            "scan is reading. Compact into a fresh directory and delete the "
+            "returned old location afterwards."
+        )
     if len(bucket_cols) != 1 or len(sort_cols) > 1:
         raise NotImplementedError(
             "compact_bucketed mirrors write_bucketed's single bucket/sort "
@@ -222,7 +269,7 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
         n_buckets, F.col(bucket_cols[0])
     )
     tmp = f"{table}__compact"
-    spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+    spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(tmp)}")
     write_bucketed(
         compacted,
         tmp,
@@ -231,8 +278,8 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
         new_path,
         sort_col=sort_cols[0] if sort_cols else None,
     )
-    spark.sql(f"DROP TABLE `{table}`")
-    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}`")
+    spark.sql(f"DROP TABLE {_quote_ident(table)}")
+    spark.sql(f"ALTER TABLE {_quote_ident(tmp)} RENAME TO {_quote_ident(table)}")
     return old_location
 
 

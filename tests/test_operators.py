@@ -117,7 +117,9 @@ def test_ngram_jaccard_candidate_budget_tripwire(docs):
         .collect()[0]
         .e
     )
-    key = sh._jdf.queryExecution().analyzed().semanticHash()
+    from feature_store_healthcare_spark.caching import data_version
+
+    key = (sh._jdf.queryExecution().analyzed().semanticHash(), data_version(docs))
     est = dedup._JACCARD_GUARD_MEMO[key]
     assert exact / 2 <= est <= exact * 2, (est, exact)
 
@@ -196,7 +198,7 @@ def test_cosine_pairs_exact_tripwire(spark):
     similarity.cosine_pairs_exact(
         df2, threshold=0.99, dim=2, force=True, broadcast_build=True
     ).collect()
-    assert key2 not in similarity._COSINE_GUARD_MEMO
+    assert key2 not in {k[0] for k in similarity._COSINE_GUARD_MEMO}
 
 
 # ------------------------------------------------------------------ text

@@ -181,6 +181,67 @@ def test_compact_bucketed_rewrite(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cmp_plain")
 
 
+def test_compact_bucketed_guards_and_swap_window(spark, tmp_path):
+    """ADVICE r6 #4 + VERDICT r7 ask #5: (a) compacting INTO the table's
+    current location is refused (the overwrite would delete the files the
+    compaction scan reads); (b) db-qualified names are quoted per part, so
+    the tmp-table dance works inside a database; (c) a reader inside the
+    non-atomic drop→rename window retries through it via read_table."""
+    import threading
+    import time as _time
+
+    from pyspark.errors import AnalysisException
+
+    from feature_store_healthcare_spark.stores import (
+        compact_bucketed,
+        read_table,
+        write_bucketed,
+    )
+
+    df = spark.range(100).selectExpr("id", "id % 10 as k")
+    try:
+        # (a) same-path guard
+        p1 = str(tmp_path / "same_v1")
+        write_bucketed(df, "same_b", "k", 2, p1)
+        with pytest.raises(ValueError, match="current \\n?location|current location"):
+            compact_bucketed(spark, "same_b", p1)
+
+        # (b) db-qualified table: `db`.`t` quoting end-to-end
+        spark.sql("CREATE DATABASE IF NOT EXISTS cmpdb")
+        pq = str(tmp_path / "q_v1")
+        write_bucketed(df, "cmpdb.cmp_q", "k", 2, pq, mode="overwrite")
+        write_bucketed(df, "cmpdb.cmp_q", "k", 2, pq, mode="append")
+        old = compact_bucketed(spark, "cmpdb.cmp_q", str(tmp_path / "q_v2"))
+        assert old.endswith("q_v1")
+        assert read_table(spark, "cmpdb.cmp_q").count() == 200
+
+        # (c) reader during the swap window: drop, hold, rename — the
+        # default read_table outlasts the gap; swap_retry=False fails fast
+        p2 = str(tmp_path / "swap_v1")
+        write_bucketed(df, "swap_b", "k", 2, p2)
+        write_bucketed(df, "swap_b__compact", "k", 2, str(tmp_path / "swap_v2"))
+        dropped = threading.Event()
+
+        def swapper():
+            spark.sql("DROP TABLE `swap_b`")
+            dropped.set()
+            _time.sleep(0.6)  # hold the window open past ≥1 retry
+            spark.sql("ALTER TABLE `swap_b__compact` RENAME TO `swap_b`")
+
+        t = threading.Thread(target=swapper)
+        t.start()
+        assert dropped.wait(10)
+        with pytest.raises(AnalysisException):
+            read_table(spark, "swap_b", swap_retry=False)
+        assert read_table(spark, "swap_b").count() == 100  # retried through
+        t.join()
+    finally:
+        for tbl in ("same_b", "cmpdb.cmp_q", "cmpdb.cmp_q__compact",
+                    "swap_b", "swap_b__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql("DROP DATABASE IF EXISTS cmpdb")
+
+
 def test_bucketed_pit_join_zero_exchange(spark, sf_dir, tmp_path):
     """SURVEY §4.2's last custom row: spine AND values bucketed on the
     entity key with the same bucket count → the whole PIT training join
@@ -318,6 +379,40 @@ def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
     # qterms + dfreq broadcast; the old terms semi-join is gone (replaced
     # by the pushed-down literal filter)
     assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_stored_postings_probes_never_retokenize(spark, sf_dir, qs):
+    """Round-6 VERDICT #3: the text/LM family's stored-index twins probe
+    the bucketed postings TABLE — the corpus text is never re-read or
+    re-tokenized, the query-term filter reaches the scan as a pushed
+    ``In(term, ...)``, and the live forms' shuffle storm (8 exchanges for
+    perplexity, 13 for bigram) collapses to the final folds."""
+    bm = qs["bm25_stored_postings"](spark, sf_dir)
+    p = plans._effective_plan(bm, "formatted")
+    # the ONLY tokenize left is the 3-row query-batch literal, never the corpus
+    assert p.count("regexp_replace(lower(text") == 0
+    assert "In(term, [" in p  # query terms pushed into the postings scan
+    assert plans.count_sort_merge_joins(bm) == 0
+    assert plans.count_broadcast_joins(bm) >= 2
+
+    ppl = qs["perplexity_stored_postings"](spark, sf_dir)
+    p = plans._effective_plan(ppl, "formatted")
+    assert p.count("regexp_replace(lower(") == 0
+    assert plans.count_exchanges(ppl) <= 4  # live twin: 8
+    assert plans.count_sort_merge_joins(ppl) == 0
+
+    bg = qs["bigram_lm_stored_postings"](spark, sf_dir)
+    p = plans._effective_plan(bg, "formatted")
+    assert p.count("regexp_replace(lower(") == 0
+    assert plans.count_exchanges(bg) <= 5  # live twin: 13
+    assert plans.count_sort_merge_joins(bg) == 0
+
+    inc = qs["dedup_incremental_stored_bands"](spark, sf_dir)
+    p = plans._effective_plan(inc, "formatted")
+    # corpus side reads the stored band table — no corpus re-shingle; the
+    # delta side's tokenize lives behind the one-entry delta cache
+    assert p.count("regexp_replace(lower(text") == 0
+    assert plans.count_sort_merge_joins(inc) == 0
 
 
 def test_perplexity_no_term_window(spark, sf_dir, qs):

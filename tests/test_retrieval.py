@@ -77,12 +77,13 @@ def test_bm25_base_cache_released_per_call(corpus):
     after_first = n_cached()
     # same corpus + same terms: the cached base is REUSED, not rebuilt
     # (the hybrid-retrieval entry depends on this for its lexical leg)
-    cache_before = list(retrieval._BM25_BASE_CACHE)
+    cached_before = retrieval._BM25_BASE_CACHE.peek()
+    assert cached_before is not None
     retrieval.bm25_topk(corpus, "doc_id", "text", [("a", "hash scan")], k=3).collect()
-    assert retrieval._BM25_BASE_CACHE == cache_before
+    assert retrieval._BM25_BASE_CACHE.peek() is cached_before
     r2 = retrieval.bm25_topk(corpus, "doc_id", "text", [("b", "merge join")], k=3)
     r2.collect()
-    assert retrieval._BM25_BASE_CACHE != cache_before  # new batch: swapped
+    assert retrieval._BM25_BASE_CACHE.peek() is not cached_before  # swapped
     assert n_cached() <= after_first  # predecessor released, not stacked
     retrieval.release_bm25_cache(blocking=True)
     assert n_cached() < after_first or after_first == 0
@@ -124,6 +125,56 @@ def test_unigram_perplexity_flags_outliers(spark):
     assert out[9].nll == pytest.approx(round(-math.log(1 / 40), 6), abs=1e-9)
     # ppl = e^nll
     assert out[9].ppl == pytest.approx(40.0, abs=1e-2)
+
+
+def test_stored_index_twins_match_live(spark, corpus, tmp_path):
+    """build_postings_index / build_bigram_index → *_from_index reproduce
+    the live single-pass scorers bit-for-bit (same rounding, same ranks),
+    and the index round-trips maintenance: an appended delta shows up in
+    the next probe."""
+    retrieval.build_postings_index(
+        corpus, "doc_id", "text", "t_post", str(tmp_path / "post"), n_buckets=4
+    )
+    try:
+        q = [("a", "hash scan"), ("b", "merge join")]
+        live = retrieval.bm25_topk(corpus, "doc_id", "text", q, k=3).collect()
+        stored = retrieval.bm25_topk_from_index(spark, "t_post", q, k=3).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(live, key=key) == sorted(stored, key=key)
+        retrieval.release_bm25_cache(blocking=True)
+
+        live_p = retrieval.unigram_perplexity(corpus, "doc_id", "text").collect()
+        stored_p = retrieval.unigram_perplexity_from_index(spark, "t_post").collect()
+        bykey = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+        assert bykey(live_p) == bykey(stored_p)
+
+        retrieval.build_bigram_index(
+            corpus, "doc_id", "text", "t_bi", str(tmp_path / "bi"), n_buckets=4
+        )
+        live_b = retrieval.bigram_logprob_score(corpus, "doc_id", "text").collect()
+        stored_b = retrieval.bigram_logprob_from_index(spark, "t_bi").collect()
+        assert bykey(live_b) == bykey(stored_b)
+    finally:
+        for t in ("t_post", "t_post__stats", "t_bi", "t_bi__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stored_postings_id_col_contract(spark, corpus, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    retrieval.build_postings_index(
+        corpus.withColumnRenamed("doc_id", "docno"), "docno", "text",
+        "t_idc", str(tmp_path / "idc"), n_buckets=2,
+    )
+    try:
+        out = retrieval.bm25_topk_from_index(spark, "t_idc", [("q", "scan")], k=5)
+        assert "docno" in out.columns  # id column introspected from the table
+        # a table that is not postings-shaped is rejected, not misread
+        with pytest.raises(ValueError, match="postings table"):
+            retrieval._index_id_col(corpus, ("term", "tf", "dl"))
+    finally:
+        for t in ("t_idc", "t_idc__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_pack_sequences_invariants(spark):
