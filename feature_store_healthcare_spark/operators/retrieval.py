@@ -102,21 +102,87 @@ def build_postings_index(
     ``{table}__stats`` side table (n_docs, avgdl) so scorers never rescan
     the corpus for constants.
 
-    Maintenance mirrors the LSH band index: this builder bootstraps;
-    per-batch deltas append through ``stores.write_bucketed(...,
-    mode="append")`` (recompute ``__stats`` from the delta counts), and
+    Maintenance mirrors the LSH band index: this builder bootstraps (with
+    OVERWRITE semantics — idempotent against stale leftovers),
+    :func:`append_postings_index` grows it per delta batch, and
     ``stores.compact_bucketed`` collapses append-grown buckets.
+
+    The stats table stores INTEGER sufficient statistics (n_docs,
+    sum_dl), not a float avgdl, so appends merge EXACTLY (long addition)
+    and an appended index reproduces a from-scratch rebuild bit-for-bit;
+    probes derive ``avgdl = sum_dl / n_docs`` — the same double every
+    rebuild computes (integer-valued double sums are exact below 2^53).
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
     post = postings(docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term")
-    stats = corpus_stats(docs, text_col)
+    _write_postings_stats(_postings_stats(docs, text_col), table, path, "overwrite")
+
+
+def _postings_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """One-row (n_docs, sum_dl) — the exactly-mergeable form of
+    :func:`corpus_stats` (sum instead of avg)."""
+    return docs.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+
+def _write_postings_stats(stats: DataFrame, table: str, path: str, mode: str) -> None:
     (
         stats.coalesce(1)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .option("path", f"{path}__stats")
         .saveAsTable(f"{table}__stats")
+    )
+
+
+def append_postings_index(
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    path: str,
+    n_buckets: int,
+) -> None:
+    """Grow the stored postings index by a delta batch — the text-family
+    twin of ``dedup.append_band_index``, closing the same lifecycle
+    (build → probe → append → compact): the delta's postings append into
+    the term-bucketed table (the existing index is never read), and the
+    stats row merges by INTEGER addition of the delta's (n_docs, sum_dl)
+    — exact, so probes of the appended index are bit-identical to a
+    from-scratch rebuild over the full corpus (pinned by test).
+
+    ``n_buckets`` must match the existing layout (Spark rejects a
+    mismatched bucket spec on append).  Contract: delta doc ids must be
+    NEW — re-appending an existing doc would double its postings (dedup
+    the delta first; that is what the daily loop's probe step is for).
+    Appends add one file per bucket per batch; run
+    ``stores.compact_bucketed`` periodically, exactly as with the band
+    index.
+    """
+    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+
+    spark = delta_docs.sparkSession
+    post = postings(delta_docs, id_col, text_col)
+    write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
+                   mode="append")
+    merged = (
+        read_table(spark, f"{table}__stats")
+        .unionByName(_postings_stats(delta_docs, text_col))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+    )
+    # the merged row must be computed BEFORE the overwrite drops the old
+    # table (a lazy plan reading the table it overwrites loses the input)
+    rows = merged.collect()
+    _write_postings_stats(
+        spark.createDataFrame(rows, "n_docs bigint, sum_dl bigint"),
+        table,
+        path,
+        "overwrite",
     )
 
 
@@ -162,7 +228,12 @@ def bm25_topk_from_index(
     hit = post.where(F.col("term").isin(term_set))
     # one row per (doc, term) by construction ⇒ df(term) = count of hits
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = read_table(spark, f"{table}__stats")
+    # integer sufficient statistics → the same exact double avgdl every
+    # from-scratch F.avg("dl") computes (see build_postings_index)
+    stats = read_table(spark, f"{table}__stats").select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
     q = spark.createDataFrame(queries, "query_id string, query string")
     qterms = q.select(
         "query_id", F.explode(F.array_distinct(tokens("query"))).alias("term")

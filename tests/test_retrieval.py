@@ -159,6 +159,49 @@ def test_stored_index_twins_match_live(spark, corpus, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_postings_index_append_matches_rebuild(spark, corpus, tmp_path):
+    """append_postings_index closes the text-index lifecycle (build →
+    probe → append → compact, the band-index pattern): after appending a
+    delta, every probe is bit-identical to an index REBUILT from scratch
+    over the full corpus — the stats row merges by integer addition, so
+    no float drift ever accumulates across batches — and compaction
+    collapses the append-grown buckets without changing results."""
+    base = corpus.where(F.col("doc_id") < 3)
+    delta = corpus.where(F.col("doc_id") >= 3)
+    retrieval.build_postings_index(
+        base, "doc_id", "text", "t_app", str(tmp_path / "app"), n_buckets=2
+    )
+    retrieval.append_postings_index(
+        delta, "doc_id", "text", "t_app", str(tmp_path / "app"), n_buckets=2
+    )
+    retrieval.build_postings_index(
+        corpus, "doc_id", "text", "t_full", str(tmp_path / "full"), n_buckets=2
+    )
+    try:
+        srow = spark.table("t_app__stats").collect()[0]
+        frow = spark.table("t_full__stats").collect()[0]
+        assert (srow.n_docs, srow.sum_dl) == (frow.n_docs, frow.sum_dl)
+
+        q = [("a", "hash scan"), ("b", "merge join")]
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        appended = retrieval.bm25_topk_from_index(spark, "t_app", q, k=5).collect()
+        rebuilt = retrieval.bm25_topk_from_index(spark, "t_full", q, k=5).collect()
+        assert sorted(appended, key=key) == sorted(rebuilt, key=key)
+        pa = retrieval.unigram_perplexity_from_index(spark, "t_app").collect()
+        pf = retrieval.unigram_perplexity_from_index(spark, "t_full").collect()
+        assert sorted(map(tuple, pa)) == sorted(map(tuple, pf))
+
+        from feature_store_healthcare_spark.stores import compact_bucketed
+
+        compact_bucketed(spark, "t_app", str(tmp_path / "app_v2"))
+        again = retrieval.bm25_topk_from_index(spark, "t_app", q, k=5).collect()
+        assert sorted(again, key=key) == sorted(rebuilt, key=key)
+    finally:
+        for t in ("t_app", "t_app__stats", "t_app__compact",
+                  "t_full", "t_full__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stored_postings_id_col_contract(spark, corpus, tmp_path):
     from pyspark.sql import functions as F  # noqa: F811
 
