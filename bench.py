@@ -136,6 +136,36 @@ def bench_embedding_ivf_topk(spark, sf_dir):
 
 
 _PCA_INDEX: dict = {}
+_IVF_STORED: dict = {}
+
+
+def bench_embedding_ivf_stored(spark, sf_dir):
+    """IVF against the DISK index (similarity.build_ivf_index): the probe
+    carries a static __list IN partition filter, so only the probed
+    inverted-list directories are scanned — the ANN twin of the stored
+    postings/band indexes.  First timed run pays the index build;
+    min-of-N reports the amortized partition-pruned probe."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_STORED:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+                break
+        path = os.path.join(
+            wh, f"bench_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
+        cents = similarity.build_ivf_index(emb, path, n_centroids=16)
+        _IVF_STORED[sf_dir] = (path, cents)
+    path, cents = _IVF_STORED[sf_dir]
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_from_index(
+        spark, path, q, k=5, nprobe=4, centroids=cents
+    )
 
 
 def bench_embedding_topk_blas(spark, sf_dir):
@@ -176,6 +206,7 @@ EXTRA = {
     "embedding_topk_blas": bench_embedding_topk_blas,
     "embedding_near_dup_lsh": bench_embedding_near_dup_lsh,
     "embedding_ivf_topk": bench_embedding_ivf_topk,
+    "embedding_ivf_stored": bench_embedding_ivf_stored,
     "embedding_pca_topk": bench_embedding_pca_topk,
 }
 

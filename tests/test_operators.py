@@ -286,6 +286,46 @@ def test_ivf_topk_structure_and_recall(spark):
     assert len(e & a) / len(e) >= 0.4
 
 
+def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
+    """The stored IVF index (build_ivf_index → ivf_topk_from_index)
+    reproduces the in-session ivf_topk EXACTLY (shared nearest-list numpy
+    path ⇒ identical list assignment and ties), reloads its centroids
+    from disk, and probes with a static __list IN partition filter so
+    only the probed inverted-list directories are scanned."""
+    from feature_store_healthcare_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, path, n_centroids=8)
+    assert similarity.load_ivf_centroids(spark, path) == sorted(cents)
+    live = similarity.ivf_topk(
+        q, emb, k=5, n_centroids=8, nprobe=4,
+        centroids=cents, assigned=similarity.ivf_assign(emb, cents),
+    )
+    stored = similarity.ivf_topk_from_index(spark, path, q, k=5, nprobe=4)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, live.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, stored.collect()), key=lambda t: (t[0], t[3])
+    )
+    # static partition pruning is IN the plan, not a hope
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__list" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*__list[^\]]*IN \(", plan)
+    assert m, plan[:2000]
+    # bounded-collect contract: an oversized query batch fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        similarity.ivf_topk_from_index(spark, path, emb.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ), k=5, nprobe=2, max_query_rows=10)
+
+
 def test_ivf_centroids_deterministic(spark):
     from feature_store_healthcare_spark.operators import similarity
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")

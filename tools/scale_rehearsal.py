@@ -100,6 +100,7 @@ REHEARSAL = [
     "dedup_incremental_minhash",
     "embedding_topk_bruteforce",
     "embedding_ivf_topk",
+    "embedding_ivf_stored",
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
     "multimodal_image_features",
@@ -526,6 +527,7 @@ AMORTIZED = {
     "bm25_stored_postings",
     "perplexity_stored_postings",
     "bigram_lm_stored_postings",
+    "embedding_ivf_stored",
 }
 
 #: timing-run count overrides (default 2, min taken).  The exact pairwise
