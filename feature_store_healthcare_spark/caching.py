@@ -58,15 +58,28 @@ class PlanCache:
         """Return the cached DataFrame when ``df`` is semantically equal to
         the cached plan; otherwise release the predecessor, persist ``df``
         and cache it.  The returned frame is always persisted (lazily —
-        materialized by its first action, e.g. an auto-sizing count)."""
+        materialized by its first action, e.g. an auto-sizing count).
+
+        A cached entry from a DIFFERENT SparkSession (module-level caches
+        outlive sessions in one Python process) is never served — a frame
+        whose session was stopped throws on first use — and a stale JVM
+        handle that errors during comparison demotes to a miss."""
         plan = df._jdf.queryExecution().analyzed()
         key = plan.semanticHash()
         if self._entry is not None:
             ekey, eplan, edf = self._entry
-            # hash first (cheap), sameResult to confirm (a 32-bit collision
-            # between different plans must MISS, not serve foreign rows)
-            if ekey == key and eplan.sameResult(plan):
-                return edf
+            try:
+                # hash first (cheap), sameResult to confirm (a 32-bit
+                # collision between different plans must MISS, not serve
+                # foreign rows)
+                if (
+                    edf.sparkSession is df.sparkSession
+                    and ekey == key
+                    and eplan.sameResult(plan)
+                ):
+                    return edf
+            except Exception:
+                pass  # dead gateway object from a stopped session → miss
             self.release()
         cached = df.persist()
         self._entry = (key, plan, cached)
@@ -77,9 +90,14 @@ class PlanCache:
         return self._entry[2] if self._entry is not None else None
 
     def release(self, blocking: bool = False) -> None:
-        """Unpersist and forget the cached entry now (idempotent)."""
+        """Unpersist and forget the cached entry now (idempotent).
+        Best-effort by contract: if the owning session is already
+        stopped, its cached blocks died with it — forget the entry."""
         if self._entry is not None:
-            self._entry[2].unpersist(blocking=blocking)
+            try:
+                self._entry[2].unpersist(blocking=blocking)
+            except Exception:
+                pass
             self._entry = None
 
 

@@ -168,7 +168,9 @@ def append_postings_index(
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
                    mode="append")
     merged = (
-        read_table(spark, f"{table}__stats")
+        # fail-fast read: a missing stats table means the index was never
+        # bootstrapped (build_postings_index) — not a swap window to wait out
+        read_table(spark, f"{table}__stats", swap_retry=False)
         .unionByName(_postings_stats(delta_docs, text_col))
         .agg(
             F.sum("n_docs").alias("n_docs"),
