@@ -147,13 +147,11 @@ def bench_embedding_ivf_stored(spark, sf_dir):
     min-of-N reports the amortized partition-pruned probe."""
     import hashlib
 
+    from feature_store_healthcare_spark.stores import local_path
+
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_STORED:
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-                break
+        wh = local_path(spark.conf.get("spark.sql.warehouse.dir"))
         path = os.path.join(
             wh, f"bench_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         )

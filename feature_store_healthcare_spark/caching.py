@@ -32,11 +32,12 @@ result recomputes from lineage — release is a cost event, never a
 correctness event.
 
 Staleness contract: ``sameResult`` compares PLANS, so a plan whose
-underlying path gained files mid-session still matches and serves the
-old cached rows — the same semantics as any Spark ``persist()``.
-Sessions that re-ingest under a fixed path should call the operator's
-``release_*`` hook between batches; see also :func:`data_version` for
-the tripwire-memo analog of this problem.
+underlying path gained files mid-session still matches — which is why
+every operator call site passes a ``version`` token
+(:func:`data_version` of its INPUT scan): a re-read that picks up new
+files produces a new token, the stale entry is released, and both the
+cached rows and any memoized estimates derived from them refresh.  The
+``release_*`` hooks remain for eager memory reclamation.
 """
 
 from __future__ import annotations
@@ -51,29 +52,43 @@ class PlanCache:
 
     def __init__(self, name: str):
         self.name = name
-        # (semanticHash, analyzed LogicalPlan, persisted DataFrame)
-        self._entry: tuple[int, object, DataFrame] | None = None
+        # (semanticHash, analyzed LogicalPlan, persisted DataFrame, version)
+        self._entry: tuple[int, object, DataFrame, object] | None = None
 
-    def get_or_persist(self, df: DataFrame) -> DataFrame:
+    def get_or_persist(self, df: DataFrame, version: object = None) -> DataFrame:
         """Return the cached DataFrame when ``df`` is semantically equal to
         the cached plan; otherwise release the predecessor, persist ``df``
         and cache it.  The returned frame is always persisted (lazily —
         materialized by its first action, e.g. an auto-sizing count).
 
-        A cached entry from a DIFFERENT SparkSession (module-level caches
-        outlive sessions in one Python process) is never served — a frame
-        whose session was stopped throws on first use — and a stale JVM
-        handle that errors during comparison demotes to a miss."""
+        ``version``: optional input-data version token (typically
+        :func:`data_version` of the operator's INPUT scan).  ``sameResult``
+        compares PLANS, which stay equal when the underlying path gains
+        files — so without a version token a grown corpus would keep
+        serving the pre-growth cached rows.  A version mismatch demotes to
+        a miss: the stale entry is released and the fresh plan persisted.
+
+        Never served: an entry from a DIFFERENT SparkSession (module-level
+        caches outlive sessions in one Python process — a frame whose
+        session was stopped throws on first use), an entry whose cached
+        blocks were EVICTED externally (``spark.catalog.clearCache()``
+        unpersists everything but this cache would otherwise keep
+        returning the now-uncached frame forever, silently losing the
+        compute-once guarantee), and a stale JVM handle that errors during
+        comparison."""
         plan = df._jdf.queryExecution().analyzed()
         key = plan.semanticHash()
         if self._entry is not None:
-            ekey, eplan, edf = self._entry
+            ekey, eplan, edf, eversion = self._entry
             try:
                 # hash first (cheap), sameResult to confirm (a 32-bit
                 # collision between different plans must MISS, not serve
                 # foreign rows)
+                sl = edf.storageLevel
                 if (
                     edf.sparkSession is df.sparkSession
+                    and (sl.useMemory or sl.useDisk)
+                    and eversion == version
                     and ekey == key
                     and eplan.sameResult(plan)
                 ):
@@ -82,7 +97,7 @@ class PlanCache:
                 pass  # dead gateway object from a stopped session → miss
             self.release()
         cached = df.persist()
-        self._entry = (key, plan, cached)
+        self._entry = (key, plan, cached, version)
         return cached
 
     def peek(self) -> DataFrame | None:

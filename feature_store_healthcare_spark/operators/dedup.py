@@ -217,11 +217,12 @@ def minhash_lsh_pairs(
     # banded feeds both join sides; persist so the signature computation
     # (scan → shingle explode → 16-way min agg) runs once, not twice.
     # Lifecycle: one-entry PlanCache — a repeat call on the same corpus
-    # reuses the cached table, a new corpus releases the predecessor
+    # reuses the cached table, a new corpus (or the SAME corpus path with
+    # new files — the version token) releases the predecessor
     # (release_dedup_caches for eager cleanup).  (A 100 TB run writes it
     # through stores.write_bucketed instead and calls lsh_pairs_from_bands
     # on the stored index — same join below.)
-    banded = _BAND_CACHE.get_or_persist(banded)
+    banded = _BAND_CACHE.get_or_persist(banded, version=data_version(df))
     _, broadcast_candidates = _auto_build_side(banded, broadcast_candidates)
     return lsh_pairs_from_bands(banded, id_col, broadcast_candidates)
 
@@ -345,7 +346,11 @@ def ngram_jaccard_pairs(
     # scale.  The one-entry PlanCache computes it once here and releases it
     # on the next different-corpus call (or release_dedup_caches); a 100 TB
     # run would write it to a (bucketed) table instead, same plan downstream.
-    sh = _SHINGLE_CACHE.get_or_persist(sh)
+    # The version token keeps cache, guard memo, and RESULTS consistent
+    # when the same path gains files: sameResult alone would serve the
+    # pre-growth shingle rows to both the AMS estimate and the join.
+    input_version = data_version(df)
+    sh = _SHINGLE_CACHE.get_or_persist(sh, version=input_version)
     # Spread probe rows by doc so pair generation parallelism is data-size-,
     # not key-distribution-, bound.  ×4 over core count keeps each task's
     # partial-aggregation hash map small: candidate pairs are quadratic in
@@ -384,7 +389,7 @@ def ngram_jaccard_pairs(
         # file list stays observable.
         key = (
             sh._jdf.queryExecution().analyzed().semanticHash(),
-            data_version(df),
+            input_version,
         )
         est = _JACCARD_GUARD_MEMO.get(key)
         if est is None:
@@ -692,7 +697,7 @@ def simhash_candidates(
     # banded feeds both join sides — persist so the simhash computation
     # runs once, not twice; one-entry lifecycle, same policy as
     # minhash_lsh_pairs (release via release_dedup_caches).
-    banded = _CHUNK_CACHE.get_or_persist(banded)
+    banded = _CHUNK_CACHE.get_or_persist(banded, version=data_version(sig))
     l = banded.alias("l")
     r, _ = _auto_build_side(banded.alias("r"), broadcast_candidates)
     return (
@@ -903,7 +908,7 @@ def minhash_lsh_pairs_cross(
         # ingest loop never accumulates yesterday's delta (the round-6
         # ADVICE leak) — released on the next different-delta call or
         # release_dedup_caches().
-        new_b = _DELTA_BAND_CACHE.get_or_persist(new_b)
+        new_b = _DELTA_BAND_CACHE.get_or_persist(new_b, version=data_version(new_df))
     new_b, _ = _auto_build_side(new_b, broadcast_delta)
     new_b = new_b.alias("l")
     corp_b = (

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from feature_store_healthcare_spark.caching import PlanCache
+from feature_store_healthcare_spark.caching import PlanCache, data_version
 from feature_store_healthcare_spark.operators.dedup import normalize_text
 
 
@@ -107,11 +107,15 @@ def build_postings_index(
     :func:`append_postings_index` grows it per delta batch, and
     ``stores.compact_bucketed`` collapses append-grown buckets.
 
-    The stats table stores INTEGER sufficient statistics (n_docs,
-    sum_dl), not a float avgdl, so appends merge EXACTLY (long addition)
+    The stats table stores INTEGER sufficient statistics (n_docs, sum_dl,
+    n_dl), not a float avgdl, so appends merge EXACTLY (long addition)
     and an appended index reproduces a from-scratch rebuild bit-for-bit;
-    probes derive ``avgdl = sum_dl / n_docs`` — the same double every
-    rebuild computes (integer-valued double sums are exact below 2^53).
+    probes derive ``avgdl = sum_dl / n_dl`` — the same double every
+    rebuild's ``F.avg("dl")`` computes (integer-valued double sums are
+    exact below 2^53; ``n_dl`` counts the NON-NULL lengths so NULL-text
+    documents are excluded from the average exactly as ``avg`` excludes
+    them, while still counting toward ``n_docs`` for the idf, matching
+    the live scorer's semantics row for row).
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
@@ -121,10 +125,14 @@ def build_postings_index(
 
 
 def _postings_stats(docs: DataFrame, text_col: str) -> DataFrame:
-    """One-row (n_docs, sum_dl) — the exactly-mergeable form of
-    :func:`corpus_stats` (sum instead of avg)."""
-    return docs.select(F.size(tokens(text_col)).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    """One-row (n_docs, sum_dl, n_dl) — the exactly-mergeable sufficient
+    statistics behind :func:`corpus_stats` (sums and counts instead of an
+    average; ``n_dl`` = docs with non-NULL text, the ``avg`` denominator)."""
+    dl = F.size(tokens(text_col)).alias("dl")
+    return docs.select(dl).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.count("dl").alias("n_dl"),
     )
 
 
@@ -160,28 +168,37 @@ def append_postings_index(
     Appends add one file per bucket per batch; run
     ``stores.compact_bucketed`` periodically, exactly as with the band
     index.
+
+    Failure ordering: the stats row is read (fail-fast — a missing table
+    means the index was never bootstrapped with
+    :func:`build_postings_index`, and nothing has been written yet) and
+    the merged row computed BEFORE the postings append, so a bogus call
+    leaves the index untouched.  A crash BETWEEN the postings append and
+    the stats overwrite leaves stats undercounting the delta — the same
+    non-atomic two-file window ``compact_bucketed`` documents; recovery
+    is re-writing the stats from a fresh :func:`_postings_stats` over the
+    full corpus (or re-running the build).
     """
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     spark = delta_docs.sparkSession
-    post = postings(delta_docs, id_col, text_col)
-    write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
-                   mode="append")
-    merged = (
-        # fail-fast read: a missing stats table means the index was never
-        # bootstrapped (build_postings_index) — not a swap window to wait out
+    merged_rows = (
         read_table(spark, f"{table}__stats", swap_retry=False)
         .unionByName(_postings_stats(delta_docs, text_col))
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("sum_dl").alias("sum_dl"),
+            F.sum("n_dl").alias("n_dl"),
         )
+        .collect()
     )
-    # the merged row must be computed BEFORE the overwrite drops the old
-    # table (a lazy plan reading the table it overwrites loses the input)
-    rows = merged.collect()
+    post = postings(delta_docs, id_col, text_col)
+    write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
+                   mode="append")
     _write_postings_stats(
-        spark.createDataFrame(rows, "n_docs bigint, sum_dl bigint"),
+        spark.createDataFrame(
+            merged_rows, "n_docs bigint, sum_dl bigint, n_dl bigint"
+        ),
         table,
         path,
         "overwrite",
@@ -231,10 +248,11 @@ def bm25_topk_from_index(
     # one row per (doc, term) by construction ⇒ df(term) = count of hits
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # integer sufficient statistics → the same exact double avgdl every
-    # from-scratch F.avg("dl") computes (see build_postings_index)
+    # from-scratch F.avg("dl") computes: sum over non-NULL lengths divided
+    # by the non-NULL count (see build_postings_index)
     stats = read_table(spark, f"{table}__stats").select(
         "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        (F.col("sum_dl").cast("double") / F.col("n_dl")).alias("avgdl"),
     )
     q = spark.createDataFrame(queries, "query_id string, query string")
     qterms = q.select(
@@ -293,7 +311,10 @@ def unigram_perplexity_from_index(
     post = read_table(spark, table)
     id_col = _index_id_col(post, ("term", "tf", "dl"))
     term_counts = post.groupBy("term").agg(F.sum("tf").alias("ct"))
-    total = term_counts.agg(F.sum("ct").alias("total"))
+    # Σtf directly — NOT re-aggregated from term_counts, which would pay
+    # the per-term hash aggregation twice; a bare sum is one shuffle-free
+    # partial-aggregatable pass over the index
+    total = post.agg(F.sum("tf").alias("total"))
     return _perplexity_score(post, term_counts, total, id_col, round_to)
 
 
@@ -389,10 +410,11 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col), F.size(toks).alias("dl"), hit_toks.alias("__hits")
     )
-    # Same ANALYZED plan (hash + sameResult) ⇒ same corpus + same query
-    # terms ⇒ the cached base is byte-identical — reuse it; different ⇒
-    # the predecessor can never be hit again — released before caching.
-    base = _BM25_BASE_CACHE.get_or_persist(base)
+    # Same ANALYZED plan (hash + sameResult) + same input files ⇒ same
+    # corpus + same query terms ⇒ the cached base is byte-identical —
+    # reuse it; different ⇒ the predecessor can never be hit again —
+    # released before caching.
+    base = _BM25_BASE_CACHE.get_or_persist(base, version=data_version(docs))
     hit = (
         base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
         .groupBy(id_col, "term")
@@ -605,12 +627,7 @@ def build_bigram_index(
     doc_bi = bi.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("tf"))
     write_bucketed(doc_bi, table, "shingle", n_buckets, path, sort_col="shingle")
     vocab = docs.select(F.explode(toks).alias("v")).agg(F.countDistinct("v").alias("v"))
-    (
-        vocab.coalesce(1)
-        .write.mode("overwrite")
-        .option("path", f"{path}__stats")
-        .saveAsTable(f"{table}__stats")
-    )
+    _write_postings_stats(vocab, table, path, "overwrite")
 
 
 def bigram_logprob_from_index(

@@ -291,7 +291,8 @@ def embedding_near_dup_pairs(
         lsh_bucket_corpus(
             corpus, dim=dim, n_planes=n_planes, seed=seed,
             corpus_id=corpus_id, corpus_vec=corpus_vec,
-        )
+        ),
+        version=data_version(corpus),
     )
     probes = base.select(
         "id",
@@ -659,11 +660,17 @@ def ivf_topk_from_index(
             "the collected batch. Pass a smaller batch, raise the bound "
             "deliberately, or use ivf_topk with a persisted assigned corpus."
         )
-    M = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    lists_per_q = _nearest_lists_np(M, cents, nprobe)
+    if q_rows:
+        M = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        lists_per_q = _nearest_lists_np(M, cents, nprobe)
+    else:
+        lists_per_q = []  # empty batch: empty result, same schema as live
     probed = sorted({lst for lists in lists_per_q for lst in lists})
     # static partition pruning: the scan never touches unprobed lists
-    scan = spark.read.parquet(path).where(F.col("__list").isin(probed))
+    # (an empty probe set reads nothing at all)
+    scan = spark.read.parquet(path).where(
+        F.col("__list").isin(probed) if probed else F.lit(False)
+    )
     qt = queries.schema[query_id].dataType
     schema = StructType(
         [

@@ -4411,14 +4411,12 @@ def _stored_index(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     ``build(table, path)`` runs with OVERWRITE semantics on first use in a
     session, so stale leftovers from earlier sessions can't poison results.
     """
+    from feature_store_healthcare_spark.stores import local_path
+
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _STORED_INDEX_MEMO:
         table = f"fshs_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        for prefix in ("file://", "file:"):
-            if warehouse.startswith(prefix):
-                warehouse = warehouse[len(prefix):]
-                break
+        warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
         build(table, os.path.join(warehouse, table))
         _STORED_INDEX_MEMO[key] = table
     return _STORED_INDEX_MEMO[key]

@@ -166,6 +166,18 @@ def _quote_ident(name: str) -> str:
     return ".".join(f"`{part}`" for part in name.split("."))
 
 
+def local_path(uri: str) -> str:
+    """A catalog/conf location as a bare filesystem path: strip the
+    ``file:``/``file://`` scheme this container's local catalog reports.
+    The single helper behind every path comparison and warehouse-relative
+    write in this repo — scheme handling must not drift between call
+    sites."""
+    for prefix in ("file://", "file:"):
+        if uri.startswith(prefix):
+            return uri[len(prefix):]
+    return uri
+
+
 def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> DataFrame:
     """Read a bucketed table by catalog name (bucket metadata only survives
     the catalog path — reading the parquet files directly loses it).
@@ -173,17 +185,23 @@ def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> Data
     ``swap_retry``: :func:`compact_bucketed`'s swap is drop-then-rename
     (non-atomic — no ACID table format in this container), so a reader
     resolving the name inside that window sees TABLE_OR_VIEW_NOT_FOUND
-    with the replacement milliseconds away.  The default retries the
-    lookup for ~2.5 s before giving up — the documented reader-side half
-    of the swap contract.  Pass False for fail-fast semantics."""
+    with the replacement milliseconds away.  The default retries THAT
+    error for ~2.5 s before giving up — the documented reader-side half
+    of the swap contract; every other analysis error (typo'd name with a
+    suggestion, broken view, missing database) is permanent and raises
+    immediately.  Pass False for fail-fast semantics."""
     from pyspark.errors import AnalysisException
 
     attempts = 10 if swap_retry else 1
     for i in range(attempts):
         try:
             return spark.table(table)
-        except AnalysisException:
-            if i == attempts - 1:
+        except AnalysisException as exc:
+            condition = getattr(exc, "getCondition", None)
+            name = condition() if condition is not None else None
+            if i == attempts - 1 or not (
+                name is None or "TABLE_OR_VIEW_NOT_FOUND" in str(name)
+            ):
                 raise
             time.sleep(0.25)
     raise AssertionError("unreachable")
@@ -239,14 +257,9 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     caller to delete once no reader needs it.
     """
     bucket_cols, n_buckets, sort_cols, old_location = _bucket_spec(spark, table)
-
-    def _local(uri: str) -> str:
-        for prefix in ("file://", "file:"):
-            if uri.startswith(prefix):
-                return uri[len(prefix):]
-        return uri
-
-    if os.path.abspath(_local(new_path)) == os.path.abspath(_local(old_location)):
+    if os.path.abspath(local_path(new_path)) == os.path.abspath(
+        local_path(old_location)
+    ):
         raise ValueError(
             f"compact_bucketed new_path={new_path!r} is {table!r}'s current "
             "location — the overwrite would delete the files the compaction "

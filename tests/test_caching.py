@@ -51,6 +51,48 @@ def test_plan_cache_reuse_swap_release(spark):
     assert c.peek() is None
 
 
+def test_plan_cache_version_token_swaps(spark):
+    """Same PLAN, different version token ⇒ miss: sameResult can't see a
+    path that gained files, so the version component must demote the hit
+    and release the stale rows (round-7 review finding #2)."""
+    c = PlanCache("t")
+    a = spark.range(10).selectExpr("id", "id * 2 AS x")
+    same = spark.range(10).selectExpr("id", "id * 2 AS x")
+    v1 = c.get_or_persist(a, version=1)
+    assert c.get_or_persist(same, version=1) is v1  # same version: reused
+    base = _n_cached(spark)
+    v1.count()
+    assert _n_cached(spark) == base + 1
+    v2 = c.get_or_persist(same, version=2)  # grown input: swapped
+    assert v2 is not v1
+    v2.count()
+    assert _n_cached(spark) == base + 1  # predecessor released, not stacked
+    c.release(blocking=True)
+    assert _n_cached(spark) == base
+
+
+def test_plan_cache_repersists_after_external_eviction(spark):
+    """spark.catalog.clearCache() unpersists every entry behind the
+    cache's back; a hit must detect the evicted storage level and
+    re-persist instead of serving an unpersisted frame forever (round-7
+    review finding #1 — scale_rehearsal clears the cache between timed
+    runs)."""
+    c = PlanCache("t")
+    a = spark.range(10).selectExpr("id", "id * 3 AS x")
+    same = spark.range(10).selectExpr("id", "id * 3 AS x")
+    first = c.get_or_persist(a)
+    first.count()
+    spark.catalog.clearCache()
+    base = _n_cached(spark)
+    again = c.get_or_persist(same)
+    assert again is not first  # evicted entry detected, not served
+    sl = again.storageLevel
+    assert sl.useMemory or sl.useDisk  # compute-once guarantee restored
+    again.count()
+    assert _n_cached(spark) == base + 1
+    c.release(blocking=True)
+
+
 @pytest.fixture(scope="module")
 def docs_a(spark):
     rows = [(i, f"alpha beta gamma delta token{i} epsilon zeta") for i in range(20)]
@@ -141,12 +183,18 @@ def test_embedding_near_dup_cache_lifecycle(spark, clean_caches):
 def test_jaccard_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches):
     """Round-6 VERDICT finding #2: the tripwire memo must not serve a stale
     estimate after the corpus grows under an unchanged plan — the memo key
-    folds in the input-file version, so an appended path re-estimates."""
+    folds in the input-file version, so an appended path re-estimates.
+
+    Deliberately NO release_dedup_caches between the calls: the version
+    token threaded into _SHINGLE_CACHE must itself demote the stale
+    cached shingle rows (round-7 review finding #2 — a re-estimate run
+    over the PRE-growth cached rows would store the old estimate under
+    the new key, and the returned pairs would be stale too)."""
     path = str(tmp_path / "docs")
     rows = [(i, "alpha beta gamma delta") for i in range(10)]
     spark.createDataFrame(rows, "doc_id int, text string").write.parquet(path)
     docs1 = spark.read.parquet(path)
-    dedup.ngram_jaccard_pairs(docs1, "doc_id", "text", n=2).collect()
+    n_pairs1 = len(dedup.ngram_jaccard_pairs(docs1, "doc_id", "text", n=2).collect())
     sh1 = dedup.shingles(docs1, "doc_id", "text", n=2, size_col="__sz")
     # version comes from the INPUT scan (the cached shingle plan's own
     # inputFiles() is empty once persisted — see caching.data_version)
@@ -155,14 +203,19 @@ def test_jaccard_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches)
         data_version(docs1),
     )
     est1 = dedup._JACCARD_GUARD_MEMO[key1]
+    stale_shingles = dedup._SHINGLE_CACHE.peek()
     # grow the corpus in place (the incremental loop's append pattern)
     more = [(i, "alpha beta gamma delta") for i in range(10, 40)]
     spark.createDataFrame(more, "doc_id int, text string").write.mode(
         "append"
     ).parquet(path)
     docs2 = spark.read.parquet(path)
-    dedup.release_dedup_caches(blocking=True)  # don't reuse the stale shingle cache
-    dedup.ngram_jaccard_pairs(docs2, "doc_id", "text", n=2).collect()
+    pairs2 = dedup.ngram_jaccard_pairs(docs2, "doc_id", "text", n=2).collect()
+    # the version mismatch — not a manual release — swapped the cache, so
+    # both the estimate and the RESULTS see the grown corpus
+    assert dedup._SHINGLE_CACHE.peek() is not stale_shingles
+    assert len(pairs2) == 40 * 39 // 2  # all-identical docs: every pair
+    assert n_pairs1 == 10 * 9 // 2
     sh2 = dedup.shingles(docs2, "doc_id", "text", n=2, size_col="__sz")
     key2 = (
         sh2._jdf.queryExecution().analyzed().semanticHash(),

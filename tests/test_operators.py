@@ -324,6 +324,13 @@ def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
         similarity.ivf_topk_from_index(spark, path, emb.select(
             F.col("vec_id").alias("query_id"), "embedding"
         ), k=5, nprobe=2, max_query_rows=10)
+    # empty query batch (a daily run with no arrivals): empty result with
+    # the live schema, never a numpy axis error (round-7 review finding #5)
+    empty = similarity.ivf_topk_from_index(
+        spark, path, q.where(F.lit(False)), k=5, nprobe=4
+    )
+    assert empty.columns == stored.columns
+    assert empty.count() == 0
 
 
 def test_ivf_centroids_deterministic(spark):

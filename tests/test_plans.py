@@ -235,6 +235,14 @@ def test_compact_bucketed_guards_and_swap_window(spark, tmp_path):
             read_table(spark, "swap_b", swap_retry=False)
         assert read_table(spark, "swap_b").count() == 100  # retried through
         t.join()
+
+        # (d) the retry is scoped to TABLE_OR_VIEW_NOT_FOUND — a permanent
+        # analysis error raises immediately instead of sleeping through 10
+        # attempts (round-7 review finding #6)
+        t0 = _time.monotonic()
+        with pytest.raises(AnalysisException):
+            read_table(spark, "not a valid.name")
+        assert _time.monotonic() - t0 < 1.0  # no ~2.3 s retry loop
     finally:
         for tbl in ("same_b", "cmpdb.cmp_q", "cmpdb.cmp_q__compact",
                     "swap_b", "swap_b__compact"):

@@ -202,6 +202,50 @@ def test_postings_index_append_matches_rebuild(spark, corpus, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_stored_index_null_text_avgdl_parity(spark, corpus, tmp_path):
+    """Round-7 review finding #3: a NULL-text document must not skew the
+    stored index's derived avgdl.  ``F.avg("dl")`` skips NULLs, so the
+    stats table carries ``n_dl`` (non-NULL count) alongside ``n_docs`` —
+    the stored probe divides by the former and stays bit-identical to the
+    live scorer on the same corpus."""
+    withnull = corpus.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id int, text string")
+    )
+    retrieval.build_postings_index(
+        withnull, "doc_id", "text", "t_null", str(tmp_path / "null"), n_buckets=2
+    )
+    try:
+        srow = spark.table("t_null__stats").collect()[0]
+        assert srow.n_docs == 6  # the NULL doc counts toward the corpus…
+        assert srow.n_dl == 5  # …but not toward the avgdl denominator
+        q = [("a", "hash scan"), ("b", "merge join")]
+        live = retrieval.bm25_topk(withnull, "doc_id", "text", q, k=5).collect()
+        stored = retrieval.bm25_topk_from_index(spark, "t_null", q, k=5).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(live, key=key) == sorted(stored, key=key)
+        retrieval.release_bm25_cache(blocking=True)
+    finally:
+        for t in ("t_null", "t_null__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_postings_index_requires_bootstrap(spark, corpus, tmp_path):
+    """Round-7 review finding #4: appending to an index that was never
+    built must fail BEFORE any write — a half-initialized postings table
+    (delta rows only, no stats) would silently mis-score every later
+    probe after a bootstrap 'fixed' the missing stats."""
+    with pytest.raises(Exception, match="t_ghost__stats|TABLE_OR_VIEW"):
+        retrieval.append_postings_index(
+            corpus, "doc_id", "text", "t_ghost", str(tmp_path / "ghost"),
+            n_buckets=2,
+        )
+    # fail-fast ordering: the postings table was never created
+    assert not spark.catalog.tableExists("t_ghost")
+    import os
+
+    assert not os.path.exists(str(tmp_path / "ghost"))
+
+
 def test_stored_postings_id_col_contract(spark, corpus, tmp_path):
     from pyspark.sql import functions as F  # noqa: F811
 
