@@ -93,6 +93,28 @@ def test_plan_cache_repersists_after_external_eviction(spark):
     c.release(blocking=True)
 
 
+def test_data_version_cheap_tier_tracks_growth(spark, tmp_path, monkeypatch):
+    """Above the file-count threshold data_version switches to the O(1)
+    (n_files, total bytes) token — paths never ship through py4j (minutes
+    per call at a 100 TB table's ~1M files) — and the cheap token still
+    changes on append and stays stable across identical re-reads."""
+    from feature_store_healthcare_spark import caching
+
+    path = str(tmp_path / "many")
+    spark.range(100).repartition(4).write.parquet(path)
+    monkeypatch.setattr(caching, "_EXACT_VERSION_MAX_FILES", 2)
+    v1 = caching.data_version(spark.read.parquet(path))
+    assert caching.data_version(spark.read.parquet(path)) == v1  # stable
+    spark.range(5).write.mode("append").parquet(path)
+    v2 = caching.data_version(spark.read.parquet(path))
+    assert v2 != v1  # append seen without any path transfer
+    # below the threshold the exact path hash is unchanged behavior
+    monkeypatch.setattr(caching, "_EXACT_VERSION_MAX_FILES", 1024)
+    assert caching.data_version(spark.read.parquet(path)) == hash(
+        tuple(sorted(spark.read.parquet(path).inputFiles()))
+    )
+
+
 @pytest.fixture(scope="module")
 def docs_a(spark):
     rows = [(i, f"alpha beta gamma delta token{i} epsilon zeta") for i in range(20)]
