@@ -116,6 +116,29 @@ class PlanCache:
             self._entry = None
 
 
+class BoundedMemo(dict):
+    """Insertion-ordered dict capped at ``maxsize`` — the container for
+    the tripwire-estimate memos.  Each (plan, data-version) pair admits
+    one small scalar, but an ingest loop mints a NEW version key per
+    batch (that is the point of :func:`data_version`), so an unbounded
+    dict grows by one entry per batch forever — the same
+    session-lifecycle leak class PlanCache exists to prevent, just in
+    miniature.  Admitting a key beyond the cap evicts the OLDEST entry;
+    an evicted estimate simply recomputes (a cost event, never a
+    correctness event — identical to PlanCache's release semantics).
+    ``clear()`` is the eager hook, called by the operators'
+    ``release_*`` functions."""
+
+    def __init__(self, maxsize: int = 256):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self.maxsize:
+            del self[next(iter(self))]
+        super().__setitem__(key, value)
+
+
 #: Above this many leaf files the exact path-list hash would ship every
 #: path through py4j (~0.2 s / 1.5k files, linear — minutes at a
 #: 100 TB table's ~1M files), so data_version switches to an O(1)

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from feature_store_healthcare_spark.caching import PlanCache, data_version
+from feature_store_healthcare_spark.caching import (
+    BoundedMemo,
+    PlanCache,
+    data_version,
+)
 
 #: One-entry persisted-plan caches (see caching.PlanCache): each call site
 #: that persists a corpus- or delta-sized intermediate releases its
@@ -45,6 +49,7 @@ def release_dedup_caches(blocking: bool = False) -> None:
     the memory back before the next operator call would reclaim it."""
     for cache in (_BAND_CACHE, _SHINGLE_CACHE, _CHUNK_CACHE, _DELTA_BAND_CACHE):
         cache.release(blocking=blocking)
+    _JACCARD_GUARD_MEMO.clear()
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -249,12 +254,14 @@ def _auto_build_side(df: DataFrame, pinned: bool | None) -> tuple[DataFrame, boo
 #: ngram_jaccard_pairs' tripwire memo: (post-guard shingle-plan
 #: semanticHash, input-file version) → F2-sketch candidate estimate.  Same
 #: corpus+params ⇒ same estimate, so the sketch pass runs once per session
-#: per corpus (floats only — bounded by the number of distinct corpora a
-#: session dedups).  The file-version component (caching.data_version)
-#: forces a re-estimate when the SAME plan reads a GROWN path — appended
-#: parquet files under an unchanged semanticHash, the exact way the
-#: incremental loop grows corpora (round-6 VERDICT finding #2).
-_JACCARD_GUARD_MEMO: dict[tuple[int, int], float] = {}
+#: per corpus.  The file-version component (caching.data_version) forces
+#: a re-estimate when the SAME plan reads a GROWN path — appended parquet
+#: files under an unchanged semanticHash, the exact way the incremental
+#: loop grows corpora (round-6 VERDICT finding #2) — which also means an
+#: ingest loop mints one key per batch: BoundedMemo caps the footprint
+#: (oldest evicted, recomputed on next use) and release_dedup_caches
+#: clears it with the plan caches.
+_JACCARD_GUARD_MEMO: BoundedMemo = BoundedMemo()
 
 
 def ngram_jaccard_pairs(

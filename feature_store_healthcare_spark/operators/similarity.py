@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from feature_store_healthcare_spark.caching import PlanCache, data_version
+from feature_store_healthcare_spark.caching import (
+    BoundedMemo,
+    PlanCache,
+    data_version,
+)
 
 #: One-entry cache for embedding_near_dup_pairs' inline-built LSH index
 #: (same lifecycle policy as the dedup module's caches — see
@@ -40,8 +44,10 @@ _NEAR_DUP_INDEX_CACHE = PlanCache("embedding_near_dup_pairs.index")
 
 def release_similarity_caches(blocking: bool = False) -> None:
     """Drop this module's cached operator intermediates now (the inline
-    near-dup LSH index) — the eager-release hook for long-lived sessions."""
+    near-dup LSH index) plus the tripwire memo — the eager-release hook
+    for long-lived sessions."""
     _NEAR_DUP_INDEX_CACHE.release(blocking=blocking)
+    _COSINE_GUARD_MEMO.clear()
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -330,11 +336,12 @@ def embedding_near_dup_pairs(
 
 
 #: cosine_pairs_exact's tripwire memo: (corpus-plan semanticHash,
-#: input-file version) → row count (ints only — bounded by the number of
-#: distinct corpora a session verifies).  Same pattern as
+#: input-file version) → row count.  Same pattern as
 #: dedup._JACCARD_GUARD_MEMO, including the file-version component that
-#: forces a re-count when the same plan reads a grown path.
-_COSINE_GUARD_MEMO: dict[tuple[int, int], int] = {}
+#: forces a re-count when the same plan reads a grown path and the
+#: BoundedMemo cap that keeps a per-batch-keyed ingest loop from growing
+#: it forever (release_similarity_caches clears it eagerly).
+_COSINE_GUARD_MEMO: BoundedMemo = BoundedMemo()
 
 
 def cosine_pairs_exact(
@@ -614,6 +621,81 @@ def load_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """Reload a stored index's centroid half (k rows — bounded collect)."""
     rows = spark.read.parquet(f"{path}__centroids").collect()
     return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+
+
+def append_ivf_index(
+    delta: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Grow a stored IVF index in place: assign the delta batch against
+    the index's EXISTING centroids (fail-fast read — a missing centroid
+    file means the index was never built, and nothing is written) and
+    append into the ``__list=`` partition directories — the ANN half of
+    the incremental lifecycle every stored index in this repo follows
+    (band index: ``dedup.append_band_index``; text index:
+    ``retrieval.append_postings_index``).
+
+    The centroids are the QUANTIZER, not a corpus statistic: per-vector
+    assignment is deterministic and independent of the rest of the batch,
+    so an appended index is bit-identical to :func:`ivf_assign` over the
+    full corpus with the ORIGINAL centroids, and every probe result
+    matches the from-scratch-assigned index exactly (test-pinned).  What
+    an append cannot do is re-train: a corpus that drifts away from the
+    original centroid sample degrades list balance and recall, so
+    re-run :func:`build_ivf_index` (a rebuild, not an append) on whatever
+    cadence recall monitoring dictates — the same retrain-vs-append
+    economics FAISS documents for IVF.
+
+    Each append adds one file per touched list; run
+    :func:`compact_ivf_index` when file counts grow (same economics as
+    ``stores.compact_bucketed`` for the band/postings tables).
+    """
+    spark = delta.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    assigned = ivf_assign(delta, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    assigned.write.mode("append").partitionBy("__list").parquet(path)
+
+
+def compact_ivf_index(spark, path: str, new_path: str) -> None:
+    """Rewrite an append-grown IVF index to ONE file per inverted list at
+    ``new_path`` (probes open O(nprobe) files again instead of
+    O(nprobe · appends)) and copy the centroid half alongside.  The
+    repartition ON the partition column puts each list's rows in a single
+    task, so ``partitionBy`` emits exactly one file per list directory.
+
+    Results are unchanged by construction — same rows, same partition
+    values, and probe determinism never depended on file order (the
+    re-rank sorts on (cosine, id)).  The caller swaps paths (or points
+    probes at ``new_path``) and deletes the old directory once no reader
+    needs it — same non-atomic-swap contract as ``stores.compact_bucketed``,
+    and the same guard: compacting INTO the live path would overwrite the
+    files the compaction scan is reading.
+    """
+    import os
+
+    from feature_store_healthcare_spark.stores import local_path
+
+    if os.path.abspath(local_path(new_path)) == os.path.abspath(local_path(path)):
+        raise ValueError(
+            f"compact_ivf_index new_path={new_path!r} is the index's current "
+            "location — the overwrite would delete the files the compaction "
+            "scan is reading. Compact to a fresh path and swap."
+        )
+    (
+        spark.read.parquet(path)
+        .repartition(F.col("__list"))
+        .write.mode("overwrite")
+        .partitionBy("__list")
+        .parquet(new_path)
+    )
+    (
+        spark.read.parquet(f"{path}__centroids")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{new_path}__centroids")
+    )
 
 
 def ivf_topk_from_index(

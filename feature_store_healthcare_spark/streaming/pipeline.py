@@ -193,6 +193,97 @@ def streaming_online_upsert(
     return writer
 
 
+def _read_batch_marker(marker_path: str) -> dict | None:
+    import json
+    import os
+
+    if not os.path.exists(marker_path):
+        return None
+    with open(marker_path) as fh:
+        return json.load(fh)
+
+
+def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
+    import json
+    import os
+
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"txn_id": txn_id, "batch_id": batch_id}, fh)
+    os.replace(tmp, marker_path)  # atomic on POSIX
+
+
+def streaming_postings_maintenance(
+    stream: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "postings_maintenance",
+):
+    """Streaming half of the stored text-index lifecycle: every
+    micro-batch of documents appends into the bucketed postings table
+    through ``retrieval.append_postings_index``, so BM25 / perplexity
+    probes always see the corpus as of the last committed batch with zero
+    rescans — the document stream is tokenized exactly once per row.
+    Bootstrap the index with ``build_postings_index`` first (the append
+    fails fast on a never-built index by design).
+
+    **Idempotence**: ``foreachBatch`` is at-least-once — a crashed batch
+    re-runs under the SAME batch id, and a blind re-append would
+    double-count its postings (the stats merge is addition).  A marker
+    file at ``{path}__applied`` records ``(txn_id, batch_id)`` after each
+    successful append (written atomically via rename); a replay of an
+    already-recorded batch is skipped.  This is the txnAppId/txnVersion
+    discipline Delta Lake documents for idempotent foreachBatch writes,
+    applied to the plain-parquet index this container supports.  The
+    residual window — a crash BETWEEN the append and the marker write
+    re-appends one batch — is the same non-transactional two-file gap
+    ``append_postings_index`` itself documents; recovery is a rebuild.
+
+    ``txn_id`` identifies the LOGICAL stream (defaults to the checkpoint
+    dir, whose batch ids it scopes): restarting from the same checkpoint
+    resumes correctly; pointing a FRESH checkpoint (batch ids restart at
+    0) at an already-loaded index requires a fresh index or an explicit
+    new ``txn_id`` — the marker then does not mask the batch-id reset,
+    and the double-load is the caller's (documented) choice.
+
+    Run ``stores.compact_bucketed`` on the postings table periodically,
+    exactly as with batch appends.
+    """
+    from feature_store_healthcare_spark.operators import retrieval
+
+    tid = txn_id or checkpoint_dir or queryName
+    marker = f"{path}__applied"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = _read_batch_marker(marker)
+        if (
+            last is not None
+            and last["txn_id"] == tid
+            and batch_id <= last["batch_id"]
+        ):
+            return  # at-least-once replay of an applied batch: skip
+        retrieval.append_postings_index(
+            batch_df, id_col, text_col, table, path, n_buckets=n_buckets
+        )
+        _write_batch_marker(marker, tid, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def streaming_incremental_rollup(
     stream: DataFrame,
     state_path: str,

@@ -93,6 +93,26 @@ def test_plan_cache_repersists_after_external_eviction(spark):
     c.release(blocking=True)
 
 
+def test_bounded_memo_caps_and_release_clears(spark):
+    """The tripwire memos mint one key per (plan, data-version) — an
+    ingest loop adds one per batch forever without a cap.  BoundedMemo
+    evicts oldest-first at maxsize, and the release hooks clear the
+    module memos along with the plan caches."""
+    from feature_store_healthcare_spark.caching import BoundedMemo
+
+    m = BoundedMemo(maxsize=3)
+    for i in range(5):
+        m[i] = i * 10
+    assert len(m) == 3 and list(m) == [2, 3, 4]  # oldest two evicted
+    m[2] = 99  # updating an existing key evicts nothing
+    assert list(m) == [2, 3, 4] and m[2] == 99
+    dedup._JACCARD_GUARD_MEMO[(1, 2)] = 5.0
+    similarity._COSINE_GUARD_MEMO[(3, 4)] = 7
+    dedup.release_dedup_caches()
+    similarity.release_similarity_caches()
+    assert not dedup._JACCARD_GUARD_MEMO and not similarity._COSINE_GUARD_MEMO
+
+
 def test_data_version_cheap_tier_tracks_growth(spark, tmp_path, monkeypatch):
     """Above the file-count threshold data_version switches to the O(1)
     (n_files, total bytes) token — paths never ship through py4j (minutes

@@ -333,6 +333,64 @@ def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
     assert empty.count() == 0
 
 
+def test_ivf_index_append_compact_lifecycle(spark, tmp_path):
+    """append_ivf_index closes the ANN index lifecycle (build → probe →
+    append → compact, the band/postings pattern): assignment against the
+    ORIGINAL centroids is per-vector deterministic, so an appended index
+    probes bit-identically to one assigned from the full corpus in a
+    single build, and compaction collapses the per-append files to one
+    per inverted list without changing a single result row."""
+    import glob
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    deltas = [
+        emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0)),
+        emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 1)),
+    ]
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_app")
+    cents = similarity.build_ivf_index(base, path, n_centroids=8)
+    for d in deltas:
+        similarity.append_ivf_index(d, path)
+    # appended ≡ one-shot full-corpus index under the SAME centroids
+    full_path = str(tmp_path / "ivf_full")
+    similarity.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "__list"
+    ).parquet(full_path)
+    spark.read.parquet(f"{path}__centroids").write.mode("overwrite").parquet(
+        f"{full_path}__centroids"
+    )
+    key = lambda t: (t[0], t[3])  # noqa: E731
+    appended = similarity.ivf_topk_from_index(spark, path, q, k=5, nprobe=4)
+    oneshot = similarity.ivf_topk_from_index(spark, full_path, q, k=5, nprobe=4)
+    assert sorted(map(tuple, appended.collect()), key=key) == sorted(
+        map(tuple, oneshot.collect()), key=key
+    )
+    # append on a never-built path fails before writing anything
+    ghost = str(tmp_path / "ivf_ghost")
+    with pytest.raises(Exception):
+        similarity.append_ivf_index(deltas[0], ghost)
+    import os
+
+    assert not os.path.exists(ghost)
+    # compaction: one file per list, results unchanged, live path guarded
+    with pytest.raises(ValueError, match="current \\n?location|current location"):
+        similarity.compact_ivf_index(spark, path, path)
+    cpath = str(tmp_path / "ivf_v2")
+    similarity.compact_ivf_index(spark, path, cpath)
+    for d in glob.glob(os.path.join(cpath, "__list=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    compacted = similarity.ivf_topk_from_index(spark, cpath, q, k=5, nprobe=4)
+    assert sorted(map(tuple, compacted.collect()), key=key) == sorted(
+        map(tuple, oneshot.collect()), key=key
+    )
+
+
 def test_ivf_centroids_deterministic(spark):
     from feature_store_healthcare_spark.operators import similarity
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")

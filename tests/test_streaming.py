@@ -490,3 +490,68 @@ def test_streaming_decayed_counters_v2_state_api(spark, tmp_path):
     )
     rows = spark.table("decay2_out").collect()
     assert rows and rows[0].decayed_count == 1.0
+
+
+def test_streaming_postings_maintenance_matches_batch_build(spark, tmp_path):
+    """The streaming text-index loop (bootstrap build → per-micro-batch
+    append_postings_index via foreachBatch) produces an index whose every
+    probe is bit-identical to a one-shot build over the full corpus, and
+    the (txn_id, batch_id) marker makes replays idempotent: re-running the
+    same logical stream from a fresh checkpoint with the same txn_id
+    appends nothing."""
+    from feature_store_healthcare_spark.operators import retrieval
+
+    base = [(0, "hash join hash join hash"), (1, "sort merge sort merge")]
+    b1 = [(2, "hash partition scan"), (3, "broadcast join small table")]
+    b2 = [(4, "scan scan scan scan merge")]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+    schema = "doc_id int, text string"
+    path = str(tmp_path / "post_s")
+    try:
+        retrieval.build_postings_index(
+            spark.createDataFrame(base, schema), "doc_id", "text",
+            "t_stream", path, n_buckets=2,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        writer = sp.streaming_postings_maintenance(
+            stream, "t_stream", path, n_buckets=2, txn_id="load1"
+        )
+        _run_available_now(writer, tmp_path, "post_s")
+
+        full = spark.createDataFrame(base + b1 + b2, schema)
+        retrieval.build_postings_index(
+            full, "doc_id", "text", "t_full_s", str(tmp_path / "post_f"),
+            n_buckets=2,
+        )
+        q = [("a", "hash scan"), ("b", "merge join")]
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        streamed = retrieval.bm25_topk_from_index(spark, "t_stream", q, k=5)
+        oneshot = retrieval.bm25_topk_from_index(spark, "t_full_s", q, k=5)
+        assert sorted(streamed.collect(), key=key) == sorted(
+            oneshot.collect(), key=key
+        )
+        pa = retrieval.unigram_perplexity_from_index(spark, "t_stream").collect()
+        pf = retrieval.unigram_perplexity_from_index(spark, "t_full_s").collect()
+        assert sorted(map(tuple, pa)) == sorted(map(tuple, pf))
+
+        # replay the same logical stream (same txn_id, fresh checkpoint →
+        # batch ids restart at 0): the marker skips every batch, the index
+        # is unchanged
+        stats_before = spark.table("t_stream__stats").collect()
+        writer2 = sp.streaming_postings_maintenance(
+            stream, "t_stream", path, n_buckets=2, txn_id="load1"
+        )
+        _run_available_now(writer2, tmp_path, "post_s_replay")
+        assert spark.table("t_stream__stats").collect() == stats_before
+    finally:
+        for t in ("t_stream", "t_stream__stats", "t_full_s", "t_full_s__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
