@@ -181,8 +181,10 @@ def data_version(df: DataFrame) -> int:
     substitution rewrites any plan matching a persisted one to its
     InMemoryRelation, whose ``inputFiles()`` is empty.
     """
-    jarr = df._jdf.inputFiles()  # py4j array proxy — paths stay JVM-side
+    jarr = df._jdf.inputFiles()  # py4j array proxy; len() is O(1)
     if len(jarr) <= _EXACT_VERSION_MAX_FILES:
-        return hash(tuple(sorted(df.inputFiles())))
+        # materialize the proxy we already hold — a df.inputFiles() call
+        # here would rebuild the listing array on the JVM a second time
+        return hash(tuple(sorted(list(jarr))))
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     return hash((len(jarr), str(size)))

@@ -677,12 +677,23 @@ def compact_ivf_index(spark, path: str, new_path: str) -> None:
 
     from feature_store_healthcare_spark.stores import local_path
 
-    if os.path.abspath(local_path(new_path)) == os.path.abspath(local_path(path)):
-        raise ValueError(
-            f"compact_ivf_index new_path={new_path!r} is the index's current "
-            "location — the overwrite would delete the files the compaction "
-            "scan is reading. Compact to a fresh path and swap."
-        )
+    # The guard covers BOTH directories each side touches (index root and
+    # its __centroids sibling) and nesting in either direction: compacting
+    # INTO the live root, its centroid dir, or a path inside/above either
+    # would overwrite files this function is concurrently reading.
+    a = os.path.abspath(local_path(path))
+    b = os.path.abspath(local_path(new_path))
+    sources = (a, f"{a}__centroids")
+    targets = (b, f"{b}__centroids")
+    for s in sources:
+        for t in targets:
+            if t == s or t.startswith(s + os.sep) or s.startswith(t + os.sep):
+                raise ValueError(
+                    f"compact_ivf_index new_path={new_path!r} overlaps the "
+                    f"live index at {path!r} ({t} vs {s}) — the overwrite "
+                    "would delete files the compaction scan is reading. "
+                    "Compact to a fresh path and swap."
+                )
     (
         spark.read.parquet(path)
         .repartition(F.col("__list"))

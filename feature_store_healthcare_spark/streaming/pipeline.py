@@ -244,24 +244,40 @@ def streaming_postings_maintenance(
     re-appends one batch — is the same non-transactional two-file gap
     ``append_postings_index`` itself documents; recovery is a rebuild.
 
-    ``txn_id`` identifies the LOGICAL stream (defaults to the checkpoint
-    dir, whose batch ids it scopes): restarting from the same checkpoint
-    resumes correctly; pointing a FRESH checkpoint (batch ids restart at
-    0) at an already-loaded index requires a fresh index or an explicit
-    new ``txn_id`` — the marker then does not mask the batch-id reset,
-    and the double-load is the caller's (documented) choice.
+    ``txn_id`` identifies the LOGICAL stream — batch ids are only
+    monotone within one checkpoint, so the marker is meaningful only
+    scoped to one.  It is REQUIRED (falling back to ``checkpoint_dir``
+    when that is passed through this function's parameter): a constant
+    default would make a SECOND logical stream into the same index —
+    fresh checkpoint, batch ids restarting at 0 — silently skip every
+    new batch as a "replay".  Restarting from the same checkpoint under
+    the same ``txn_id`` resumes correctly; a new logical load gets a new
+    ``txn_id`` (and accepts that re-streaming already-loaded documents
+    double-loads them, exactly as a repeated batch append would).
 
     Run ``stores.compact_bucketed`` on the postings table periodically,
     exactly as with batch appends.
     """
     from feature_store_healthcare_spark.operators import retrieval
+    from feature_store_healthcare_spark.stores import local_path
 
-    tid = txn_id or checkpoint_dir or queryName
-    marker = f"{path}__applied"
+    tid = txn_id or checkpoint_dir
+    if tid is None:
+        raise ValueError(
+            "streaming_postings_maintenance requires txn_id (or a "
+            "checkpoint_dir passed through this function): the idempotence "
+            "marker is scoped to one logical stream, and a constant "
+            "default would silently skip a second stream's batches as "
+            "replays."
+        )
+    # marker I/O is plain open(): strip the file:-scheme the catalog
+    # reports, or the first marker write fails and every restart
+    # re-appends the batch (compounding double-counts)
+    marker = f"{local_path(path)}__applied"
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # marker first: the replay-skip path must be one local file read,
+        # not a Spark job (isEmpty materializes part of the batch)
         last = _read_batch_marker(marker)
         if (
             last is not None
@@ -269,6 +285,8 @@ def streaming_postings_maintenance(
             and batch_id <= last["batch_id"]
         ):
             return  # at-least-once replay of an applied batch: skip
+        if batch_df.isEmpty():
+            return
         retrieval.append_postings_index(
             batch_df, id_col, text_col, table, path, n_buckets=n_buckets
         )

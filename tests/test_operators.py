@@ -379,8 +379,11 @@ def test_ivf_index_append_compact_lifecycle(spark, tmp_path):
 
     assert not os.path.exists(ghost)
     # compaction: one file per list, results unchanged, live path guarded
-    with pytest.raises(ValueError, match="current \\n?location|current location"):
-        similarity.compact_ivf_index(spark, path, path)
+    # (the guard covers the root, the __centroids sibling, and nesting —
+    # any of them as a target would overwrite files being read)
+    for bad in (path, f"{path}__centroids", os.path.join(path, "sub")):
+        with pytest.raises(ValueError, match="overlaps"):
+            similarity.compact_ivf_index(spark, path, bad)
     cpath = str(tmp_path / "ivf_v2")
     similarity.compact_ivf_index(spark, path, cpath)
     for d in glob.glob(os.path.join(cpath, "__list=*")):

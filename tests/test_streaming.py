@@ -552,6 +552,13 @@ def test_streaming_postings_maintenance_matches_batch_build(spark, tmp_path):
         )
         _run_available_now(writer2, tmp_path, "post_s_replay")
         assert spark.table("t_stream__stats").collect() == stats_before
+
+        # the marker is scoped to one logical stream: with no txn_id and
+        # no checkpoint_dir parameter there is nothing to scope it to, so
+        # the call must refuse rather than silently skip a second
+        # stream's batches as replays
+        with pytest.raises(ValueError, match="txn_id"):
+            sp.streaming_postings_maintenance(stream, "t_stream", path)
     finally:
         for t in ("t_stream", "t_stream__stats", "t_full_s", "t_full_s__stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
