@@ -90,6 +90,7 @@ HEADLINE = [
     "perplexity_stored_postings",
     "bigram_lm_stored_postings",
     "dedup_incremental_stored_bands",
+    "hybrid_rrf_stored",
 ]
 
 

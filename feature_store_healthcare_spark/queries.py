@@ -93,7 +93,8 @@ def query(name: str, oracle: str | None = None):
 #:    anything; it only changes which 50 the driver independently
 #:    re-proves.
 #: 3b. Queries that WRITE catalog tables (the round-7 stored-index twins:
-#:    bm25/perplexity/bigram_stored_postings, dedup_incremental_stored_
+#:    bm25/perplexity/bigram_stored_postings, hybrid_rrf_stored,
+#:    dedup_incremental_stored_
 #:    bands) stay OUT of the driver window deliberately: the driver's
 #:    session makes no warehouse-writability promise, and a failed index
 #:    build would turn a green row red for an environmental reason.  They
@@ -3787,9 +3788,7 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, "doc_id", "text", _BM25_QUERY_SET, k=10)
 
 
-@query(
-    "hybrid_rrf_retrieval",
-    f"""
+_HYBRID_RRF_ORACLE = f"""
     WITH {_bm25_ctes(20)},
     qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 5),
     cos_scored AS (
@@ -3817,19 +3816,13 @@ def bm25_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY rrf_score DESC, doc_id) AS fused_rank
       FROM fused)
     WHERE fused_rank <= 10
-    """,
-)
-def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ Hybrid retrieval (operators.retrieval.rrf_fuse): reciprocal-rank
-    fusion (Cormack et al. 2009, k=60) of the BM25 lexical top-20 with an
-    embedding-cosine top-20 (query i's vector is embeddings.vec_id == i —
-    doc and vec ids share the id space).  Fusion is union + partial-agg
-    groupBy on (query, doc) — no ranking-vs-ranking join — so it scales
-    with the candidate lists, not the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    bm = retrieval.bm25_topk(docs, "doc_id", "text", _BM25_QUERY_SET, k=20)
+    """
 
+
+def _cosine_rank20(emb: DataFrame) -> DataFrame:
+    """The embedding half of the hybrid queries: exact cosine top-20 per
+    query (query i's vector is embeddings.vec_id == i — doc and vec ids
+    share the id space), ties by doc id."""
     qq = emb.where(F.col("vec_id") < 5).select(
         F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("__qid"),
         F.col("embedding").alias("__qv"),
@@ -3845,7 +3838,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(similarity.cosine_similarity(F.col("__qv"), F.col("__cv")), 4),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
-    cos = (
+    return (
         cos_scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 20)
         .select(
@@ -3854,8 +3847,21 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query("hybrid_rrf_retrieval", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Hybrid retrieval (operators.retrieval.rrf_fuse): reciprocal-rank
+    fusion (Cormack et al. 2009, k=60) of the BM25 lexical top-20 with an
+    embedding-cosine top-20 (query i's vector is embeddings.vec_id == i —
+    doc and vec ids share the id space).  Fusion is union + partial-agg
+    groupBy on (query, doc) — no ranking-vs-ranking join — so it scales
+    with the candidate lists, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = retrieval.bm25_topk(docs, "doc_id", "text", _BM25_QUERY_SET, k=20)
     return retrieval.rrf_fuse(
-        [bm.select("query_id", "doc_id", "rank"), cos],
+        [bm.select("query_id", "doc_id", "rank"), _cosine_rank20(emb)],
         "query_id",
         "doc_id",
         k=10,
@@ -4446,6 +4452,27 @@ def bm25_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregates on the bucket key with no exchange."""
     table = _stored_postings(spark, sf_dir)
     return retrieval.bm25_topk_from_index(spark, table, _BM25_QUERY_SET, k=10)
+
+
+@query("hybrid_rrf_stored", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Hybrid RRF with the lexical half served from the STORED postings
+    index: bm25_topk_from_index reproduces the live scorer bit-for-bit
+    (same integer sufficient statistics — oracle- and test-proven), so
+    fusing it with the exact cosine ranking hash-matches
+    hybrid_rrf_retrieval's oracle while the documents corpus is never
+    read at all.  This is the end-state shape of a 100 TB retrieval
+    stack: stored term-bucketed lexical index + embedding index + a
+    fusion aggregate sized by the candidate lists, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = _stored_postings(spark, sf_dir)
+    bm = retrieval.bm25_topk_from_index(spark, table, _BM25_QUERY_SET, k=20)
+    return retrieval.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), _cosine_rank20(emb)],
+        "query_id",
+        "doc_id",
+        k=10,
+    )
 
 
 @query("perplexity_stored_postings", _PERPLEXITY_ORACLE)
