@@ -222,6 +222,34 @@ def test_embedding_near_dup_cache_lifecycle(spark, clean_caches):
     assert _n_cached(spark) == base
 
 
+def test_pmi_basket_cache_lifecycle(spark):
+    """cooccurrence_pmi's distinct (basket,item) table follows the module
+    cache policy: one entry, swapped by a different-input call, dropped
+    by release_graph_caches — and the cached form cuts the final plan
+    from four corpus computations to InMemoryTableScans."""
+    from feature_store_healthcare_spark.operators import graph
+
+    graph.release_graph_caches(blocking=True)
+    a = spark.createDataFrame(
+        [("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y")], "b string, i string"
+    )
+    b = spark.createDataFrame(
+        [("t1", "p"), ("t1", "q"), ("t2", "p")], "b string, i string"
+    )
+    base = _n_cached(spark)
+    out = graph.cooccurrence_pmi(a, "b", "i")
+    assert _n_cached(spark) == base + 1
+    assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+    first = graph._BASKET_CACHE.peek()
+    graph.cooccurrence_pmi(a, "b", "i").collect()
+    assert graph._BASKET_CACHE.peek() is first  # same input: reused
+    graph.cooccurrence_pmi(b, "b", "i").collect()
+    assert graph._BASKET_CACHE.peek() is not first  # swapped, not stacked
+    assert _n_cached(spark) == base + 1
+    graph.release_graph_caches(blocking=True)
+    assert _n_cached(spark) == base
+
+
 def test_jaccard_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches):
     """Round-6 VERDICT finding #2: the tripwire memo must not serve a stale
     estimate after the corpus grows under an unchanged plan — the memo key
