@@ -6175,7 +6175,11 @@ def retrieval_self_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = docs.sparkSession.createDataFrame(
         [(qid,) for qid, _ in queries], "query_id string"
     )
-    rr = qdf.join(hits, "query_id", "left")
+    # hits is ≤64 rows (one per self-retrieved query) but sits behind the
+    # bm25 aggregation, so the planner sees no stats and picks a
+    # sort-merge join; the hint removes the smj and its two sort
+    # exchanges (broadcasting the RIGHT side of a left join is legal).
+    rr = qdf.join(F.broadcast(hits), "query_id", "left")
     return rr.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(
