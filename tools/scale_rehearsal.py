@@ -545,16 +545,26 @@ AMORTIZED = {
     "pit_training_join_bucketed",
     "sessionize_events_bucketed",
     "cdc_apply_changes_bucketed",
-    "band_index_append",
     "ivf_index_append",
     "online_kv_point_get",
     "streaming_tumbling_rollup",
     "dedup_minhash_lsh_stored",
-    "dedup_incremental_stored",
     "bm25_stored_postings",
     "perplexity_stored_postings",
     "bigram_lm_stored_postings",
     "embedding_ivf_stored",
+    # NOT amortized: dedup_incremental_stored and band_index_append.
+    # Their DISK index bootstrap is amortized anyway (tableExists check,
+    # unaffected by clearCache), but their dominant cost — the 200k-doc
+    # delta's banded-signature build — lands in the round-7 unified
+    # PlanCache, which run 2 (and the later suite entry processing the
+    # same delta) would silently substitute, recording warm 2-4 s rows
+    # where the standalone cost is ~37 s and hiding any regression in
+    # the signature path.  clearCache before each timed run restores the
+    # cold standalone measurement (the PlanCache detects the external
+    # eviction and rebuilds); the warm loop-sharing number is real too
+    # and documented as such in SCALE.md's footnotes, but the
+    # machine-readable JSON carries the cold, regression-gateable cost.
 }
 
 #: timing-run count overrides (default 2, min taken).  The exact pairwise
