@@ -5026,11 +5026,21 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single generic hash aggregate instead of 45 parallel decimal agg
     expressions — the wide form codegen-compiles for ~7 s regardless of
     data size (measured), the long form compiles instantly and its 36×
-    row expansion partial-aggregates away before the shuffle."""
+    row expansion partial-aggregates away before the shuffle.
+
+    The marginals (per-dimension sums, row count) ride the SAME
+    aggregate as the pair moments — mirrored sum cells (k,-1)/(-1,k)
+    plus window maxes over the ≤74-row aggregate — instead of filtered
+    re-branches of it: Catalyst pushes a grouping-column filter BELOW
+    the aggregate, so branch plans differ, ReuseExchange never fires,
+    and the branched form scanned+exploded the corpus FOUR times (plan-
+    verified; the windows here shuffle ~74 rows, the corpus once)."""
     d = 8
     emb = load_table(spark, sf_dir, "embeddings")
     x = [F.col("embedding")[i].cast("double") for i in range(d)]
-    # (i, j, xi*xj) pair terms; (i, -1, xi) sum terms; (-1, -1, 1) count
+    # (i, j, xi*xj) pair terms; (k, -1) AND (-1, k) mirrored sum terms
+    # (so both the i- and the j-partition window can see dimension k's
+    # sum); (-1, -1, 1) count
     cells = F.array(
         *[
             F.struct(
@@ -5049,6 +5059,14 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(d)
         ],
+        *[
+            F.struct(
+                F.lit(-1).alias("i"),
+                F.lit(j).alias("j"),
+                x[j].cast("decimal(30,12)").alias("term"),
+            )
+            for j in range(d)
+        ],
         F.struct(
             F.lit(-1).alias("i"),
             F.lit(-1).alias("j"),
@@ -5060,29 +5078,34 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c.i", "c.j")
         .agg(F.sum("c.term").alias("t"))
     )
-    n_df = sums.where((F.col("i") == -1)).select(
-        F.col("t").cast("bigint").alias("n")
+    w_i = Window.partitionBy("i")
+    w_j = Window.partitionBy("j")
+    w_all = Window.partitionBy()  # ≤74 rows — single tiny partition
+    enriched = sums.select(
+        "i",
+        "j",
+        "t",
+        F.max(F.when(F.col("j") == -1, F.col("t"))).over(w_i).alias("__si"),
+        F.max(F.when(F.col("i") == -1, F.col("t"))).over(w_j).alias("__sj"),
+        F.max(
+            F.when((F.col("i") == -1) & (F.col("j") == -1), F.col("t"))
+        ).over(w_all).alias("__n"),
     )
-    s_df = sums.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("k"), F.col("t").cast("double").alias("s")
-    )
-    pairs = sums.where(F.col("j") >= 0)
-    si = s_df.select(F.col("k").alias("i"), F.col("s").alias("si"))
-    sj = s_df.select(F.col("k").alias("j"), F.col("s").alias("sj"))
+    n = F.col("__n").cast("bigint")
     return (
-        pairs.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(n_df))
+        enriched.where((F.col("i") >= 0) & (F.col("j") >= 0))
         .select(
             "i",
             "j",
-            "n",
+            n.alias("n"),
             F.round(
                 (
                     F.col("t").cast("double")
-                    - F.col("si") * F.col("sj") / F.col("n")
+                    - F.col("__si").cast("double")
+                    * F.col("__sj").cast("double")
+                    / n
                 )
-                / (F.col("n") - 1),
+                / (n - 1),
                 6,
             ).alias("cov"),
         )
