@@ -145,8 +145,18 @@ def psi(
     Output: (keys..., psi, n_expected, n_actual), psi rounded to 6
     decimals.  Keys present only in ``actual`` are dropped (no reference
     distribution to compare against).
+
+    The tiny per-key edges frame is local-checkpointed (eager — one job
+    at call time): it is referenced TWICE downstream (the bucketing join
+    and the empty-bucket scaffold), the two references project different
+    columns so their broadcast exchanges are not reusable, and without
+    the checkpoint each reference re-evaluates the FULL ``expected``
+    lineage — measured as 3 evaluations of a PIT-join input (6 fact
+    scans) in ``training_serving_skew`` before this change.  Same
+    truncation tool the CC/pagerank loops use; values are bit-identical
+    (no arithmetic changes, only lineage).
     """
-    edges = _edges(expected, keys, value_col)
+    edges = _edges(expected, keys, value_col).localCheckpoint(eager=True)
     tagged = (
         expected.select(*keys, value_col)
         .withColumn("__side", F.lit("e"))
@@ -208,8 +218,11 @@ def ks_binned(
     the largest single distributional shift; PSI to total re-allocation.
 
     Output: (keys..., ks_stat, n_expected, n_actual), rounded to 6.
+
+    Edges are local-checkpointed for the same double-reference reason as
+    :func:`psi` (bucketing join + scaffold).
     """
-    edges = _edges(expected, keys, value_col)
+    edges = _edges(expected, keys, value_col).localCheckpoint(eager=True)
     tagged = (
         expected.select(*keys, value_col)
         .withColumn("__side", F.lit("e"))
