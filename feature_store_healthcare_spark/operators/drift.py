@@ -282,6 +282,11 @@ def robust_outliers(
     three shuffles are on the same small key set; the fact table is
     scanned twice, which is the known price of exact MAD (the one-scan
     approximation is the histogram-state quantile in `maintenance`).
+    That floor only holds because the tiny median frame is
+    local-checkpointed: the joined frame is consumed twice (MAD pass +
+    scoring pass), and without truncation each consumption re-ran the
+    median's own scan too — four fact scans where the docstring promised
+    two (audited).
 
     Output: (keys..., n, median, mad, n_outliers, max_abs_z) — max_abs_z
     NULL when MAD = 0 (degenerate distribution; nothing flags).
@@ -290,7 +295,7 @@ def robust_outliers(
     v = F.col(value_col).cast("double")
     med = df.groupBy(*keys).agg(
         F.expr(f"cast(percentile({value_col}, 0.5) as double)").alias("__med")
-    )
+    ).localCheckpoint(eager=True)
     with_med = df.join(F.broadcast(med), keys)
     mad = with_med.groupBy(*keys).agg(
         F.expr(f"cast(percentile(abs({value_col} - __med), 0.5) as double)").alias(
