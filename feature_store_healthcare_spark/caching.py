@@ -42,7 +42,11 @@ cached rows and any memoized estimates derived from them refresh.  The
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 class PlanCache:
@@ -54,6 +58,7 @@ class PlanCache:
         self.name = name
         # (semanticHash, analyzed LogicalPlan, persisted DataFrame, version)
         self._entry: tuple[int, object, DataFrame, object] | None = None
+        self._hit_check_warned = False
 
     def get_or_persist(self, df: DataFrame, version: object = None) -> DataFrame:
         """Return the cached DataFrame when ``df`` is semantically equal to
@@ -93,8 +98,22 @@ class PlanCache:
                     and eplan.sameResult(plan)
                 ):
                     return edf
-            except Exception:
-                pass  # dead gateway object from a stopped session → miss
+            except Exception as exc:
+                # Expected only for a dead gateway object from a stopped
+                # session (py4j/connection errors) → treat as miss.  Any
+                # OTHER comparison error is a bug (e.g. a sameResult
+                # regression) being demoted to a permanent per-call miss —
+                # log it once per cache so it is observable, not silent.
+                if not self._hit_check_warned:
+                    self._hit_check_warned = True
+                    _log.warning(
+                        "PlanCache[%s] hit check raised %s: %s — treating "
+                        "as a miss; if this is not a stopped-session py4j "
+                        "error, every call is rebuilding the cached plan",
+                        self.name,
+                        type(exc).__name__,
+                        exc,
+                    )
             self.release()
         cached = df.persist()
         self._entry = (key, plan, cached, version)
@@ -171,6 +190,13 @@ def data_version(df: DataFrame) -> int:
     count AND identical total bytes — also defeats Spark's own cached
     ``persist()``, so callers re-ingesting that way must call the
     operator's ``release_*`` hook regardless of this signal.
+
+    The token is PROCESS-LOCAL by construction: both tiers go through
+    Python's ``hash()``, whose string hashing is salted per interpreter
+    (PYTHONHASHSEED), so the same table yields a different token in a
+    different process — correct for the in-process memos and PlanCache
+    entries this feeds (none outlive the interpreter), but never persist
+    or compare a token across processes.
 
     Limits, documented rather than hidden: the signal reflects the file
     index captured when ``df``'s relation was RESOLVED — a caller that

@@ -186,10 +186,13 @@ def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> Data
     (non-atomic — no ACID table format in this container), so a reader
     resolving the name inside that window sees TABLE_OR_VIEW_NOT_FOUND
     with the replacement milliseconds away.  The default retries THAT
-    error for ~2.5 s before giving up — the documented reader-side half
-    of the swap contract; every other analysis error (typo'd name with a
-    suggestion, broken view, missing database) is permanent and raises
-    immediately.  Pass False for fail-fast semantics."""
+    error — positively identified by its error condition — for ~2.5 s
+    before giving up: the documented reader-side half of the swap
+    contract.  Every other analysis error is permanent and raises
+    immediately, INCLUDING one whose ``getCondition()`` is None (an
+    unclassified analysis failure is not evidence of the swap window;
+    retrying it would stall ~2.5 s on e.g. a broken view before
+    surfacing the real error).  Pass False for fail-fast semantics."""
     from pyspark.errors import AnalysisException
 
     attempts = 10 if swap_retry else 1
@@ -200,7 +203,7 @@ def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> Data
             condition = getattr(exc, "getCondition", None)
             name = condition() if condition is not None else None
             if i == attempts - 1 or not (
-                name is None or "TABLE_OR_VIEW_NOT_FOUND" in str(name)
+                name is not None and "TABLE_OR_VIEW_NOT_FOUND" in str(name)
             ):
                 raise
             time.sleep(0.25)

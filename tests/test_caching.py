@@ -315,3 +315,40 @@ def test_cosine_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches):
     k2 = (c2._jdf.queryExecution().analyzed().semanticHash(), data_version(c2))
     assert k2 != k1
     assert similarity._COSINE_GUARD_MEMO[k2] == 15  # re-counted, not stale
+
+
+def test_no_bare_persist_outside_plan_cache():
+    """Hygiene gate for the module cache policy (round-7 VERDICT ask #2):
+    every ``persist()`` in non-test package source must go through
+    ``caching.PlanCache.get_or_persist`` — EXCEPT the documented
+    self-releasing loop sites, which unpersist their own frames before
+    returning (connected-components' edge frontier and pagerank's
+    e_deg/ranks).  A new bare per-call persist (the session-lifecycle
+    leak class rounds 6-7 eliminated) fails here with its location."""
+    import re
+    from pathlib import Path
+
+    import feature_store_healthcare_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    # file → allowed number of persist call sites (self-releasing loops +
+    # the PlanCache implementation itself)
+    allowed = {
+        "caching.py": 1,          # PlanCache.get_or_persist
+        "operators/graph.py": 2,  # pagerank e_deg + nodes (unpersisted before return)
+        "operators/dedup.py": 1,  # CC edge frontier (released in-loop)
+    }
+    offenders = []
+    for f in sorted(root.rglob("*.py")):
+        rel = str(f.relative_to(root))
+        hits = [
+            (i + 1, line.strip())
+            for i, line in enumerate(f.read_text().splitlines())
+            if re.search(r"\.persist\(", line)
+        ]
+        if len(hits) > allowed.get(rel, 0):
+            offenders.append((rel, hits))
+    assert not offenders, (
+        "bare persist() outside caching.PlanCache (route through "
+        f"get_or_persist or add a self-releasing allowlist entry): {offenders}"
+    )
