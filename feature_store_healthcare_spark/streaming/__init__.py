@@ -10,9 +10,12 @@ from feature_store_healthcare_spark.streaming.pipeline import (
     session_window_features,
     sliding_window_features,
     stream_events,
+    streaming_band_maintenance,
     streaming_cdc_apply,
     streaming_dedup,
+    streaming_ivf_maintenance,
     streaming_online_upsert,
+    streaming_postings_maintenance,
     tumbling_window_features,
 )
 
@@ -25,4 +28,7 @@ __all__ = [
     "streaming_online_upsert",
     "streaming_cdc_apply",
     "read_cdc_state",
+    "streaming_postings_maintenance",
+    "streaming_band_maintenance",
+    "streaming_ivf_maintenance",
 ]

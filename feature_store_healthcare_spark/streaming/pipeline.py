@@ -213,6 +213,105 @@ def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
     os.replace(tmp, marker_path)  # atomic on POSIX
 
 
+def _marker_path(path: str, txn_id: str) -> str:
+    """The replay-marker file for one (index, logical stream) pair:
+    ``{path}__applied.{md5(txn_id)[:12]}``.  Keyed BY txn_id so a second
+    logical stream into the same index gets its OWN marker instead of
+    overwriting the first stream's replay protection (a single shared
+    slot silently destroyed stream A's high-water mark the moment
+    stream B committed a batch).  The txn_id is also stored inside the
+    file and re-checked on read, so a 48-bit filename-digest collision
+    degrades to a skip-nothing miss, never a false skip."""
+    import hashlib
+
+    from feature_store_healthcare_spark.stores import local_path
+
+    digest = hashlib.md5(txn_id.encode()).hexdigest()[:12]
+    return f"{local_path(path)}__applied.{digest}"
+
+
+def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=None):
+    """Shared at-least-once replay guard for every stored-index
+    ``foreachBatch`` maintainer (postings, LSH band, IVF): wraps
+    ``apply_fn(batch_df)`` so a replayed (txn_id, batch_id) is skipped —
+    the txnAppId/txnVersion discipline Delta Lake documents for
+    idempotent foreachBatch writes, applied to the plain-parquet indexes
+    this container supports.
+
+    Contract (shared by all three maintainers):
+
+    - ``txn_id`` identifies the LOGICAL stream — batch ids are only
+      monotone within one checkpoint.  REQUIRED: with no scope, a second
+      logical stream would either skip fresh batches as replays (shared
+      marker) or double-append on replay (no marker).
+    - Markers are per-txn files (:func:`_marker_path`), so SERIAL streams
+      under distinct txn_ids each keep their own high-water mark.
+    - **Exactly one ACTIVE writer per index at a time.**  Two concurrent
+      streams — even with distinct txn_ids — race on the index itself:
+      the postings maintainer's stats read-merge-overwrite loses one
+      stream's update, and any append pair can interleave with a
+      compaction swap.  Concurrency control is a table-format feature
+      (Delta/Iceberg optimistic commits); plain parquet has none, so run
+      maintenance streams serially.
+    - The replay-skip path is one local file read, never a Spark job
+      (``isEmpty`` is checked only after the marker admits the batch).
+    - Residual window: a crash BETWEEN the append and the marker write
+      re-applies one batch — the same non-transactional two-file gap the
+      underlying appenders document; recovery is a rebuild.
+    - ``refresh``: called once after each APPLIED batch (never on the
+      skip path).  foreachBatch runs ``apply_fn`` under a CLONED
+      micro-batch session whose ``saveAsTable`` append invalidates only
+      the CLONE's table-relation cache — the driver session that built
+      the writer keeps serving its stale cached file listing, so a probe
+      issued there after the stream commits silently misses every
+      appended row (measured: catalog count frozen at the bootstrap
+      size while the raw parquet count grew).  The maintainers pass a
+      targeted ``spark.catalog.refreshTable`` on the ORIGINAL session
+      here; other sessions refresh themselves, exactly as with any
+      external append.
+    """
+    if txn_id is None:
+        raise ValueError(
+            "stored-index streaming maintenance requires txn_id (or a "
+            "checkpoint_dir passed through the calling function): the "
+            "idempotence marker is scoped to one logical stream, and a "
+            "constant default would silently skip a second stream's "
+            "batches as replays."
+        )
+    marker = _marker_path(path, txn_id)
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        last = _read_batch_marker(marker)
+        if (
+            last is not None
+            and last["txn_id"] == txn_id
+            and batch_id <= last["batch_id"]
+        ):
+            return  # at-least-once replay of an applied batch: skip
+        if batch_df.isEmpty():
+            return
+        apply_fn(batch_df)
+        _write_batch_marker(marker, txn_id, batch_id)
+        if refresh is not None:
+            refresh()
+
+    return _fb
+
+
+def _refresh_tables(spark: SparkSession, *tables: str):
+    """Post-append cache invalidation for the driver session (see
+    :func:`_idempotent_foreach_batch`): drop the cached relation (file
+    listing) of each index table so the next probe re-lists.  Targeted —
+    one call per applied batch per table, never a blanket
+    ``clearCache``."""
+
+    def _do() -> None:
+        for t in tables:
+            spark.catalog.refreshTable(t)
+
+    return _do
+
+
 def streaming_postings_maintenance(
     stream: DataFrame,
     table: str,
@@ -252,46 +351,127 @@ def streaming_postings_maintenance(
     fresh checkpoint, batch ids restarting at 0 — silently skip every
     new batch as a "replay".  Restarting from the same checkpoint under
     the same ``txn_id`` resumes correctly; a new logical load gets a new
-    ``txn_id`` (and accepts that re-streaming already-loaded documents
-    double-loads them, exactly as a repeated batch append would).
+    ``txn_id`` and its OWN marker file (and accepts that re-streaming
+    already-loaded documents double-loads them, exactly as a repeated
+    batch append would).  Single-ACTIVE-writer contract and the crash
+    window: see :func:`_idempotent_foreach_batch` — the stats
+    read-merge-overwrite in ``append_postings_index`` makes this the
+    maintainer most sensitive to concurrent writers.
 
     Run ``stores.compact_bucketed`` on the postings table periodically,
     exactly as with batch appends.
     """
     from feature_store_healthcare_spark.operators import retrieval
-    from feature_store_healthcare_spark.stores import local_path
 
-    tid = txn_id or checkpoint_dir
-    if tid is None:
-        raise ValueError(
-            "streaming_postings_maintenance requires txn_id (or a "
-            "checkpoint_dir passed through this function): the idempotence "
-            "marker is scoped to one logical stream, and a constant "
-            "default would silently skip a second stream's batches as "
-            "replays."
-        )
-    # marker I/O is plain open(): strip the file:-scheme the catalog
-    # reports, or the first marker write fails and every restart
-    # re-appends the batch (compounding double-counts)
-    marker = f"{local_path(path)}__applied"
-
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        # marker first: the replay-skip path must be one local file read,
-        # not a Spark job (isEmpty materializes part of the batch)
-        last = _read_batch_marker(marker)
-        if (
-            last is not None
-            and last["txn_id"] == tid
-            and batch_id <= last["batch_id"]
-        ):
-            return  # at-least-once replay of an applied batch: skip
-        if batch_df.isEmpty():
-            return
-        retrieval.append_postings_index(
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: retrieval.append_postings_index(
             batch_df, id_col, text_col, table, path, n_buckets=n_buckets
-        )
-        _write_batch_marker(marker, tid, batch_id)
+        ),
+        refresh=_refresh_tables(stream.sparkSession, table, f"{table}__stats"),
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
+
+def streaming_band_maintenance(
+    stream: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "band_maintenance",
+):
+    """Streaming half of the stored LSH band-index lifecycle: each
+    micro-batch of admitted documents appends its (id, band, bkey) rows
+    through ``dedup.append_band_index``, so tomorrow's
+    ``minhash_lsh_pairs_cross`` probe sees today's documents with no
+    rebuild.  Bootstrap with ``dedup.build_band_index`` first; signature
+    parameters MUST match the existing index (the digest-provenance
+    contract).  A blind foreachBatch replay would re-append the batch's
+    band rows — not a double-COUNT like postings stats, but duplicate
+    band rows that inflate every future probe's candidate set — so the
+    same (txn_id, batch_id) marker discipline guards it
+    (:func:`_idempotent_foreach_batch`, including the
+    one-active-writer contract and the crash-window caveat).
+
+    Note the dedup loop's ordering: probe the delta FIRST
+    (``minhash_lsh_pairs_cross`` with ``corpus_bands``), admit survivors,
+    and stream only ADMITTED docs here — appending pre-dedup input would
+    index the very duplicates the loop exists to reject.
+    """
+    from feature_store_healthcare_spark.operators import dedup
+
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: dedup.append_band_index(
+            batch_df, id_col, text_col, table, path, n_buckets,
+            n=n, num_hashes=num_hashes, bands=bands, portable=portable,
+        ),
+        refresh=_refresh_tables(stream.sparkSession, table),
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def streaming_ivf_maintenance(
+    stream: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "ivf_maintenance",
+):
+    """Streaming half of the stored IVF ANN-index lifecycle: each
+    micro-batch of new vectors is assigned against the index's EXISTING
+    centroids and appended into the ``__list=`` partition directories
+    through ``similarity.append_ivf_index`` (fail-fast on a never-built
+    index — bootstrap with ``similarity.build_ivf_index``).  A blind
+    replay would append duplicate vectors, so the same (txn_id,
+    batch_id) marker discipline guards it
+    (:func:`_idempotent_foreach_batch`; one ACTIVE writer per index —
+    an append racing ``compact_ivf_index``'s swap loses rows).
+
+    Appends cannot re-train the quantizer: rebuild on the cadence recall
+    monitoring dictates (see ``append_ivf_index``), and run
+    ``compact_ivf_index`` when per-list file counts grow.
+
+    No ``refresh`` hook: the IVF index is probed by PATH
+    (``spark.read.parquet``), which builds a fresh file index per read —
+    only catalog-name reads go through the session's relation cache
+    (see :func:`_idempotent_foreach_batch`).
+    """
+    from feature_store_healthcare_spark.operators import similarity
+
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: similarity.append_ivf_index(
+            batch_df, path, corpus_id=corpus_id, corpus_vec=corpus_vec
+        ),
+    )
     writer = (
         stream.writeStream.foreachBatch(_append)
         .outputMode("update")

@@ -562,3 +562,152 @@ def test_streaming_postings_maintenance_matches_batch_build(spark, tmp_path):
     finally:
         for t in ("t_stream", "t_stream__stats", "t_full_s", "t_full_s__stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+def test_streaming_band_maintenance_matches_batch_build(spark, tmp_path):
+    """The streaming LSH band-index loop (bootstrap build_band_index →
+    per-micro-batch append_band_index via foreachBatch) produces an index
+    whose probe equals a one-shot build over the full corpus, and the
+    per-txn (txn_id, batch_id) marker makes replays idempotent while a
+    SECOND logical stream keeps its own marker (the single-slot overwrite
+    the round-7 ADVICE flagged is gone)."""
+    from feature_store_healthcare_spark.operators import dedup
+    from feature_store_healthcare_spark.stores import read_table
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "pack my box with five dozen liquor jugs right now"),
+    ]
+    b1 = [(2, "the quick brown fox jumps over the lazy dog today")]
+    b2 = [(3, "sphinx of black quartz judge my vow carefully and slowly")]
+    d = tmp_path / "band_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+    schema = "doc_id int, text string"
+    path = str(tmp_path / "band_s")
+    try:
+        dedup.build_band_index(
+            spark.createDataFrame(base, schema), "doc_id", "text",
+            "t_band_s", path, n_buckets=2,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        writer = sp.streaming_band_maintenance(
+            stream, "t_band_s", path, n_buckets=2, txn_id="loadA"
+        )
+        _run_available_now(writer, tmp_path, "band_s")
+
+        dedup.build_band_index(
+            spark.createDataFrame(base + b1 + b2, schema), "doc_id", "text",
+            "t_band_full", str(tmp_path / "band_f"), n_buckets=2,
+        )
+        key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+        streamed = dedup.lsh_pairs_from_bands(
+            read_table(spark, "t_band_s"), "doc_id"
+        )
+        oneshot = dedup.lsh_pairs_from_bands(
+            read_table(spark, "t_band_full"), "doc_id"
+        )
+        assert sorted(streamed.collect(), key=key) == sorted(
+            oneshot.collect(), key=key
+        )
+        # the near-dup pair (0, 2) must be found through the streamed index
+        assert (0, 2) in {(r.id_a, r.id_b) for r in streamed.collect()}
+
+        # replay the same logical stream (same txn_id, fresh checkpoint →
+        # batch ids restart at 0): every batch skipped, no duplicate bands
+        n_before = read_table(spark, "t_band_s").count()
+        writer2 = sp.streaming_band_maintenance(
+            stream, "t_band_s", path, n_buckets=2, txn_id="loadA"
+        )
+        _run_available_now(writer2, tmp_path, "band_s_replay")
+        assert read_table(spark, "t_band_s").count() == n_before
+
+        # a SECOND logical stream (new txn_id) gets its own marker: its
+        # batches are APPLIED, not skipped as replays of stream A...
+        writer3 = sp.streaming_band_maintenance(
+            stream, "t_band_s", path, n_buckets=2, txn_id="loadB"
+        )
+        _run_available_now(writer3, tmp_path, "band_s_txn2")
+        assert read_table(spark, "t_band_s").count() > n_before
+        # ...and stream A's replay protection SURVIVES stream B's commits
+        # (pre-fix, B's marker overwrote A's and this re-appended):
+        n_after_b = read_table(spark, "t_band_s").count()
+        writer4 = sp.streaming_band_maintenance(
+            stream, "t_band_s", path, n_buckets=2, txn_id="loadA"
+        )
+        _run_available_now(writer4, tmp_path, "band_s_replayA2")
+        assert read_table(spark, "t_band_s").count() == n_after_b
+
+        with pytest.raises(ValueError, match="txn_id"):
+            sp.streaming_band_maintenance(stream, "t_band_s", path)
+    finally:
+        for t in ("t_band_s", "t_band_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ivf_maintenance_matches_batch_build(spark, tmp_path):
+    """The streaming IVF-index loop (bootstrap build_ivf_index →
+    per-micro-batch append_ivf_index via foreachBatch) produces an index
+    whose probes equal a one-shot assignment of the full corpus under the
+    SAME centroids, and replays are idempotent."""
+    import random
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)]
+    base, b1, b2 = vecs[:16], vecs[16:20], vecs[20:]
+    schema = "vec_id int, embedding array<double>"
+    d = tmp_path / "ivf_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+    path = str(tmp_path / "ivf_s")
+    cents = similarity.build_ivf_index(
+        spark.createDataFrame(base, schema), path, n_centroids=4
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    writer = sp.streaming_ivf_maintenance(stream, path, txn_id="vloadA")
+    _run_available_now(writer, tmp_path, "ivf_s")
+
+    # one-shot: assign the FULL corpus under the original centroids
+    full_path = str(tmp_path / "ivf_full")
+    similarity.ivf_assign(
+        spark.createDataFrame(vecs, schema), cents
+    ).write.mode("overwrite").partitionBy("__list").parquet(full_path)
+    q = spark.createDataFrame(vecs[:3], schema).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    streamed = similarity.ivf_topk_from_index(
+        spark, path, q, k=5, nprobe=2, centroids=cents
+    )
+    oneshot = similarity.ivf_topk_from_index(
+        spark, full_path, q, k=5, nprobe=2, centroids=cents
+    )
+    assert sorted(streamed.collect(), key=key) == sorted(
+        oneshot.collect(), key=key
+    )
+
+    # replay: fresh checkpoint, same txn_id → nothing re-appended
+    n_before = spark.read.parquet(path).count()
+    writer2 = sp.streaming_ivf_maintenance(stream, path, txn_id="vloadA")
+    _run_available_now(writer2, tmp_path, "ivf_s_replay")
+    assert spark.read.parquet(path).count() == n_before
+
+    with pytest.raises(ValueError, match="txn_id"):
+        sp.streaming_ivf_maintenance(stream, path)
