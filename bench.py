@@ -91,6 +91,8 @@ HEADLINE = [
     "bigram_lm_stored_postings",
     "dedup_incremental_stored_bands",
     "hybrid_rrf_stored",
+    # round-8: both retrieval halves from stored indexes (postings + IVF)
+    "hybrid_rrf_ivf_stored",
 ]
 
 

@@ -609,3 +609,21 @@ def test_incremental_cross_delta_over_budget_shuffles(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lsh_bands_x")
+
+
+def test_hybrid_rrf_ivf_stored_scans_neither_corpus(spark, sf_dir, qs):
+    """Round-7 VERDICT ask #1 plan pin: the all-stored hybrid's returned
+    plan reads ONLY the two indexes — no documents scan (the lexical half
+    probes the term-bucketed postings table, query terms pushed), no
+    embeddings scan (the cosine half probes the __list-partitioned IVF
+    index under a static partition filter; the 5-vector query batch is a
+    bounded driver-side collect, not part of the returned plan)."""
+    df = qs["hybrid_rrf_ivf_stored"](spark, sf_dir)
+    plan = plans.physical_plan(df, "formatted")
+    assert "documents.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    assert plan.count("regexp_replace(lower(text") == 0  # never re-tokenized
+    assert "In(term, [" in plan  # postings scan pruned to query terms
+    # IVF scan pruned to the probed inverted lists before any I/O
+    assert "PartitionFilters" in plan and "__list" in plan
+    assert plans.count_sort_merge_joins(df) == 0

@@ -358,3 +358,32 @@ def test_self_retrieval_mrr_reasonable(spark, sf_dir):
     assert r["n_queries"] > 0
     assert r["hits_at_10"] / r["n_queries"] >= 0.3
     assert r["mrr"] >= 0.15
+
+
+def test_hybrid_rrf_ivf_stored_recall_pin(spark, sf_dir):
+    """Round-7 VERDICT ask #1: the all-stored hybrid (postings lexical +
+    IVF cosine) cannot share the exact hybrid's oracle — IVF is
+    approximate — so its correctness contract is this regression pin:
+    recall@10 of the fused list vs the exact hybrid, per query and on
+    average.  The build is fully deterministic (hash-ordered centroid
+    sample), so measured recall is stable run-to-run: 0.68 mean at
+    sf0.001 on this synthetic near-random corpus (the IVF-hostile worst
+    case — nprobe/n_centroids = 4/16 reads 25% of the lists; real
+    clustered corpora recall higher at the same nprobe)."""
+    from feature_store_healthcare_spark import queries as catalog
+
+    qs = catalog.queries()
+    exact = qs["hybrid_rrf_retrieval"](spark, sf_dir)
+    approx = qs["hybrid_rrf_ivf_stored"](spark, sf_dir)
+    assert approx.columns == exact.columns
+    e, a = {}, {}
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.doc_id)
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(a) == set(e)  # same query batch, every query answered
+    assert all(len(ids) == 10 for ids in a.values())  # full top-10 each
+    recalls = {q: len(e[q] & a[q]) / len(e[q]) for q in e}
+    assert min(recalls.values()) >= 0.3, recalls
+    mean = sum(recalls.values()) / len(recalls)
+    assert mean >= 0.6, recalls

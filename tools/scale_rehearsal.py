@@ -104,6 +104,10 @@ REHEARSAL = [
     "ivf_index_append",
     "bm25_lexical_topk",
     "hybrid_rrf_retrieval",
+    # round-8: the stored-index hybrids next to the live form — ×20 docs /
+    # ×50 embeddings is the one blow-up with BOTH corpora present
+    "hybrid_rrf_stored",
+    "hybrid_rrf_ivf_stored",
     "multimodal_image_features",
     "phi_scrub_notes",
     "zorder_write_lineitem",
@@ -553,6 +557,8 @@ AMORTIZED = {
     "perplexity_stored_postings",
     "bigram_lm_stored_postings",
     "embedding_ivf_stored",
+    "hybrid_rrf_stored",
+    "hybrid_rrf_ivf_stored",
     # NOT amortized: dedup_incremental_stored and band_index_append.
     # Their DISK index bootstrap is amortized anyway (tableExists check,
     # unaffected by clearCache), but their dominant cost — the 200k-doc
@@ -841,6 +847,14 @@ def main() -> int:
             names = [n for n in arg.split("=", 1)[1].split(",") if n]
 
     spark = rehearsal_spark()
+    # host-noise sentinel (round-7 VERDICT ask #7, same fixed CPU job and
+    # normalization rule as bench.py / BASELINE.md): calibration wall time
+    # brackets the measured suites, so a ×N-scale regression whose ratio is
+    # inside the calibration spread is host noise, not code
+    from bench import calibration_run
+
+    load_start = os.getloadavg()
+    calib_start = calibration_run(spark)
     # validate BEFORE the (expensive) suites run: a typo'd --only name must
     # fail here with the name, not as a NoneType crash mid-suite
     qs = catalog.queries()
@@ -870,6 +884,13 @@ def main() -> int:
 
     base = run_suite(spark, SRC, "1x", names)
     big = run_suite(spark, blow_dir, tag, names)
+    calib_end = calibration_run(spark)
+    load_end = os.getloadavg()
+    noise = {
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "calibration_sec": [calib_start, calib_end],
+    }
 
     out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
     # merge-preserving: an incremental (--only / --deep) run must never
@@ -896,6 +917,7 @@ def main() -> int:
         section = report.setdefault(
             "deepdocs", {"documents_factor": DEEPDOCS_FACTOR, "queries": {}}
         )
+        section["noise"] = noise
         section["queries"].update(measured)
         ordered = [n for n in DEEPDOCS if n in section["queries"]] + [
             n for n in section["queries"] if n not in DEEPDOCS
@@ -905,12 +927,14 @@ def main() -> int:
         section = report.setdefault(
             "deep", {"events_factor": DEEP_EVENTS_FACTOR, "queries": {}}
         )
+        section["noise"] = noise
         section["queries"].update(measured)
         ordered = [n for n in DEEP if n in section["queries"]] + [
             n for n in section["queries"] if n not in DEEP
         ]
         section["queries"] = {n: section["queries"][n] for n in ordered}
     else:
+        report["noise"] = noise
         queries = report.get("queries", {})
         queries.update(measured)
         # REHEARSAL order first, then any ad-hoc --only names — a measured
