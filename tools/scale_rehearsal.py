@@ -130,6 +130,10 @@ DEEPDOCS_FACTOR = 200
 #: the --deep-docs suite: every entry reads ONLY the documents table
 DEEPDOCS = [
     "dedup_exact_fingerprint",
+    # round-8 A/B (VERDICT ask #4): the delta signature build two ways —
+    # the shipping explode/partial-agg shape vs the fused Arrow kernel
+    "minhash_build_explode",
+    "minhash_build_arrow",
     "dedup_minhash_lsh_fast",
     "dedup_minhash_lsh_stored",
     "dedup_incremental_minhash",
@@ -335,10 +339,13 @@ def _lsh_stored_bands(spark, sf_dir):
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     label = _dir_label(sf_dir)
-    t = f"reh_lsh_bands_{label}"
+    # table name versioned "a" at the round-8 family boundary: the shipped
+    # fast path is the Arrow kernel, and a stale xxhash-family band dir
+    # must never be mixed with (or reused for) arrow-family bands
+    t = f"reh_lsh_bands_a_{label}"
     if not spark.catalog.tableExists(t):
         docs = _docs(spark, sf_dir)
-        sig = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=16)
+        sig = dedup.minhash_signatures_arrow(docs, "doc_id", "text", n=3, num_hashes=16)
         banded = dedup._banded_signatures(sig, "doc_id", 16, 4)
         write_bucketed(
             banded, t, "bkey", 32, os.path.join(REPO, ".scale", "buckets", t)
@@ -358,12 +365,12 @@ def _incremental_stored(spark, sf_dir):
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     label = _dir_label(sf_dir)
-    t = f"reh_inc_bands_{label}"
+    t = f"reh_inc_bands_a_{label}"  # "a": arrow-family (round-8 boundary)
     docs = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(t):
         corpus = docs.where(FF.col("doc_id") % 5 != 0)
         banded = dedup._banded_signatures(
-            dedup.minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=16),
+            dedup.minhash_signatures_arrow(corpus, "doc_id", "text", n=3, num_hashes=16),
             "doc_id", 16, 4,
         )
         write_bucketed(
@@ -374,6 +381,33 @@ def _incremental_stored(spark, sf_dir):
         new, None, "doc_id", "text", n=3, num_hashes=16, bands=4,
         corpus_bands=read_table(spark, t),
     )
+
+
+def _minhash_build_explode(spark, sf_dir):
+    """A/B baseline (round-7 VERDICT ask #4): the shipping signature build
+    — shingle explode + 16-way min partial-agg groupBy — over the 20%
+    delta batch that dominates band_index_append /
+    dedup_incremental_stored."""
+    from pyspark.sql import functions as FF
+
+    from feature_store_healthcare_spark.operators import dedup
+
+    delta = _docs(spark, sf_dir).where(FF.col("doc_id") % 5 == 0)
+    return dedup.minhash_signatures(delta, "doc_id", "text", n=3, num_hashes=16)
+
+
+def _minhash_build_arrow(spark, sf_dir):
+    """A/B candidate: the fused mapInPandas numpy kernel
+    (dedup.minhash_signatures_arrow) — no row explosion, no groupBy;
+    token-hash once, polynomial n-gram combine, per-seed splitmix64 mix,
+    reduceat minima.  Different hash family (same estimator properties);
+    ship as the fast path only if this row beats the explode row."""
+    from pyspark.sql import functions as FF
+
+    from feature_store_healthcare_spark.operators import dedup
+
+    delta = _docs(spark, sf_dir).where(FF.col("doc_id") % 5 == 0)
+    return dedup.minhash_signatures_arrow(delta, "doc_id", "text", n=3, num_hashes=16)
 
 
 def _band_index_append(spark, sf_dir):
@@ -390,7 +424,7 @@ def _band_index_append(spark, sf_dir):
     from feature_store_healthcare_spark.operators import dedup
 
     label = _dir_label(sf_dir)
-    t = f"reh_append_bands_{label}"
+    t = f"reh_append_bands_a_{label}"  # "a": arrow-family (round-8 boundary)
     path = os.path.join(REPO, ".scale", "buckets", t)
     docs = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(t):
@@ -523,6 +557,8 @@ def _zorder_write_lineitem(spark, sf_dir):
 
 
 REHEARSAL_EXTRA = {
+    "minhash_build_explode": _minhash_build_explode,
+    "minhash_build_arrow": _minhash_build_arrow,
     "simhash_pairs_prod64": _simhash_prod64,
     "zorder_write_lineitem": _zorder_write_lineitem,
     "dedup_minhash_lsh_stored": _lsh_stored_bands,
