@@ -106,13 +106,15 @@ _Q20_QTY_CACHE = PlanCache("q20_potential_promotion.qty")
 #:    re-proves.
 #: 3b. Queries that WRITE catalog tables (the round-7 stored-index twins:
 #:    bm25/perplexity/bigram_stored_postings, hybrid_rrf_stored,
-#:    dedup_incremental_stored_
-#:    bands) stay OUT of the driver window deliberately: the driver's
+#:    dedup_incremental_stored_bands; round-8's hybrid_rrf_ivf_stored)
+#:    stay OUT of the driver window deliberately: the driver's
 #:    session makes no warehouse-writability promise, and a failed index
 #:    build would turn a green row red for an environmental reason.  They
 #:    are verified by the local gate (same oracles as their live twins,
-#:    so the hash match proves build→store→probe ≡ single-pass), measured
-#:    in bench + the ×200 rehearsal, and plan-pinned in test_plans.
+#:    so the hash match proves build→store→probe ≡ single-pass — except
+#:    hybrid_rrf_ivf_stored, whose IVF half is approximate by design and
+#:    carries a recall@10 regression pin instead), measured in bench +
+#:    the rehearsals, and plan-pinned in test_plans.
 #: 4. Family → slots map: relational core 8 (q1, q3, linkage, filter/
 #:    project, expectations, range join, correlated subquery, window);
 #:    EAV/PIT/feature-store 14 (latest, tie-fallback, PIT join+interval,
@@ -4449,8 +4451,12 @@ def _stored_postings(spark: SparkSession, sf_dir: str) -> str:
         spark,
         sf_dir,
         "post",
+        # 32 buckets: the probes' heavy stages (term aggregation, the
+        # postings⋈counts join, the per-doc fold's map side) run INSIDE
+        # the bucket tasks, so bucket count is probe parallelism — the
+        # same sizing rule the bigram index adopted in round 8
         lambda t, p: retrieval.build_postings_index(
-            docs, "doc_id", "text", t, p, n_buckets=16
+            docs, "doc_id", "text", t, p, n_buckets=32
         ),
     )
 
