@@ -627,3 +627,54 @@ def test_hybrid_rrf_ivf_stored_scans_neither_corpus(spark, sf_dir, qs):
     # IVF scan pruned to the probed inverted lists before any I/O
     assert "PartitionFilters" in plan and "__list" in plan
     assert plans.count_sort_merge_joins(df) == 0
+
+
+def test_read_table_fails_fast_on_unclassified_analysis_error():
+    """Round-7 ADVICE #1: the swap-window retry is scoped to a POSITIVELY
+    identified TABLE_OR_VIEW_NOT_FOUND condition.  An AnalysisException
+    whose getCondition() is None (an unclassified permanent failure, e.g.
+    a broken view) must raise on the FIRST attempt — pre-fix it burned
+    ten retries (~2.5 s of sleeps) before surfacing the real error."""
+    import time as _time
+
+    from pyspark.errors import AnalysisException
+
+    from feature_store_healthcare_spark.stores import read_table
+
+    calls = []
+
+    class FakeSpark:
+        def table(self, name):
+            calls.append(name)
+            raise AnalysisException("broken view: unresolvable thing")
+
+    t0 = _time.time()
+    with pytest.raises(AnalysisException):
+        read_table(FakeSpark(), "t_whatever")
+    assert len(calls) == 1, "unclassified analysis error must not retry"
+    assert _time.time() - t0 < 1.0, "and must not sleep"
+
+
+def test_read_table_retries_only_the_swap_condition():
+    """The positive half of the same contract: TABLE_OR_VIEW_NOT_FOUND
+    (the compact_bucketed drop→rename window) IS retried, and the read
+    succeeds once the swap lands."""
+    from pyspark.errors import AnalysisException
+
+    from feature_store_healthcare_spark.stores import read_table
+
+    calls = []
+
+    class SwapExc(AnalysisException):
+        def getCondition(self):
+            return "TABLE_OR_VIEW_NOT_FOUND"
+
+    class FakeSpark:
+        def table(self, name):
+            calls.append(name)
+            if len(calls) < 3:
+                raise SwapExc(f"[TABLE_OR_VIEW_NOT_FOUND] {name}")
+            return "resolved"
+
+    assert read_table(FakeSpark(), "t_swapping") == "resolved"
+    assert len(calls) == 3
