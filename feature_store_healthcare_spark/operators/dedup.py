@@ -239,17 +239,23 @@ def minhash_signatures_arrow(
     seed's value is uncorrelated with the others), and takes per-document
     minima with ``np.minimum.reduceat``.
 
-    Same output shape as :func:`minhash_signatures` (one row per doc,
-    ``mh_0..mh_{k-1}`` longs) and the same MinHash estimator properties,
-    but a DIFFERENT hash family — signatures are not comparable across
-    the two builders, so an index built with one must be probed/appended
-    with the same one (the usual digest-provenance contract).  Degenerate
-    docs mirror the exploded path: NULL text yields no row; empty /
-    whitespace-only text hashes the single empty shingle; docs shorter
-    than ``n`` tokens hash their whole token list as one shingle.
-    Tokenization is ``str.lower().split()`` — Python's unicode whitespace
-    class vs Java's ``\\s`` differ on exotic whitespace only (identical on
-    this corpus; documented, not hidden).
+    Same output CONTRACT as :func:`minhash_signatures` (one row per
+    distinct doc id, ``mh_0..mh_{k-1}`` longs) and the same MinHash
+    estimator properties, but a DIFFERENT hash family — signatures are
+    not comparable across the two builders, so an index built with one
+    must be probed/appended with the same one (the family-marker guard
+    in :func:`append_band_index` enforces it for stored indexes).
+    Duplicate ids merge exactly as the exploded path's groupBy does: the
+    kernel emits per-input-row partial signatures and a doc-level
+    ``min`` aggregate folds them — min over per-row minima ≡ min over
+    the union of the rows' shingles, so the two are value-identical
+    (test-pinned); the aggregate moves one ~17-column row per doc, never
+    shingles.  Degenerate docs mirror the exploded path: NULL text
+    yields no row; empty / whitespace-only text hashes the single empty
+    shingle; docs shorter than ``n`` tokens hash their whole token list
+    as one shingle.  Tokenization is ``str.lower().split()`` — Python's
+    unicode whitespace class vs Java's ``\\s`` differ on exotic
+    whitespace only (identical on this corpus; documented, not hidden).
 
     A/B verdict (×200 docs = 1M, SCALE_REHEARSAL.json
     ``minhash_build_arrow`` vs ``minhash_build_explode``): see the
@@ -337,7 +343,12 @@ def minhash_signatures_arrow(
                 data[mh_cols[s_i]] = mins.astype(np.int64)
             yield pd.DataFrame(data)
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+    partial = df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+    # duplicate-id merge (contract parity with the exploded groupBy): one
+    # partial-aggregatable min per seed over 1-row-per-doc partials
+    return partial.groupBy(id_col).agg(
+        *[F.min(f"mh_{h}").alias(f"mh_{h}") for h in range(num_hashes)]
+    )
 
 
 def lsh_pairs_from_bands(
@@ -1135,6 +1146,66 @@ def minhash_lsh_pairs_cross(
     )
 
 
+def _band_family(portable: bool) -> str:
+    """The signature hash family a pipeline call produces — stamped on
+    every stored band index so a cross-family probe/append fails LOUDLY
+    instead of silently matching nothing (the round-8 family change made
+    this a real hazard: an xxhash-era index probed with arrow-family
+    bands returns zero pairs, admitting every duplicate)."""
+    return "md5-portable" if portable else "arrow-v1"
+
+
+def _family_marker_path(path: str) -> str:
+    from feature_store_healthcare_spark.stores import local_path
+
+    return f"{local_path(path)}__family"
+
+
+def _check_band_family(path: str, family: str) -> None:
+    """Fail-fast provenance gate for appends into an EXISTING stored band
+    index: the on-disk family marker must match the family this call
+    would write.  A populated index directory with NO marker predates the
+    round-8 family stamp (or was built outside these builders) — its
+    family is unknowable, so the append refuses and the remedy is a
+    rebuild through :func:`build_band_index`."""
+    import os
+
+    from feature_store_healthcare_spark.stores import local_path
+
+    marker = _family_marker_path(path)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            existing = fh.read().strip()
+        if existing != family:
+            raise ValueError(
+                f"stored band index at {path!r} was built with signature "
+                f"family {existing!r}; this call would append "
+                f"{family!r} rows — cross-family bands never collide, so "
+                "the index would silently stop finding duplicates. Match "
+                "the original parameters or rebuild via build_band_index."
+            )
+        return
+    d = local_path(path)
+    if os.path.isdir(d) and os.listdir(d):
+        raise ValueError(
+            f"stored band index at {path!r} has no family marker (it "
+            "predates the round-8 family stamp, or was written outside "
+            "build/append_band_index) — its signature family is "
+            "unknowable, and a mismatched append would silently poison "
+            "every probe. Rebuild via build_band_index."
+        )
+
+
+def _write_band_family(path: str, family: str) -> None:
+    import os
+
+    marker = _family_marker_path(path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(family)
+    os.replace(tmp, marker)
+
+
 def build_band_index(
     corpus_df: DataFrame,
     id_col: str,
@@ -1165,6 +1236,7 @@ def build_band_index(
         bands,
     )
     write_bucketed(bands_df, table, "bkey", n_buckets, path, mode="overwrite")
+    _write_band_family(path, _band_family(portable))
 
 
 def append_band_index(
@@ -1188,11 +1260,13 @@ def append_band_index(
 
     Signature parameters (``n``/``num_hashes``/``bands``/``portable``) and
     the bucket layout (``n_buckets`` on ``bkey``) MUST match the existing
-    index — Spark rejects a mismatched bucket spec on append, but a
-    mismatched hash family is silent and poisons every future probe (the
-    digest-provenance contract of :func:`lsh_pairs_from_bands`).  On a
-    first call the table is created, so the same function bootstraps and
-    maintains the index.
+    index — Spark rejects a mismatched bucket spec on append, and a
+    mismatched hash FAMILY (portable md5 vs the round-8 arrow kernel) is
+    rejected by the on-disk family marker (:func:`_check_band_family` —
+    cross-family bands never collide, so an unguarded mix would silently
+    stop finding duplicates; an index that predates the marker refuses
+    appends until rebuilt).  On a first call the table is created, so
+    the same function bootstraps and maintains the index.
 
     Scale: cost is the delta's own signature build plus one bucketed write
     of |delta|·bands fixed-width rows — no read of the existing index, no
@@ -1203,6 +1277,8 @@ def append_band_index(
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
+    family = _band_family(portable)
+    _check_band_family(path, family)  # loud, before anything is written
     delta_bands = _banded_signatures(
         _pipeline_signatures(delta_df, id_col, text_col, n, num_hashes, portable),
         id_col,
@@ -1210,6 +1286,10 @@ def append_band_index(
         bands,
     )
     write_bucketed(delta_bands, table, "bkey", n_buckets, path, mode="append")
+    # bootstrap call (no marker yet): stamp the family after the first
+    # successful write; a crash between the two leaves a marker-less
+    # populated dir, which the next call refuses — recovery is a rebuild
+    _write_band_family(path, family)
 
 
 def span_duplicates(

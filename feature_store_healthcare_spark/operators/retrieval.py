@@ -691,7 +691,14 @@ def bigram_logprob_from_index(
         .agg(F.sum("c2").alias("c1"))
     )
     vocab = read_table(spark, f"{table}__stats")
-    v = vocab.first()["v"]  # 1-row stats read, not a corpus pass
+    stats_row = vocab.first()  # 1-row stats read, not a corpus pass
+    if stats_row is None:
+        raise ValueError(
+            f"bigram index stats table {table}__stats exists but is EMPTY "
+            "— an interrupted stats overwrite left the index corrupt; "
+            "rebuild via build_bigram_index."
+        )
+    v = stats_row["v"]
     return _bigram_score(
         doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to,
         broadcast_history=v <= _HISTORY_BROADCAST_BUDGET,

@@ -2449,12 +2449,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # version token covers EVERY table the cached plan reads (sameResult
+    # holds across file growth, so each input needs its own signal — a
+    # grown supplier/nation/region would otherwise serve stale rows)
     sv = _Q11_SV_CACHE.get_or_persist(
         t["lineitem"]
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value")),
-        version=data_version(t["lineitem"]),
+        version=tuple(data_version(t[n]) for n in ("lineitem", "supplier", "nation", "region")),
     )
     total = sv.agg(
         (
@@ -2581,7 +2584,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(_dsum("l_quantity", "__qty")),
-        version=data_version(t["lineitem"]),
+        # both inputs of the cached plan (see q11's version-token note)
+        version=(data_version(t["lineitem"]), data_version(t["part"])),
     )
     mean = q.agg(
         (
@@ -4507,9 +4511,11 @@ def _stored_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     :func:`_stored_index`."""
     from feature_store_healthcare_spark.stores import local_path
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # n_centroids is part of the key: a 64-centroid request must never be
+    # served a memoized 16-centroid quantizer (wrong lists, wrong recall)
+    key = (spark.sparkContext.applicationId, sf_dir, n_centroids)
     if key not in _STORED_IVF_MEMO:
-        name = f"fshs_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        name = f"fshs_ivf{n_centroids}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
         path = os.path.join(warehouse, name)
         emb = load_table(spark, sf_dir, "embeddings")

@@ -278,10 +278,24 @@ def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=N
             "constant default would silently skip a second stream's "
             "batches as replays."
         )
+    from feature_store_healthcare_spark.stores import local_path
+
     marker = _marker_path(path, txn_id)
+    # migration: pre-round-8 markers lived at the un-suffixed path; a
+    # stream restarting across the upgrade must still see its high-water
+    # mark there (its txn_id is inside the file, so a foreign stream's
+    # legacy marker is ignored).  New writes go to the per-txn file only.
+    legacy = f"{local_path(path)}__applied"
+
+    def _last_applied() -> dict | None:
+        last = _read_batch_marker(marker)
+        if last is not None:
+            return last
+        old = _read_batch_marker(legacy)
+        return old if old is not None and old["txn_id"] == txn_id else None
 
     def _fb(batch_df: DataFrame, batch_id: int) -> None:
-        last = _read_batch_marker(marker)
+        last = _last_applied()
         if (
             last is not None
             and last["txn_id"] == txn_id
@@ -296,6 +310,18 @@ def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=N
             refresh()
 
     return _fb
+
+
+def _maintenance_writer(stream: DataFrame, fb, queryName: str, checkpoint_dir: str | None):
+    """The shared writer tail of the three stored-index maintainers."""
+    writer = (
+        stream.writeStream.foreachBatch(fb)
+        .outputMode("update")
+        .queryName(queryName)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def _refresh_tables(spark: SparkSession, *tables: str):
@@ -371,14 +397,7 @@ def streaming_postings_maintenance(
         ),
         refresh=_refresh_tables(stream.sparkSession, table, f"{table}__stats"),
     )
-    writer = (
-        stream.writeStream.foreachBatch(_append)
-        .outputMode("update")
-        .queryName(queryName)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
 def streaming_band_maintenance(
@@ -425,14 +444,7 @@ def streaming_band_maintenance(
         ),
         refresh=_refresh_tables(stream.sparkSession, table),
     )
-    writer = (
-        stream.writeStream.foreachBatch(_append)
-        .outputMode("update")
-        .queryName(queryName)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
 def streaming_ivf_maintenance(
@@ -472,14 +484,7 @@ def streaming_ivf_maintenance(
             batch_df, path, corpus_id=corpus_id, corpus_vec=corpus_vec
         ),
     )
-    writer = (
-        stream.writeStream.foreachBatch(_append)
-        .outputMode("update")
-        .queryName(queryName)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
 def streaming_incremental_rollup(

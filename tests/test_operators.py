@@ -1055,3 +1055,64 @@ def test_minhash_arrow_pipeline_end_to_end(spark):
             assert stored == live
         finally:
             spark.sql("DROP TABLE IF EXISTS t_mh_arrow")
+
+
+def test_minhash_arrow_duplicate_ids_merge_like_explode(spark):
+    """Contract parity for duplicate doc ids: the kernel's doc-level min
+    fold must equal an elementwise min over the per-row signatures —
+    which IS the exploded path's semantics (min over the UNION of the
+    rows' shingles)."""
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "pack my box with five dozen liquor jugs"
+    dup = spark.createDataFrame([(7, a), (7, b)], "doc_id int, text string")
+    single = {
+        r.doc_id: tuple(r)[1:]
+        for r in dedup.minhash_signatures_arrow(
+            spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    merged = dedup.minhash_signatures_arrow(dup, "doc_id", "text").collect()
+    assert len(merged) == 1  # one row per distinct id, like the groupBy path
+    got = tuple(merged[0])[1:]
+    want = tuple(min(x, y) for x, y in zip(single[1], single[2]))
+    assert got == want
+
+
+def test_band_index_family_marker_guards(spark, tmp_path):
+    """The round-8 family-provenance gate: a stored band index stamps its
+    signature family; appending the OTHER family raises before anything
+    is written (cross-family bands never collide — an unguarded mix
+    silently stops finding duplicates), and a populated pre-marker
+    directory refuses appends until rebuilt."""
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(6)],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bands_fam")
+    try:
+        dedup.build_band_index(
+            docs, "doc_id", "text", "t_fam", path, n_buckets=2, portable=True
+        )
+        n_before = spark.table("t_fam").count()
+        with pytest.raises(ValueError, match="family"):
+            dedup.append_band_index(
+                docs, "doc_id", "text", "t_fam", path, 2, portable=False
+            )
+        assert spark.table("t_fam").count() == n_before  # nothing written
+        # matching family appends fine
+        dedup.append_band_index(
+            docs.withColumn("doc_id", F.col("doc_id") + 100),
+            "doc_id", "text", "t_fam", path, 2, portable=True,
+        )
+        assert spark.table("t_fam").count() == 2 * n_before
+
+        # a populated index with NO marker (pre-round-8) refuses appends
+        import os
+        os.remove(f"{path}__family")
+        with pytest.raises(ValueError, match="no family marker"):
+            dedup.append_band_index(
+                docs, "doc_id", "text", "t_fam", path, 2, portable=True
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fam")

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from feature_store_healthcare_spark import plans, queries as catalog
+from feature_store_healthcare_spark.operators import retrieval
 from feature_store_healthcare_spark.operators.pit import latest_per_key, point_in_time_join
 from feature_store_healthcare_spark.sources import load_table
 
@@ -374,6 +375,13 @@ def test_bm25_no_term_window_and_all_broadcast(spark, sf_dir, qs):
     # rewrite).  No window partitioned by term (it would serialize the
     # Zipf head at scale); every query-side join broadcast, none
     # sort-merge; the only Window is the final per-query top-k rank.
+    #
+    # Order-independence: an EARLIER test's bm25 call on the same corpus
+    # and query set leaves its base in the one-entry PlanCache; a hit
+    # substitutes an InMemoryRelation and the tokenize expression
+    # legitimately vanishes from the plan (better, not worse — but this
+    # test pins the COLD plan shape, so start cold).
+    retrieval.release_bm25_cache()
     df = qs["bm25_lexical_topk"](spark, sf_dir)
     plan = plans._effective_plan(df, "formatted")
     assert plan.count("filter(split(trim(regexp_replace(lower(text") == 1

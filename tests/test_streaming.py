@@ -711,3 +711,58 @@ def test_streaming_ivf_maintenance_matches_batch_build(spark, tmp_path):
 
     with pytest.raises(ValueError, match="txn_id"):
         sp.streaming_ivf_maintenance(stream, path)
+
+
+def test_streaming_marker_legacy_migration(spark, tmp_path):
+    """A stream that committed batches under the round-7 single-slot
+    marker ('{path}__applied') and restarts under the per-txn scheme must
+    still see its high-water mark: batch ids at or below the legacy
+    marker's are skipped (same txn only), and new commits land in the
+    per-txn file."""
+    import json as _json
+
+    from feature_store_healthcare_spark.operators import dedup
+    from feature_store_healthcare_spark.stores import read_table
+
+    base = [(0, "alpha beta gamma delta epsilon zeta eta theta")]
+    b1 = [(1, "one two three four five six seven eight")]
+    b2 = [(2, "nine ten eleven twelve thirteen fourteen fifteen")]
+    d = tmp_path / "legacy_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+    schema = "doc_id int, text string"
+    path = str(tmp_path / "band_legacy")
+    try:
+        dedup.build_band_index(
+            spark.createDataFrame(base, schema), "doc_id", "text",
+            "t_legacy", path, n_buckets=2,
+        )
+        # round-7-style marker: this txn already applied batch 0
+        (tmp_path / "band_legacy__applied").write_text(
+            _json.dumps({"txn_id": "L", "batch_id": 0})
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        writer = sp.streaming_band_maintenance(
+            stream, "t_legacy", path, n_buckets=2, txn_id="L"
+        )
+        _run_available_now(writer, tmp_path, "legacy")
+        # batch 0 (b1) skipped via the legacy marker; batch 1 (b2) applied
+        ids = {r.doc_id for r in read_table(spark, "t_legacy").collect()}
+        assert ids == {0, 2}, ids
+        # ...and a DIFFERENT txn ignores the foreign legacy marker: its
+        # batch 0 applies (b1's bands land)
+        writer2 = sp.streaming_band_maintenance(
+            stream, "t_legacy", path, n_buckets=2, txn_id="M"
+        )
+        _run_available_now(writer2, tmp_path, "legacy_m")
+        ids2 = {r.doc_id for r in read_table(spark, "t_legacy").collect()}
+        assert 1 in ids2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_legacy")
