@@ -352,3 +352,37 @@ def test_no_bare_persist_outside_plan_cache():
         "bare persist() outside caching.PlanCache (route through "
         f"get_or_persist or add a self-releasing allowlist entry): {offenders}"
     )
+
+
+def test_drift_caches_lifecycle_one_entry(spark):
+    """Round-8: drift's statistic frames (psi/ks edges, robust_outliers'
+    median) moved from eager localCheckpoint to lazy PlanCache persist.
+    Lifecycle contract: one cached entry per operator — a call on a NEW
+    input releases the predecessor's blocks (the ADVICE scenario was a
+    tight loop over many key sets accumulating checkpointed blobs until
+    GC), and release_drift_caches drops everything eagerly."""
+    from feature_store_healthcare_spark.operators import drift
+
+    drift.release_drift_caches(blocking=True)
+    base = _n_cached(spark)
+    a = spark.createDataFrame(
+        [("x", float(i)) for i in range(40)], "g string, value double"
+    )
+    b = spark.createDataFrame(
+        [("x", float(i) + 0.5) for i in range(40)], "g string, value double"
+    )
+    drift.psi(a, b, ["g"], "value").collect()
+    after_first = _n_cached(spark)
+    assert after_first >= base + 1  # edges persisted (lazily, now materialized)
+    # ten more calls over DIFFERENT expected windows: the one-entry cache
+    # swaps, never accumulates
+    for k in range(10):
+        c = spark.createDataFrame(
+            [(f"k{k}", float(i * (k + 2))) for i in range(40)],
+            "g string, value double",
+        )
+        drift.psi(c, c, ["g"], "value").collect()
+    assert _n_cached(spark) <= after_first
+    drift.robust_outliers(a, ["g"], "value").collect()
+    drift.release_drift_caches(blocking=True)
+    assert _n_cached(spark) <= base
