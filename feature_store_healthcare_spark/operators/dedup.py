@@ -247,10 +247,14 @@ def minhash_signatures_arrow(
     in :func:`append_band_index` enforces it for stored indexes).
     Duplicate ids merge exactly as the exploded path's groupBy does: the
     kernel emits per-input-row partial signatures and a doc-level
-    ``min`` aggregate folds them — min over per-row minima ≡ min over
-    the union of the rows' shingles, so the two are value-identical
-    (test-pinned); the aggregate moves one ~17-column row per doc, never
-    shingles.  Degenerate docs mirror the exploded path: NULL text
+    ``min`` aggregate folds them.  The per-row minima are taken in
+    Spark's SIGNED int64 order (``.view(np.int64)`` before ``reduceat``)
+    so both steps minimize under the SAME total order — min over per-row
+    minima ≡ min over the union of the rows' shingles, value-identical
+    to the one-row signature (test-pinned with forced top-bit-set
+    shingle values, the case where unsigned partials and the signed
+    fold disagree); the aggregate moves one ~17-column row per doc,
+    never shingles.  This signed family is stamped ``arrow-v2``.  Degenerate docs mirror the exploded path: NULL text
     yields no row; empty / whitespace-only text hashes the single empty
     shingle; docs shorter than ``n`` tokens hash their whole token list
     as one shingle.  Tokenization is ``str.lower().split()`` — Python's
@@ -338,9 +342,22 @@ def minhash_signatures_arrow(
                 bases[sh_starts[d]] = b
             data = {id_col: ids}
             for s_i in range(num_hashes):
-                v = _sm64(bases ^ seed_xors[s_i])
-                mins = np.minimum.reduceat(v, sh_starts)
-                data[mh_cols[s_i]] = mins.astype(np.int64)
+                # SIGNED-order minima (int64 view), NOT unsigned: the
+                # duplicate-id merge below folds per-row partials with
+                # Spark's signed F.min, and "min over per-row minima ==
+                # min over the union" only holds when both steps use the
+                # SAME total order.  An unsigned reduceat here let a row
+                # whose shingle values all had the top bit set emit a
+                # negative partial that wrongly won the signed merge,
+                # giving a split doc a different (partition-dependent)
+                # signature than the same shingle set in one row.  The
+                # int64 reinterpretation is a bijection, so min under
+                # signed order is still a uniform MinHash draw — but it
+                # is a DIFFERENT hash family than the unsigned round-8
+                # kernel: _band_family stamps arrow-v2 so stale stored
+                # indexes fail loudly instead of silently missing pairs.
+                v = _sm64(bases ^ seed_xors[s_i]).view(np.int64)
+                data[mh_cols[s_i]] = np.minimum.reduceat(v, sh_starts)
             yield pd.DataFrame(data)
 
     partial = df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
@@ -1069,6 +1086,7 @@ def minhash_lsh_pairs_cross(
     portable: bool = False,
     corpus_bands: DataFrame | None = None,
     broadcast_delta: bool | None = None,
+    corpus_index_path: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: NEW batch × EXISTING corpus only —
     the join every continuously-ingested corpus runs per arrival batch
@@ -1111,10 +1129,24 @@ def minhash_lsh_pairs_cross(
     the band id in yields cross-band false pairs.  Exactly one of
     ``corpus_df`` / ``corpus_bands`` must be provided.  After admitting
     the delta, close the loop with :func:`append_band_index`.
+
+    ``corpus_index_path``: the storage path of the stored index behind
+    ``corpus_bands``.  When given, the probe runs the same on-disk
+    family-marker gate appends run (:func:`check_band_family`) BEFORE
+    joining — a pre-round-8 or cross-family index fails loudly here
+    instead of silently returning zero pairs (the exact silent-recall
+    loss the marker exists to prevent; a docstring warning alone did
+    not stop it).  Optional because ``corpus_bands`` may be an
+    in-process DataFrame with no storage path; pass it whenever the
+    bands come from a stored index.
     """
     assert num_hashes % bands == 0
     if (corpus_df is None) == (corpus_bands is None):
         raise ValueError("pass exactly one of corpus_df or corpus_bands")
+    if corpus_index_path is not None:
+        if corpus_bands is None:
+            raise ValueError("corpus_index_path requires corpus_bands")
+        check_band_family(corpus_index_path, portable)
     new_b = _banded_signatures(
         _pipeline_signatures(new_df, id_col, text_col, n, num_hashes, portable),
         id_col, num_hashes, bands,
@@ -1151,8 +1183,12 @@ def _band_family(portable: bool) -> str:
     every stored band index so a cross-family probe/append fails LOUDLY
     instead of silently matching nothing (the round-8 family change made
     this a real hazard: an xxhash-era index probed with arrow-family
-    bands returns zero pairs, admitting every duplicate)."""
-    return "md5-portable" if portable else "arrow-v1"
+    bands returns zero pairs, admitting every duplicate).  ``arrow-v2``
+    since round 9: the kernel's per-row minima moved from unsigned to
+    signed order (the duplicate-id merge bug fix) — emitted signatures
+    changed for any doc with a top-bit-set shingle value, so round-8
+    ``arrow-v1`` indexes are a distinct, incompatible family."""
+    return "md5-portable" if portable else "arrow-v2"
 
 
 def _family_marker_path(path: str) -> str:
@@ -1161,13 +1197,14 @@ def _family_marker_path(path: str) -> str:
     return f"{local_path(path)}__family"
 
 
-def _check_band_family(path: str, family: str) -> None:
-    """Fail-fast provenance gate for appends into an EXISTING stored band
-    index: the on-disk family marker must match the family this call
-    would write.  A populated index directory with NO marker predates the
-    round-8 family stamp (or was built outside these builders) — its
-    family is unknowable, so the append refuses and the remedy is a
-    rebuild through :func:`build_band_index`."""
+def _check_band_family(path: str, family: str, action: str = "append") -> None:
+    """Fail-fast provenance gate against an EXISTING stored band index:
+    the on-disk family marker must match the family this call computes.
+    A populated index directory with NO marker predates the round-8
+    family stamp (or was built outside these builders) — its family is
+    unknowable, so the call refuses and the remedy is a rebuild through
+    :func:`build_band_index`.  ``action`` names the caller's verb
+    ("append" / "probe") in the error text."""
     import os
 
     from feature_store_healthcare_spark.stores import local_path
@@ -1179,8 +1216,8 @@ def _check_band_family(path: str, family: str) -> None:
         if existing != family:
             raise ValueError(
                 f"stored band index at {path!r} was built with signature "
-                f"family {existing!r}; this call would append "
-                f"{family!r} rows — cross-family bands never collide, so "
+                f"family {existing!r}; this call would {action} "
+                f"{family!r} bands — cross-family bands never collide, so "
                 "the index would silently stop finding duplicates. Match "
                 "the original parameters or rebuild via build_band_index."
             )
@@ -1190,10 +1227,24 @@ def _check_band_family(path: str, family: str) -> None:
         raise ValueError(
             f"stored band index at {path!r} has no family marker (it "
             "predates the round-8 family stamp, or was written outside "
-            "build/append_band_index) — its signature family is "
-            "unknowable, and a mismatched append would silently poison "
-            "every probe. Rebuild via build_band_index."
+            f"build/append_band_index) — its signature family is "
+            f"unknowable, and a mismatched {action} would silently "
+            "return zero matches. Rebuild via build_band_index."
         )
+
+
+def check_band_family(path: str, portable: bool = False) -> None:
+    """PUBLIC probe-side provenance gate (round-8 ADVICE): raises
+    ``ValueError`` if the stored band index at ``path`` was built with a
+    different signature family than a probe computing ``portable=...``
+    signatures would use, or if it has no family marker (pre-round-8, or
+    written outside build/append_band_index).  The build/append path is
+    already guarded on-disk; a PROBE against a cross-family index is the
+    silent failure — zero collisions, every duplicate admitted — so call
+    this (or pass ``corpus_index_path`` to
+    :func:`minhash_lsh_pairs_cross`) before probing a stored index you
+    did not build in-process."""
+    _check_band_family(path, _band_family(portable), action="probe with")
 
 
 def _write_band_family(path: str, family: str) -> None:

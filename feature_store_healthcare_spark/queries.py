@@ -5496,11 +5496,15 @@ def dedup_incremental_stored_bands(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     table = _stored_index(spark, sf_dir, "bands", build)
-    from feature_store_healthcare_spark.stores import read_table
+    from feature_store_healthcare_spark.stores import local_path, read_table
 
+    warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
     return dedup.minhash_lsh_pairs_cross(
         new, None, "doc_id", "text", n=3, num_hashes=16, bands=4,
         portable=True, corpus_bands=read_table(spark, table),
+        # probe-side family gate: a stale (pre-round-8 / cross-family)
+        # stored index fails loudly here instead of returning zero pairs
+        corpus_index_path=os.path.join(warehouse, table),
     )
 
 

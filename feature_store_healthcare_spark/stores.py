@@ -186,13 +186,17 @@ def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> Data
     (non-atomic — no ACID table format in this container), so a reader
     resolving the name inside that window sees TABLE_OR_VIEW_NOT_FOUND
     with the replacement milliseconds away.  The default retries THAT
-    error — positively identified by its error condition — for ~2.5 s
-    before giving up: the documented reader-side half of the swap
-    contract.  Every other analysis error is permanent and raises
-    immediately, INCLUDING one whose ``getCondition()`` is None (an
-    unclassified analysis failure is not evidence of the swap window;
-    retrying it would stall ~2.5 s on e.g. a broken view before
-    surfacing the real error).  Pass False for fail-fast semantics."""
+    error — identified by its error condition when the exception
+    carries one, else by the condition NAME in the message text — for
+    ~2.5 s before giving up: the documented reader-side half of the
+    swap contract.  Every other analysis error is permanent and raises
+    immediately.  The message-text fallback exists because older
+    PySpark lacks ``getCondition`` and an unclassified
+    (``getCondition() is None``) swap-window error would otherwise
+    silently turn the retry contract into fail-fast; a genuinely
+    different failure (e.g. a broken view) doesn't contain the
+    condition name and still fails fast.  Pass False for fail-fast
+    semantics."""
     from pyspark.errors import AnalysisException
 
     attempts = 10 if swap_retry else 1
@@ -202,9 +206,8 @@ def read_table(spark: SparkSession, table: str, swap_retry: bool = True) -> Data
         except AnalysisException as exc:
             condition = getattr(exc, "getCondition", None)
             name = condition() if condition is not None else None
-            if i == attempts - 1 or not (
-                name is not None and "TABLE_OR_VIEW_NOT_FOUND" in str(name)
-            ):
+            haystack = str(name) if name is not None else str(exc)
+            if i == attempts - 1 or "TABLE_OR_VIEW_NOT_FOUND" not in haystack:
                 raise
             time.sleep(0.25)
     raise AssertionError("unreachable")

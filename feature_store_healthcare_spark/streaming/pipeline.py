@@ -215,18 +215,22 @@ def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
 
 def _marker_path(path: str, txn_id: str) -> str:
     """The replay-marker file for one (index, logical stream) pair:
-    ``{path}__applied.{md5(txn_id)[:12]}``.  Keyed BY txn_id so a second
+    ``{path}__applied.{md5(txn_id)}``.  Keyed BY txn_id so a second
     logical stream into the same index gets its OWN marker instead of
     overwriting the first stream's replay protection (a single shared
     slot silently destroyed stream A's high-water mark the moment
-    stream B committed a batch).  The txn_id is also stored inside the
-    file and re-checked on read, so a 48-bit filename-digest collision
-    degrades to a skip-nothing miss, never a false skip."""
+    stream B committed a batch).  The FULL 128-bit digest is the
+    filename — the earlier 12-char truncation made reads safe (txn_id
+    is stored inside the file and re-checked) but left the WRITE path
+    exposed: on a filename collision each applied batch overwrote the
+    other stream's marker, destroying its high-water mark so its
+    replays double-appended.  At 128 bits a collision needs ~2^64
+    distinct txn_ids; the truncation bought nothing but that hazard."""
     import hashlib
 
     from feature_store_healthcare_spark.stores import local_path
 
-    digest = hashlib.md5(txn_id.encode()).hexdigest()[:12]
+    digest = hashlib.md5(txn_id.encode()).hexdigest()
     return f"{local_path(path)}__applied.{digest}"
 
 

@@ -1116,3 +1116,114 @@ def test_band_index_family_marker_guards(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fam")
+
+
+def test_minhash_arrow_split_doc_signed_merge(spark):
+    """Round-8 ADVICE (medium): the kernel's per-row minima must be taken
+    in the SAME signed order Spark's F.min uses to fold duplicate-id
+    partials — under the old unsigned reduceat, a row whose shingle
+    values straddled the sign bit emitted a partial that wrongly won the
+    signed merge, so a doc split across rows got a different signature
+    than the same shingle set in one row.  This test FORCES the
+    straddling case: with n=1 each token is one shingle, so a doc split
+    into single-token rows has exactly the same shingle set as the
+    concatenated one-row doc, and we pick two tokens whose seed values
+    provably sit on opposite sides of 2^63 for at least one seed."""
+    import numpy as np
+    import pandas as pd
+
+    from feature_store_healthcare_spark.operators.dedup import (
+        _arrow_seed_xors,
+        _sm64,
+    )
+
+    xors = _arrow_seed_xors(16)
+
+    def seed_vals(tok: str):
+        h = pd.util.hash_array(np.asarray([tok], dtype=object)).astype(np.uint64)
+        return _sm64(h[0] ^ xors)
+
+    top = np.uint64(1) << np.uint64(63)
+    pair = None
+    words = [f"tok{i}" for i in range(64)]
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            va, vb = seed_vals(words[i]), seed_vals(words[j])
+            if ((va >= top) != (vb >= top)).any():
+                pair = (words[i], words[j])
+                break
+        if pair:
+            break
+    assert pair is not None, "no sign-straddling token pair in 64 candidates"
+    a, b = pair
+    split = spark.createDataFrame([(7, a), (7, b)], "doc_id int, text string")
+    joined = spark.createDataFrame([(7, f"{a} {b}")], "doc_id int, text string")
+    got_split = tuple(
+        dedup.minhash_signatures_arrow(split, "doc_id", "text", n=1).collect()[0]
+    )[1:]
+    got_joined = tuple(
+        dedup.minhash_signatures_arrow(joined, "doc_id", "text", n=1).collect()[0]
+    )[1:]
+    assert got_split == got_joined
+    # ...and the split result is partition-independent (2 partitions →
+    # the two rows land in different kernel invocations)
+    got_2part = tuple(
+        dedup.minhash_signatures_arrow(
+            split.repartition(2), "doc_id", "text", n=1
+        ).collect()[0]
+    )[1:]
+    assert got_2part == got_joined
+
+
+def test_check_band_family_probe_gate(spark, tmp_path):
+    """Round-8 ADVICE (low): probing a stored band index of the WRONG
+    family must fail loudly — a cross-family probe silently returns zero
+    pairs (every duplicate admitted), which the append-side marker alone
+    could not prevent.  check_band_family() and the corpus_index_path
+    argument on minhash_lsh_pairs_cross are the probe-side gates."""
+    from feature_store_healthcare_spark.stores import read_table
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bands_probe")
+    try:
+        dedup.build_band_index(
+            docs, "doc_id", "text", "t_probe_fam", path, n_buckets=2,
+            portable=True,
+        )
+        dedup.check_band_family(path, portable=True)  # matching: no raise
+        with pytest.raises(ValueError, match="probe"):
+            dedup.check_band_family(path, portable=False)
+        bands = read_table(spark, "t_probe_fam")
+        # the gated probe raises BEFORE any join runs
+        with pytest.raises(ValueError, match="family"):
+            dedup.minhash_lsh_pairs_cross(
+                new, None, "doc_id", "text", portable=False,
+                corpus_bands=bands, corpus_index_path=path,
+            )
+        # matching family + path probes fine and finds the duplicates
+        pairs = dedup.minhash_lsh_pairs_cross(
+            new, None, "doc_id", "text", portable=True,
+            corpus_bands=bands, corpus_index_path=path,
+        ).collect()
+        assert {r.corpus_id for r in pairs} == {0, 1, 2, 3}
+        # path without bands is a usage error
+        with pytest.raises(ValueError, match="corpus_bands"):
+            dedup.minhash_lsh_pairs_cross(
+                new, docs, "doc_id", "text", portable=True,
+                corpus_index_path=path,
+            )
+        # a marker-less (pre-round-8) index refuses probes too
+        import os
+
+        os.remove(f"{path}__family")
+        with pytest.raises(ValueError, match="no family marker"):
+            dedup.check_band_family(path, portable=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_probe_fam")

@@ -686,3 +686,60 @@ def test_read_table_retries_only_the_swap_condition():
 
     assert read_table(FakeSpark(), "t_swapping") == "resolved"
     assert len(calls) == 3
+
+
+def test_read_table_retry_falls_back_to_message_text():
+    """Round-8 ADVICE (low): when the exception carries NO usable
+    condition — getCondition absent (older PySpark) or returning None —
+    the swap-window error is identified by the condition NAME in the
+    message text, so the documented ~2.5 s reader-side retry contract
+    does not silently become fail-fast.  Anything else without the name
+    still fails fast (pinned by
+    test_read_table_fails_fast_on_unclassified_analysis_error)."""
+    from pyspark.errors import AnalysisException
+
+    from feature_store_healthcare_spark.stores import read_table
+
+    calls = []
+
+    class NoConditionExc(AnalysisException):
+        def getCondition(self):
+            return None
+
+    class FakeSpark:
+        def table(self, name):
+            calls.append(name)
+            if len(calls) < 3:
+                raise NoConditionExc(
+                    f"[TABLE_OR_VIEW_NOT_FOUND] The table or view {name} "
+                    "cannot be found."
+                )
+            return "resolved"
+
+    assert read_table(FakeSpark(), "t_swap_noc") == "resolved"
+    assert len(calls) == 3
+
+    # getCondition MISSING entirely (older PySpark builds)
+    calls.clear()
+
+    class LegacyExc(AnalysisException):
+        # models pre-getCondition PySpark: the attribute doesn't resolve
+        # to a callable, and str() is just the message
+        getCondition = None
+
+        def __init__(self, msg):
+            self._legacy_msg = msg
+            Exception.__init__(self, msg)
+
+        def __str__(self):
+            return self._legacy_msg
+
+    class LegacySpark:
+        def table(self, name):
+            calls.append(name)
+            if len(calls) < 2:
+                raise LegacyExc(f"[TABLE_OR_VIEW_NOT_FOUND] {name}")
+            return "resolved"
+
+    assert read_table(LegacySpark(), "t_swap_legacy") == "resolved"
+    assert len(calls) == 2

@@ -713,6 +713,26 @@ def test_streaming_ivf_maintenance_matches_batch_build(spark, tmp_path):
         sp.streaming_ivf_maintenance(stream, path)
 
 
+def test_marker_path_uses_full_digest(tmp_path):
+    """Round-8 ADVICE (low): the marker FILENAME carries the full 128-bit
+    md5 of the txn_id.  The earlier 12-char truncation made reads safe
+    (txn_id re-checked inside the file) but let a filename collision
+    between two txns OVERWRITE each other's marker on every applied
+    batch — destroying the other stream's high-water mark so its
+    replays double-appended.  Full digest ⇒ a collision needs ~2^64
+    txn_ids; the write path is no longer the weak half."""
+    import hashlib
+
+    from feature_store_healthcare_spark.streaming import pipeline as sp_mod
+
+    base = str(tmp_path / "idx")
+    p_a = sp_mod._marker_path(base, "txnA")
+    p_b = sp_mod._marker_path(base, "txnB")
+    assert p_a != p_b
+    assert p_a.endswith(hashlib.md5(b"txnA").hexdigest())
+    assert len(p_a.rsplit(".", 1)[1]) == 32
+
+
 def test_streaming_marker_legacy_migration(spark, tmp_path):
     """A stream that committed batches under the round-7 single-slot
     marker ('{path}__applied') and restarts under the per-txn scheme must
