@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the full per-query JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "noise": {...}}
+followed by a SHORT summary JSON line (same metric/value, no per-query
+map) emitted LAST — the full line outgrew the driver's finite tail
+capture at ~58 queries, so the trailing short line is what guarantees
+the headline number parses (round-8 VERDICT finding #2).
 
 Each query executes fully (noop sink — no driver collect cost, no result
 materialization skew); timing covers plan → execute → last task done.
@@ -277,6 +281,22 @@ def main() -> None:
                     "loadavg_end": [round(x, 2) for x in load_end],
                     "calibration_sec": [calib_start, calib_end],
                 },
+            }
+        )
+    )
+    # SHORT summary line, emitted LAST (round-8 VERDICT #2): the full
+    # per-query line above outgrew the driver's tail capture, so both
+    # BENCH_r07/r08 recorded "parsed": null and lost the headline metric.
+    # A trailing sub-200-byte line always survives the tail and parses.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "calibration_sec": [calib_start, calib_end],
             }
         )
     )

@@ -86,13 +86,51 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
 # treatment the LSH band index got in round 5 (1.59 s vs 182.7 s).
 
 
+#: auto bucket sizing density: one bucket per ~625 documents keeps every
+#: bucket task holding real work on small corpora — the round-9 idle-host
+#: A/B at 5k docs measured the bigram probe at 0.48 s with 8 buckets vs
+#: 0.76 s with 32 (per-bucket scheduling/open overhead dominates when the
+#: whole index is a few MB), while at 1M docs the same rule hits the
+#: parallelism cap below and reproduces the ×200-measured 32-bucket
+#: layout (bucket count IS probe parallelism there: the term aggregation,
+#: postings⋈counts join and per-doc fold all run inside bucket tasks).
+_DOCS_PER_BUCKET = 625
+
+
+def auto_index_buckets(spark, n_docs: int) -> int:
+    """Corpus-size-scaled bucket count for stored-index builds (round-8
+    VERDICT #1): ``clamp(next_pow2(n_docs / 625), 8, max(32,
+    defaultParallelism))``.
+
+    - **Floor 8**: below ~5k docs the index is a few MB; splitting it
+      further only multiplies task/file overhead (measured: the sf0.1
+      bigram probe DOUBLED under the ×200-tuned 32-bucket layout).
+    - **Growth**: one bucket per :data:`_DOCS_PER_BUCKET` docs, rounded
+      up to a power of two so successive rebuilds of a growing corpus
+      reuse layouts more often.
+    - **Cap = probe parallelism** (``defaultParallelism``, floor 32):
+      co-located probes run in ``n_buckets`` tasks, so buckets beyond
+      the cluster's parallelism only shrink files without adding
+      speed.  On a real cluster the cap scales with the executor count
+      automatically; for 100 TB corpora pass ``n_buckets`` explicitly
+      to bound per-bucket bytes instead (~128 MB-1 GB each).
+
+    Auto sizing applies at BUILD time only — appends/compactions must
+    match the existing layout and keep taking the explicit count.
+    """
+    target = max(1, int(n_docs) // _DOCS_PER_BUCKET)
+    np2 = 1 << max(0, (target - 1).bit_length())
+    cap = max(32, spark.sparkContext.defaultParallelism)
+    return max(8, min(np2, cap))
+
+
 def build_postings_index(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     table: str,
     path: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> None:
     """Build the stored unigram inverted index: the :func:`postings` table
     ``(id_col, term, tf, dl)`` written bucketed+sorted by ``term`` (every
@@ -116,9 +154,15 @@ def build_postings_index(
     documents are excluded from the average exactly as ``avg`` excludes
     them, while still counting toward ``n_docs`` for the idf, matching
     the live scorer's semantics row for row).
+
+    ``n_buckets=None`` (default) sizes the layout to the corpus via
+    :func:`auto_index_buckets`; pass an explicit count to pin it (an
+    append must always match the existing layout).
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
+    if n_buckets is None:
+        n_buckets = auto_index_buckets(docs.sparkSession, docs.count())
     post = postings(docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term")
     _write_postings_stats(_postings_stats(docs, text_col), table, path, "overwrite")
@@ -635,7 +679,7 @@ def build_bigram_index(
     text_col: str,
     table: str,
     path: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> None:
     """Build the stored bigram index for :func:`bigram_logprob_from_index`:
     per-document bigram term frequencies ``(id_col, shingle, tf)`` written
@@ -647,10 +691,18 @@ def build_bigram_index(
     ``c2 = Σ tf`` and history counts ``c1`` — derives from the stored
     table itself at probe time, on aggregations the bucket layout
     satisfies without a corpus-sized shuffle.
+
+    ``n_buckets=None`` (default) sizes the layout to the corpus via
+    :func:`auto_index_buckets` — the round-8 fixed 32-bucket layout was
+    probe-parallelism-right at ×200 (1M docs) but doubled the 5k-doc
+    sf0.1 probe on per-bucket overhead; auto restores 8 buckets there
+    and still hits the parallelism cap (32 on local[32]) at ×200.
     """
     from feature_store_healthcare_spark.operators.dedup import shingles
     from feature_store_healthcare_spark.stores import write_bucketed
 
+    if n_buckets is None:
+        n_buckets = auto_index_buckets(docs.sparkSession, docs.count())
     toks = tokens(text_col)
     multi = docs.where(F.size(toks) >= 2)
     bi = shingles(multi, id_col, text_col, n=2, distinct=False)

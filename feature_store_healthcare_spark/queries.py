@@ -4455,13 +4455,12 @@ def _stored_postings(spark: SparkSession, sf_dir: str) -> str:
         spark,
         sf_dir,
         "post",
-        # 32 buckets: the probes' heavy stages (term aggregation, the
-        # postings⋈counts join, the per-doc fold's map side) run INSIDE
-        # the bucket tasks, so bucket count is probe parallelism — the
-        # same sizing rule the bigram index adopted in round 8
-        lambda t, p: retrieval.build_postings_index(
-            docs, "doc_id", "text", t, p, n_buckets=32
-        ),
+        # auto bucket count (retrieval.auto_index_buckets): the probes'
+        # heavy stages run INSIDE the bucket tasks, so bucket count is
+        # probe parallelism at scale — but a fixed 32 over-splits a
+        # 5k-doc corpus (round-9 A/B); auto gives 8 here and hits the
+        # parallelism cap (32 on local[32]) at the ×200 rehearsal
+        lambda t, p: retrieval.build_postings_index(docs, "doc_id", "text", t, p),
     )
 
 
@@ -4599,14 +4598,13 @@ def bigram_lm_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "bigram",
-        # 32 buckets (not the postings' 16): since the round-8 history
-        # fix the whole probe pipeline runs INSIDE the bucket tasks
-        # (broadcast model join, co-located doc join), so bucket count
-        # IS the probe's parallelism — 16 buckets left half of local[32]
-        # idle (measured; at cluster scale you size buckets ≫ cores)
-        lambda t, p: retrieval.build_bigram_index(
-            docs, "doc_id", "text", t, p, n_buckets=32
-        ),
+        # auto bucket count (retrieval.auto_index_buckets, round-8
+        # VERDICT #1): the fixed ×200-tuned 32-bucket layout doubled
+        # this probe at sf0.1 (5k docs — per-bucket overhead dominates
+        # a few-MB index); auto restores 8 buckets here (idle-host
+        # min-of-5: 0.48 s vs 0.76 s) while ×200 still gets the
+        # measured 32 via the parallelism cap
+        lambda t, p: retrieval.build_bigram_index(docs, "doc_id", "text", t, p),
     )
     return retrieval.bigram_logprob_from_index(spark, table, add_k=0.5)
 

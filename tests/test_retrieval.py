@@ -127,6 +127,27 @@ def test_unigram_perplexity_flags_outliers(spark):
     assert out[9].ppl == pytest.approx(40.0, abs=1e-2)
 
 
+def test_auto_index_buckets_rule(spark):
+    """Round-8 VERDICT #1: stored-index bucket count scales with corpus
+    size — floor 8 (a fixed 32 over-split the 5k-doc sf0.1 corpus and
+    doubled the bigram probe), power-of-two growth at one bucket per
+    ~625 docs, capped at probe parallelism (defaultParallelism, floor
+    32) since buckets beyond the cluster's parallelism only shrink
+    files."""
+    cap = max(32, spark.sparkContext.defaultParallelism)
+    assert retrieval.auto_index_buckets(spark, 0) == 8
+    assert retrieval.auto_index_buckets(spark, 5_000) == 8
+    assert retrieval.auto_index_buckets(spark, 10_000) == 16
+    assert retrieval.auto_index_buckets(spark, 20_000) == min(32, cap)
+    # ×200 rehearsal scale (1M docs) hits the parallelism cap — on
+    # local[32] that reproduces the round-8-measured 32-bucket layout
+    assert retrieval.auto_index_buckets(spark, 1_000_000) == cap
+    # monotone non-decreasing in corpus size
+    sizes = [0, 1_000, 5_000, 10_000, 50_000, 10**6, 10**8]
+    got = [retrieval.auto_index_buckets(spark, s) for s in sizes]
+    assert got == sorted(got)
+
+
 def test_stored_index_twins_match_live(spark, corpus, tmp_path):
     """build_postings_index / build_bigram_index → *_from_index reproduce
     the live single-pass scorers bit-for-bit (same rounding, same ranks),
