@@ -440,13 +440,17 @@ def ivf_centroids(
     n_centroids: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    refine_rounds: int = 0,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse centroids: a hash-ordered pseudo-random sample
     of the corpus (k rows collected to the driver — k ≪ corpus, the
-    standard IVF shape).  One TakeOrdered job, no count pass.  A k-means
-    refinement can replace this without changing any downstream plan;
-    hash-order sampling keeps the index reproducible with zero iterative
-    jobs, which is what the correctness harness needs.
+    standard IVF shape).  One TakeOrdered job, no count pass.
+    ``refine_rounds > 0`` runs that many spherical-k-means Lloyd rounds
+    on top (:func:`kmeans_refine_centroids`) — deterministic (fixed seed
+    sample, fixed rounds, rounded updates) and plan-invariant
+    downstream; :func:`build_ivf_index` defaults to 3 rounds since
+    round 9 (recall lever), while the zero-round form stays the default
+    here for the cheapest possible ad-hoc index.
 
     At 100 TB the centroid list is still tiny (k ≤ ~65k for IVF_65536), so
     it remains a driver-side constant folded into the assignment expression.
@@ -457,7 +461,79 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
-    return [(i, [float(x) for x in r.v]) for i, r in enumerate(rows)]
+    cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(rows)]
+    if refine_rounds:
+        cents = kmeans_refine_centroids(
+            corpus, cents, rounds=refine_rounds, corpus_vec=corpus_vec
+        )
+    return cents
+
+
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    rounds: int = 3,
+    corpus_vec: str = "embedding",
+    round_decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refine coarse IVF centroids with ``rounds`` spherical
+    k-means iterations, expressed as DataFrame ops (round-8 VERDICT #3 —
+    the hash-sampled seed left recall@10 at 0.68; refinement is the
+    quality lever with NO downstream plan change, since centroids stay a
+    bounded driver-side list).
+
+    Per round: assign every corpus vector to its nearest centroid by
+    cosine (the same Arrow kernel every probe uses —
+    :func:`_nearest_centroids`, so refinement and search agree on ties),
+    then update each centroid to the mean DIRECTION of its members
+    (members are L2-normalized before averaging — spherical k-means, the
+    right objective under cosine; centroid magnitude is irrelevant to
+    cosine assignment).  The update is one ``groupBy(__list)`` with
+    ``dim`` JVM-side ``avg`` aggregates — one map-side-combined shuffle
+    of k×dim partials per round, never an explode — and collects k×dim
+    doubles to the driver.  Empty lists keep their previous centroid
+    (deterministic, no re-seeding jitter).
+
+    Determinism: the seed sample is hash-ordered (deterministic), round
+    count is fixed, and each averaged coordinate is rounded to
+    ``round_decimals`` so float summation order across partitions cannot
+    leak into the stored artifact — 1e-6 granularity is ~8 orders above
+    fp-reduction jitter and ~4 below any real assignment boundary.
+
+    Cost at 100 TB: ``rounds`` extra corpus passes at BUILD time only
+    (each pass = the same Arrow assignment kernel the index build runs
+    once anyway); probe-side cost is unchanged.  Reference has no ANN at
+    all (SURVEY §2 OP-50 is driver-mandated); this mirrors the classic
+    IVF training loop (Jégou et al., PAMI 2011) at fixed small rounds.
+    """
+    if not centroids or rounds <= 0:
+        return centroids
+    dim = len(centroids[0][1])
+    unit = corpus.select(F.col(corpus_vec).alias("__cv")).withColumn(
+        "__cn", _norm(F.col("__cv"), dim=dim)
+    )
+    cents = centroids
+    for _ in range(rounds):
+        assigned = unit.withColumn(
+            "__list", F.element_at(_nearest_centroids(F.col("__cv"), cents, 1), 1)
+        )
+        agg = assigned.groupBy("__list").agg(
+            *[
+                F.round(
+                    F.avg(F.col("__cv")[i] / F.col("__cn")), round_decimals
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        new = {
+            int(r["__list"]): [float(r[f"c{i}"] or 0.0) for i in range(dim)]
+            for r in agg
+        }
+        cents = [
+            (cid, vec if not any(new.get(cid, [])) else new[cid])
+            for cid, vec in cents
+        ]
+    return cents
 
 
 def _nearest_lists_np(
@@ -591,6 +667,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    refine_rounds: int = 3,
 ) -> list[tuple[int, list[float]]]:
     """Write the IVF index as a DISK layout partitioned by inverted list:
     ``path/__list=<centroid>/…`` holds each list's (id, vector, norm) rows,
@@ -603,9 +680,16 @@ def build_ivf_index(
     static PartitionFilter and Spark lists/reads ONLY the probed
     directories — at 100 TB with IVF_4096 and nprobe=8, ~0.2% of the
     corpus bytes.  Returns the centroids (also loadable via
-    :func:`load_ivf_centroids`)."""
+    :func:`load_ivf_centroids`).
+
+    ``refine_rounds`` (default 3): spherical-k-means Lloyd rounds on the
+    hash-sampled seed (:func:`kmeans_refine_centroids`) — the stored
+    production index is worth the ``rounds`` extra build-time corpus
+    passes (recall@10 on the sf0.001 near-random corpus: see the pinned
+    regression test); pass 0 for the raw sampled seed."""
     cents = ivf_centroids(
-        corpus, n_centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
+        corpus, n_centroids, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        refine_rounds=refine_rounds,
     )
     assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
     assigned.write.mode("overwrite").partitionBy("__list").parquet(path)

@@ -286,6 +286,49 @@ def test_ivf_topk_structure_and_recall(spark):
     assert len(e & a) / len(e) >= 0.4
 
 
+def test_kmeans_refine_centroids(spark):
+    """Round-8 VERDICT #3: Lloyd refinement of the hash-sampled IVF seed.
+    Deterministic (same input → identical centroids across calls and
+    partitionings, thanks to rounded updates), recall-improving on the
+    driver embeddings at nprobe=4/16, keeps every centroid id, and
+    rounds=0 is the identity."""
+    from feature_store_healthcare_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = similarity.ivf_centroids(emb, n_centroids=16)
+    assert similarity.kmeans_refine_centroids(emb, seed, rounds=0) is seed
+    r1 = similarity.kmeans_refine_centroids(emb, seed, rounds=2)
+    r2 = similarity.kmeans_refine_centroids(
+        emb.repartition(7), seed, rounds=2
+    )
+    assert [c for c, _ in r1] == [c for c, _ in seed]  # ids preserved
+    assert r1 == r2, "refinement must not depend on input partitioning"
+    assert r1 != seed  # it actually moved
+    # recall improves over the raw seed (0.438 → ~0.55 measured; pin the
+    # direction with margin, not the exact value)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.cosine_topk(q, emb, k=10,
+                                             query_id="query_id").collect()}
+
+    def recall(cents):
+        got = {(r.query_id, r.vec_id)
+               for r in similarity.ivf_topk(
+                   q, emb, k=10, nprobe=4, centroids=cents,
+                   assigned=similarity.ivf_assign(emb, cents)).collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall(r1) > recall(seed) + 0.05
+    # empty-list robustness: a far-away junk centroid attracts nothing
+    # and keeps its previous vector instead of collapsing to zeros
+    junk = seed + [(99, [1e6] * len(seed[0][1]))]
+    ref = similarity.kmeans_refine_centroids(emb, junk, rounds=1)
+    got_99 = dict(ref)[99]
+    assert got_99 == [1e6] * len(seed[0][1]) or any(got_99)
+
+
 def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
     """The stored IVF index (build_ivf_index → ivf_topk_from_index)
     reproduces the in-session ivf_topk EXACTLY (shared nearest-list numpy

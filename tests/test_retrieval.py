@@ -386,11 +386,17 @@ def test_hybrid_rrf_ivf_stored_recall_pin(spark, sf_dir):
     IVF cosine) cannot share the exact hybrid's oracle — IVF is
     approximate — so its correctness contract is this regression pin:
     recall@10 of the fused list vs the exact hybrid, per query and on
-    average.  The build is fully deterministic (hash-ordered centroid
-    sample), so measured recall is stable run-to-run: 0.68 mean at
-    sf0.001 on this synthetic near-random corpus (the IVF-hostile worst
-    case — nprobe/n_centroids = 4/16 reads 25% of the lists; real
-    clustered corpora recall higher at the same nprobe)."""
+    average.  The build is deterministic (hash-ordered centroid seed +
+    fixed-round spherical k-means with rounded updates —
+    kmeans_refine_centroids), so measured recall is stable run-to-run:
+    0.84 mean / 0.70 min at sf0.001 with the round-9 3-round Lloyd
+    refinement (up from 0.68 mean on the raw sampled seed) on this
+    synthetic near-random corpus — the IVF-hostile worst case
+    (nprobe/n_centroids = 4/16 reads 25% of the lists caps the raw-IVF
+    half's recall near ~0.55 REGARDLESS of centroid quality on
+    unclustered data; the lexical half lifts the fused list past 0.8).
+    Pins hold margin below the measured values for fp-order jitter in
+    the refinement's avg aggregates."""
     from feature_store_healthcare_spark import queries as catalog
 
     qs = catalog.queries()
@@ -405,6 +411,6 @@ def test_hybrid_rrf_ivf_stored_recall_pin(spark, sf_dir):
     assert set(a) == set(e)  # same query batch, every query answered
     assert all(len(ids) == 10 for ids in a.values())  # full top-10 each
     recalls = {q: len(e[q] & a[q]) / len(e[q]) for q in e}
-    assert min(recalls.values()) >= 0.3, recalls
+    assert min(recalls.values()) >= 0.5, recalls
     mean = sum(recalls.values()) / len(recalls)
-    assert mean >= 0.6, recalls
+    assert mean >= 0.8, recalls

@@ -860,6 +860,83 @@ def run_suite(
     return out
 
 
+def run_ann_recall(spark: SparkSession) -> dict:
+    """Round-8 VERDICT #4: recall@10 AND warm probe cost at the ×50
+    embedding scale (100k vectors, the blow-up dir) for the two
+    approximate stored-index consumers — `ivf_topk_from_index` (vs the
+    exact brute-force cosine on the same query batch) and the catalog's
+    `hybrid_rrf_ivf_stored` (vs the exact `hybrid_rrf_retrieval`).  The
+    earlier "recall rising to 0.90 at 100k vectors" claim was
+    extrapolated from a 2k-vector frontier; this measures it.
+
+    Caveat recorded with the numbers: the ×50 corpus is 49 slightly
+    perturbed replicas of each base vector (±0.0005/coordinate), so each
+    query's true top-10 is dominated by its own replica cluster — an
+    ANN-FRIENDLY structure (replicas co-assign to the same inverted
+    list), unlike the near-random 1× corpus.  Recall here measures the
+    replica-clustered regime, not a claim about arbitrary corpora."""
+    from feature_store_healthcare_spark.operators import similarity
+
+    out: dict = {}
+    emb = load_table(spark, OUT, "embeddings")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in similarity.cosine_topk(q, emb, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    path = os.path.join(REPO, ".scale", "ivf_recall_x50")
+    t0 = time.time()
+    similarity.build_ivf_index(emb, path, n_centroids=16)
+    build_sec = round(time.time() - t0, 2)
+    times, rows = [], []
+    for _ in range(2):
+        t0 = time.time()
+        rows = similarity.ivf_topk_from_index(spark, path, q, k=10, nprobe=4).collect()
+        times.append(time.time() - t0)
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[k_] & got.get(k_, set())) / len(exact[k_]) for k_ in exact]
+    out["ivf_topk_from_index"] = {
+        "n_vectors": n,
+        "n_queries": len(exact),
+        "n_centroids": 16,
+        "nprobe": 4,
+        "recall_at_10_mean": round(sum(recalls) / len(recalls), 3),
+        "recall_at_10_min": round(min(recalls), 3),
+        "warm_probe_sec": round(min(times), 2),
+        "index_build_sec": build_sec,
+    }
+    print(f"ann-recall ivf_topk_from_index: {out['ivf_topk_from_index']}",
+          file=sys.stderr)
+
+    qs = catalog.queries()
+    e2: dict = {}
+    for r in qs["hybrid_rrf_retrieval"](spark, OUT).collect():
+        e2.setdefault(r.query_id, set()).add(r.doc_id)
+    times2, rows2 = [], []
+    for _ in range(2):
+        t0 = time.time()
+        rows2 = qs["hybrid_rrf_ivf_stored"](spark, OUT).collect()
+        times2.append(time.time() - t0)
+    a2: dict = {}
+    for r in rows2:
+        a2.setdefault(r.query_id, set()).add(r.doc_id)
+    rec2 = [len(e2[k_] & a2.get(k_, set())) / len(e2[k_]) for k_ in e2]
+    out["hybrid_rrf_ivf_stored"] = {
+        "n_queries": len(e2),
+        "recall_at_10_mean": round(sum(rec2) / len(rec2), 3),
+        "recall_at_10_min": round(min(rec2), 3),
+        "warm_probe_sec": round(min(times2), 2),
+    }
+    print(f"ann-recall hybrid_rrf_ivf_stored: {out['hybrid_rrf_ivf_stored']}",
+          file=sys.stderr)
+    return out
+
+
 def main() -> int:
     # --only a,b,c: measure just those REHEARSAL entries and merge them
     # into an existing SCALE_REHEARSAL.json (incremental re-measurement).
@@ -916,6 +993,32 @@ def main() -> int:
     elif "--skip-build" not in sys.argv:
         print(f"reusing {blow_dir}", file=sys.stderr)
     if "--build-only" in sys.argv:
+        return 0
+
+    if "--ann-recall" in sys.argv:
+        # recall section only (round-8 VERDICT #4) — merged into the
+        # report without touching the timing suites
+        ann = run_ann_recall(spark)
+        calib_end = calibration_run(spark)
+        load_end = os.getloadavg()
+        out_path = os.path.join(REPO, "SCALE_REHEARSAL.json")
+        report = {}
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                report = json.load(fh)
+        report["ann_recall"] = {
+            "embeddings_factor": FACTORS["embeddings"],
+            "documents_factor": FACTORS["documents"],
+            "noise": {
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "calibration_sec": [calib_start, calib_end],
+            },
+            **ann,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(json.dumps(report["ann_recall"]))
         return 0
 
     base = run_suite(spark, SRC, "1x", names)
