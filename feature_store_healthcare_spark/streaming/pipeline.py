@@ -250,13 +250,17 @@ def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=N
       marker) or double-append on replay (no marker).
     - Markers are per-txn files (:func:`_marker_path`), so SERIAL streams
       under distinct txn_ids each keep their own high-water mark.
-    - **Exactly one ACTIVE writer per index at a time.**  Two concurrent
-      streams — even with distinct txn_ids — race on the index itself:
-      the postings maintainer's stats read-merge-overwrite loses one
-      stream's update, and any append pair can interleave with a
-      compaction swap.  Concurrency control is a table-format feature
-      (Delta/Iceberg optimistic commits); plain parquet has none, so run
-      maintenance streams serially.
+    - **Appends compose; compaction does not.**  Since round 9 the
+      postings stats are append-only per-batch rows folded at read time
+      (``retrieval._folded_postings_stats``), so two concurrent streams
+      with distinct txn_ids no longer lose each other's stats updates —
+      the old read-merge-overwrite hazard is gone.  What still requires
+      exclusivity is COMPACTION: ``stores.compact_bucketed`` swaps the
+      whole table, and an append interleaving with the swap window can
+      land in the dropped table.  Concurrency control across
+      append+compact is a table-format feature (Delta/Iceberg optimistic
+      commits); plain parquet has none, so pause maintenance streams
+      around compactions.
     - The replay-skip path is one local file read, never a Spark job
       (``isEmpty`` is checked only after the marker admits the batch).
     - Residual window: a crash BETWEEN the append and the marker write

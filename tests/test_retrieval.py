@@ -199,8 +199,10 @@ def test_postings_index_append_matches_rebuild(spark, corpus, tmp_path):
         corpus, "doc_id", "text", "t_full", str(tmp_path / "full"), n_buckets=2
     )
     try:
-        srow = spark.table("t_app__stats").collect()[0]
-        frow = spark.table("t_full__stats").collect()[0]
+        # stats are append-only (one row per build/append batch) — the
+        # READ-TIME FOLD is the corpus statistic
+        srow = retrieval._folded_postings_stats(spark, "t_app").collect()[0]
+        frow = retrieval._folded_postings_stats(spark, "t_full").collect()[0]
         assert (srow.n_docs, srow.sum_dl) == (frow.n_docs, frow.sum_dl)
 
         q = [("a", "hash scan"), ("b", "merge join")]
@@ -220,6 +222,56 @@ def test_postings_index_append_matches_rebuild(spark, corpus, tmp_path):
     finally:
         for t in ("t_app", "t_app__stats", "t_app__compact",
                   "t_full", "t_full__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_postings_stats_survive_interleaved_appenders(spark, corpus, tmp_path):
+    """Round-8 VERDICT #5: two writers appending into one postings index
+    must not lose a stats update.  The old read-merge-OVERWRITE dropped
+    one writer's delta whenever both read the same base row (last write
+    won); stats are now append-only per-batch rows folded at read time,
+    so there is NO shared read-modify-write and any interleaving of the
+    two writers' (postings-append, stats-append) steps ends correct.
+    This test replays the exact schedule that lost an update before:
+    A-postings, B-postings, A-stats, B-stats."""
+    from feature_store_healthcare_spark.stores import write_bucketed
+
+    base = corpus.where(F.col("doc_id") < 3)
+    d_a = corpus.where(F.col("doc_id") == 3)
+    d_b = corpus.where(F.col("doc_id") == 4)
+    retrieval.build_postings_index(
+        base, "doc_id", "text", "t_race", str(tmp_path / "race"), n_buckets=2
+    )
+    retrieval.build_postings_index(
+        corpus, "doc_id", "text", "t_race_full", str(tmp_path / "race_full"),
+        n_buckets=2,
+    )
+    try:
+        # interleaved writer steps (the public append_postings_index runs
+        # postings-append then stats-append; here A's and B's steps cross)
+        p = str(tmp_path / "race")
+        write_bucketed(retrieval.postings(d_a, "doc_id", "text"), "t_race",
+                       "term", 2, p, sort_col="term", mode="append")
+        write_bucketed(retrieval.postings(d_b, "doc_id", "text"), "t_race",
+                       "term", 2, p, sort_col="term", mode="append")
+        retrieval._write_postings_stats(
+            retrieval._postings_stats(d_a, "text"), "t_race", p, "append")
+        retrieval._write_postings_stats(
+            retrieval._postings_stats(d_b, "text"), "t_race", p, "append")
+
+        assert spark.table("t_race__stats").count() == 3  # build + A + B
+        got = retrieval._folded_postings_stats(spark, "t_race").collect()[0]
+        want = retrieval._folded_postings_stats(spark, "t_race_full").collect()[0]
+        assert tuple(got) == tuple(want)
+        # and probes of the raced index are bit-identical to a rebuild
+        q = [("a", "hash scan"), ("b", "merge join")]
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        raced = retrieval.bm25_topk_from_index(spark, "t_race", q, k=5).collect()
+        rebuilt = retrieval.bm25_topk_from_index(
+            spark, "t_race_full", q, k=5).collect()
+        assert sorted(raced, key=key) == sorted(rebuilt, key=key)
+    finally:
+        for t in ("t_race", "t_race__stats", "t_race_full", "t_race_full__stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
