@@ -60,6 +60,7 @@ HEADLINE = [
     "record_linkage_best_match",
     "decayed_engagement_counters",
     "bigram_lm_fluency",
+    "bpe_train_merges",
     "data_quality_expectations",
     # round-2 additions: chunking, vocab, skew pre-flight, burst dedup,
     # covariance slice, mergeable-histogram quantiles

@@ -117,7 +117,8 @@ _Q20_QTY_CACHE = PlanCache("q20_potential_promotion.qty")
 #:    the rehearsals, and plan-pinned in test_plans.
 #: 4. Family → slots map: relational core 8 (q1, q3, linkage, filter/
 #:    project, expectations, range join, correlated subquery, window);
-#:    EAV/PIT/feature-store 14 (latest, tie-fallback, PIT join+interval,
+#:    EAV/PIT/feature-store 14 (validity-intervals, tie-fallback — which
+#:    subsumes plain latest-per-key, PIT join+interval,
 #:    resample, pivot, null-fill, freshness, ACL, consistency, sha2 ids,
 #:    target-enc, cardinality, serving rollup) + json; time/session/CDC 3;
 #:    dedup+curation 4; chunking/skew/graph 3; similarity+retrieval 3;
@@ -134,7 +135,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "correlated_subquery_customer_max",
     "window_rank_orders",
     # feature-store semantics: EAV, PIT, registry, serving, freshness
-    "eav_latest_per_key",
+    # round 9 (rotation rule 2): `eav_latest_per_key`'s plain argmax
+    # contract is a strict SUBSET of the seated
+    # `eav_latest_tie_fallback` (latest + deterministic ties +
+    # fallback), so its slot goes to `eav_validity_intervals` — the SCD2
+    # interval DERIVATION contract (valid_from/valid_to versioning from
+    # the append-only EAV log) that no seated query pinned; latest-per-
+    # key stays driver-covered via tie_fallback, and eav_latest_per_key
+    # stays check_oracle-verified in the tail + benched in HEADLINE.
+    "eav_validity_intervals",
     # round 5: the tie-fallback contract takes the as-of slot (as-of
     # filtering stays driver-covered via pit_training_join's leak-free
     # bound; eav_asof_lookup remains check_oracle-verified in the tail)
@@ -4607,6 +4616,60 @@ def bigram_lm_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t, p: retrieval.build_bigram_index(docs, "doc_id", "text", t, p),
     )
     return retrieval.bigram_logprob_from_index(spark, table, add_k=0.5)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB twin of text.bpe_train (round-8 VERDICT #6): the
+    per-word segmentation state lives as a DOUBLE-SPACE-joined string
+    with single-space padding (' a  b  c '), so applying merge rule
+    (a, b) is one boundary-safe replace(' a  b ' → ' ab ') — replace
+    scans left-to-right non-overlapping, exactly the greedy merge order
+    the Spark fold implements, and adjacent occurrences stay disjoint
+    because each consumes only one of the two separator spaces on each
+    side.  All-integer counts + lexicographic tie-breaks ⇒ bit-exact
+    hash match with the Spark trainer."""
+    parts = [
+        "WITH w AS MATERIALIZED (SELECT u.w AS w, COUNT(*) AS cnt FROM (SELECT "
+        f"{_TOKENS_SQL} AS t FROM documents), UNNEST(t) AS u(w) "
+        "WHERE length(u.w) >= 1 GROUP BY u.w),\n"
+        "s0 AS MATERIALIZED (SELECT cnt, ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, i, 1)), '  ') || ' ' "
+        "AS seg FROM w)"
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT u.pr[1] AS lhs, u.pr[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt,
+               list_transform(range(1, len(syms)), j -> [syms[j], syms[j + 1]]) AS prs
+        FROM (SELECT cnt, string_split(trim(seg), '  ') AS syms FROM s{i - 1})
+        WHERE len(syms) >= 2), UNNEST(prs) AS u(pr)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+s{i} AS MATERIALIZED (SELECT cnt, replace(seg,
+           ' ' || (SELECT lhs FROM b{i}) || '  ' || (SELECT rhs FROM b{i}) || ' ',
+           ' ' || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || ' ') AS seg
+         FROM s{i - 1})""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({sel}) ORDER BY step"
+
+
+@query("bpe_train_merges", _bpe_train_oracle(6))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Iterative BPE tokenizer induction (operators.text.bpe_train,
+    round-8 VERDICT #6): 6 full merge rounds — most-frequent adjacent
+    symbol pair per round (ties: count desc, lhs, rhs), merged greedily
+    left-to-right corpus-wide before the next count.  One corpus scan
+    total (the word-frequency compression IS the trainer state), one
+    vocab-sized shuffle per round, JVM-side HOF re-segmentation.  The
+    DuckDB oracle unrolls the same 6 rounds over a double-space-encoded
+    segmentation string, so the hash match pins the whole loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, "text", n_merges=6)
 
 
 @query(

@@ -230,6 +230,40 @@ def test_token_counts_and_fingerprint(spark):
     assert fp.fingerprint == fp2.fingerprint  # case/whitespace-insensitive
 
 
+def test_bpe_train_classic_example(spark):
+    """Iterative BPE trainer (round-8 VERDICT #6) on the classic
+    Sennrich-style toy corpus: the learned merge sequence is exactly the
+    textbook one (es → est, lo → low, ...), counts weight by word
+    frequency, and ties break (count desc, lhs, rhs)."""
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id int, text string",
+    )
+    got = [tuple(r) for r in text.bpe_train(docs, "text", n_merges=4).collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+    # greedy left-to-right non-overlap: rule (a,a) on 'aaa' merges once
+    # per pass — after merging 'aa', the leftover 'a' pairs with it NEXT
+    # round, and the round-2 winner is deterministic
+    aa = spark.createDataFrame([(1, "aaa aaa")], "doc_id int, text string")
+    got2 = [tuple(r) for r in text.bpe_train(aa, "text", n_merges=3).collect()]
+    # round 1 COUNTS both overlapping (a,a) windows (2 per word × 2
+    # words = 4) but MERGES greedily non-overlapping: 'aaa' → [aa, a]
+    assert got2[0] == (1, "a", "a", "aa", 4)
+    assert got2[1] == (2, "aa", "a", "aaa", 2)
+    assert len(got2) == 2  # fully merged: early stop before n_merges
+    # schema is stable even when nothing merges
+    single = spark.createDataFrame([(1, "x y z")], "doc_id int, text string")
+    empty = text.bpe_train(single, "text", n_merges=2)
+    assert empty.columns == ["step", "lhs", "rhs", "merged", "pair_count"]
+    assert empty.count() == 0
+
+
 def test_bpe_ish_estimate(spark):
     df = spark.createDataFrame([(1, "internationalization, no?")], "doc_id long, text string")
     n = df.select(text.bpe_ish_token_estimate(F.col("text")).alias("n")).collect()[0].n
