@@ -339,10 +339,11 @@ def _lsh_stored_bands(spark, sf_dir):
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     label = _dir_label(sf_dir)
-    # table name versioned "a" at the round-8 family boundary: the shipped
-    # fast path is the Arrow kernel, and a stale xxhash-family band dir
-    # must never be mixed with (or reused for) arrow-family bands
-    t = f"reh_lsh_bands_a_{label}"
+    # table name versioned at each hash-family boundary ("a" = round-8
+    # xxhash→arrow, "a2" = round-9 arrow-v1→arrow-v2 signed-min fix): a
+    # stale other-family band dir must never be mixed with (probes
+    # silently return zero pairs) or appended into (marker raises)
+    t = f"reh_lsh_bands_a2_{label}"
     if not spark.catalog.tableExists(t):
         docs = _docs(spark, sf_dir)
         sig = dedup.minhash_signatures_arrow(docs, "doc_id", "text", n=3, num_hashes=16)
@@ -365,7 +366,7 @@ def _incremental_stored(spark, sf_dir):
     from feature_store_healthcare_spark.stores import read_table, write_bucketed
 
     label = _dir_label(sf_dir)
-    t = f"reh_inc_bands_a_{label}"  # "a": arrow-family (round-8 boundary)
+    t = f"reh_inc_bands_a2_{label}"  # "a2": arrow-v2 (round-9 boundary)
     docs = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(t):
         corpus = docs.where(FF.col("doc_id") % 5 != 0)
@@ -424,7 +425,7 @@ def _band_index_append(spark, sf_dir):
     from feature_store_healthcare_spark.operators import dedup
 
     label = _dir_label(sf_dir)
-    t = f"reh_append_bands_a_{label}"  # "a": arrow-family (round-8 boundary)
+    t = f"reh_append_bands_a2_{label}"  # "a2": arrow-v2 (round-9 boundary)
     path = os.path.join(REPO, ".scale", "buckets", t)
     docs = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(t):
