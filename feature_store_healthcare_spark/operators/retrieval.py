@@ -131,7 +131,7 @@ def build_postings_index(
     table: str,
     path: str,
     n_buckets: int | None = None,
-) -> None:
+) -> int:
     """Build the stored unigram inverted index: the :func:`postings` table
     ``(id_col, term, tf, dl)`` written bucketed+sorted by ``term`` (every
     probe — query-term filter, per-term df/ct aggregation, postings⋈counts
@@ -159,7 +159,11 @@ def build_postings_index(
 
     ``n_buckets=None`` (default) sizes the layout to the corpus via
     :func:`auto_index_buckets`; pass an explicit count to pin it (an
-    append must always match the existing layout).
+    append must always match the existing layout).  Returns the count
+    actually used so callers that later append can pass it along —
+    though appenders also resolve it from the catalog themselves
+    (:func:`append_postings_index` with ``n_buckets=None``), so an
+    auto-sized build never strands its appenders guessing.
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
@@ -168,6 +172,7 @@ def build_postings_index(
     post = postings(docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term")
     _write_postings_stats(_postings_stats(docs, text_col), table, path, "overwrite")
+    return n_buckets
 
 
 def _postings_stats(docs: DataFrame, text_col: str) -> DataFrame:
@@ -212,7 +217,7 @@ def append_postings_index(
     text_col: str,
     table: str,
     path: str,
-    n_buckets: int,
+    n_buckets: int | None = None,
 ) -> None:
     """Grow the stored postings index by a delta batch — the text-family
     twin of ``dedup.append_band_index``, closing the same lifecycle
@@ -223,9 +228,15 @@ def append_postings_index(
     from-scratch rebuild over the full corpus (pinned by test).
 
     ``n_buckets`` must match the existing layout (Spark rejects a
-    mismatched bucket spec on append).  Contract: delta doc ids must be
-    NEW — re-appending an existing doc would double its postings (dedup
-    the delta first; that is what the daily loop's probe step is for).
+    mismatched bucket spec on append).  The default ``None`` resolves it
+    from the table's own catalog bucket spec — the source of truth — so
+    a build that auto-sized its count (:func:`auto_index_buckets`) never
+    strands later appenders guessing; pass an explicit count only to
+    assert a layout (a mismatch then fails fast on Spark's bucket-spec
+    check rather than silently re-bucketing).  Contract: delta doc ids
+    must be NEW — re-appending an existing doc would double its postings
+    (dedup the delta first; that is what the daily loop's probe step is
+    for).
     Appends add one file per bucket per batch; run
     ``stores.compact_bucketed`` periodically, exactly as with the band
     index.
@@ -252,12 +263,18 @@ def append_postings_index(
     from a fresh :func:`_postings_stats` over the full corpus (or
     re-running the build).
     """
-    from feature_store_healthcare_spark.stores import read_table, write_bucketed
+    from feature_store_healthcare_spark.stores import (
+        _bucket_spec,
+        read_table,
+        write_bucketed,
+    )
 
     spark = delta_docs.sparkSession
     # fail-fast bootstrap check: raises TABLE_OR_VIEW_NOT_FOUND before
     # anything is written if the index was never built
     read_table(spark, f"{table}__stats", swap_retry=False)
+    if n_buckets is None:
+        _, n_buckets, _, _ = _bucket_spec(spark, table)
     post = postings(delta_docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term",
                    mode="append")
@@ -698,7 +715,7 @@ def build_bigram_index(
     table: str,
     path: str,
     n_buckets: int | None = None,
-) -> None:
+) -> int:
     """Build the stored bigram index for :func:`bigram_logprob_from_index`:
     per-document bigram term frequencies ``(id_col, shingle, tf)`` written
     bucketed+sorted by ``shingle`` (docs with <2 tokens excluded, matching
@@ -728,6 +745,7 @@ def build_bigram_index(
     write_bucketed(doc_bi, table, "shingle", n_buckets, path, sort_col="shingle")
     vocab = docs.select(F.explode(toks).alias("v")).agg(F.countDistinct("v").alias("v"))
     _write_postings_stats(vocab, table, path, "overwrite")
+    return n_buckets
 
 
 def bigram_logprob_from_index(

@@ -509,8 +509,18 @@ def kmeans_refine_centroids(
     if not centroids or rounds <= 0:
         return centroids
     dim = len(centroids[0][1])
-    unit = corpus.select(F.col(corpus_vec).alias("__cv")).withColumn(
-        "__cn", _norm(F.col("__cv"), dim=dim)
+    # Guard the update input the same way the numpy assignment kernel's
+    # assumptions do: a zero vector makes ``__cv[i] / __cn`` null/NaN and
+    # a shorter-than-dim embedding makes ``__cv[i]`` null — either would
+    # poison the avg and (NaN being truthy under ``any``) replace a good
+    # centroid, degrading every later round.  Degenerate rows simply
+    # don't vote on centroid direction (they are equally meaningless to
+    # cosine assignment at probe time).
+    unit = (
+        corpus.select(F.col(corpus_vec).alias("__cv"))
+        .where(F.size("__cv") == dim)
+        .withColumn("__cn", _norm(F.col("__cv"), dim=dim))
+        .where(F.col("__cn") > 0)
     )
     cents = centroids
     for _ in range(rounds):

@@ -289,18 +289,31 @@ def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=N
     from feature_store_healthcare_spark.stores import local_path
 
     marker = _marker_path(path, txn_id)
-    # migration: pre-round-8 markers lived at the un-suffixed path; a
-    # stream restarting across the upgrade must still see its high-water
-    # mark there (its txn_id is inside the file, so a foreign stream's
-    # legacy marker is ignored).  New writes go to the per-txn file only.
-    legacy = f"{local_path(path)}__applied"
+    # migration: older markers lived at (a) the pre-round-8 un-suffixed
+    # path and (b) the round-8 12-char-truncated-digest path.  A stream
+    # restarting across either upgrade must still see its high-water mark
+    # there — otherwise the restart loses replay protection and the last
+    # applied batch double-appends, the exact hazard the renames were
+    # meant to close.  Both legacy reads are safe: txn_id is stored
+    # inside the file and re-checked, so a foreign stream's colliding
+    # marker is ignored.  New writes go to the full-digest path only.
+    import hashlib
+
+    legacy_paths = (
+        f"{local_path(path)}__applied."
+        f"{hashlib.md5(txn_id.encode()).hexdigest()[:12]}",
+        f"{local_path(path)}__applied",
+    )
 
     def _last_applied() -> dict | None:
         last = _read_batch_marker(marker)
         if last is not None:
             return last
-        old = _read_batch_marker(legacy)
-        return old if old is not None and old["txn_id"] == txn_id else None
+        for legacy in legacy_paths:
+            old = _read_batch_marker(legacy)
+            if old is not None and old["txn_id"] == txn_id:
+                return old
+        return None
 
     def _fb(batch_df: DataFrame, batch_id: int) -> None:
         last = _last_applied()
@@ -352,7 +365,7 @@ def streaming_postings_maintenance(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     checkpoint_dir: str | None = None,
     txn_id: str | None = None,
     queryName: str = "postings_maintenance",
@@ -387,10 +400,12 @@ def streaming_postings_maintenance(
     the same ``txn_id`` resumes correctly; a new logical load gets a new
     ``txn_id`` and its OWN marker file (and accepts that re-streaming
     already-loaded documents double-loads them, exactly as a repeated
-    batch append would).  Single-ACTIVE-writer contract and the crash
-    window: see :func:`_idempotent_foreach_batch` — the stats
-    read-merge-overwrite in ``append_postings_index`` makes this the
-    maintainer most sensitive to concurrent writers.
+    batch append would).  Crash window: see
+    :func:`_idempotent_foreach_batch`.  Since round 9 the postings stats
+    are append-only per-batch rows folded at read time, so concurrent
+    appenders under distinct txn_ids compose; the remaining
+    single-writer surface is COMPACTION (``stores.compact_bucketed``
+    swaps the whole table — pause maintenance streams around it).
 
     Run ``stores.compact_bucketed`` on the postings table periodically,
     exactly as with batch appends.

@@ -363,6 +363,32 @@ def test_kmeans_refine_centroids(spark):
     assert got_99 == [1e6] * len(seed[0][1]) or any(got_99)
 
 
+def test_kmeans_refine_ignores_degenerate_vectors(spark):
+    """Round-9 ADVICE (low): a zero vector makes ``__cv[i] / __cn``
+    null/NaN and a shorter-than-dim embedding makes ``__cv[i]`` null;
+    either poisons the centroid avg (NaN is truthy under ``any``) and
+    degrades every later assignment round.  Degenerate rows are filtered
+    from the update input, so a poisoned corpus refines to EXACTLY the
+    clean corpus's centroids — and every coordinate stays finite."""
+    import math
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    seed = similarity.ivf_centroids(emb, n_centroids=8)
+    clean = similarity.kmeans_refine_centroids(emb, seed, rounds=2)
+    bad = spark.createDataFrame(
+        [(1_000_001, [0.0] * dim, 0), (1_000_002, [0.5] * (dim - 3), 0)],
+        schema=emb.schema,
+    )
+    poisoned = similarity.kmeans_refine_centroids(
+        emb.unionByName(bad), seed, rounds=2
+    )
+    assert poisoned == clean
+    assert all(math.isfinite(x) for _, v in poisoned for x in v)
+
+
 def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
     """The stored IVF index (build_ivf_index → ivf_topk_from_index)
     reproduces the in-session ivf_topk EXACTLY (shared nearest-list numpy

@@ -786,3 +786,45 @@ def test_streaming_marker_legacy_migration(spark, tmp_path):
         assert 1 in ids2
     finally:
         spark.sql("DROP TABLE IF EXISTS t_legacy")
+
+
+def test_streaming_marker_truncated_digest_migration(spark, tmp_path):
+    """Round-9 ADVICE (medium): the round-8 release wrote markers at the
+    12-char-truncated-digest path ('{path}__applied.{md5[:12]}'); the
+    full-digest rename must not orphan them — a stream restarting across
+    that upgrade still sees its high-water mark (else its last applied
+    batch replays and double-appends).  Exercised directly against the
+    foreachBatch guard: batch ids at or below the truncated marker's are
+    skipped (same txn only), new commits land at the full-digest path,
+    and a foreign txn's colliding truncated marker is ignored."""
+    import hashlib
+    import json as _json
+    import os
+
+    from feature_store_healthcare_spark.streaming import pipeline as sp_mod
+
+    path = str(tmp_path / "idx_trunc")
+    # round-8-style marker: txn "T" already applied batch 3
+    trunc = f"{path}__applied.{hashlib.md5(b'T').hexdigest()[:12]}"
+    with open(trunc, "w") as fh:
+        _json.dump({"txn_id": "T", "batch_id": 3}, fh)
+
+    applied: list[int] = []
+    batch = spark.range(1)
+    fb = sp_mod._idempotent_foreach_batch(path, "T", lambda df: applied.append(1))
+    fb(batch, 3)  # replay of the truncated marker's high-water mark
+    assert applied == [], "batch 3 must be skipped via the truncated marker"
+    fb(batch, 4)  # fresh batch applies and moves the mark to the new path
+    assert applied == [1]
+    assert os.path.exists(sp_mod._marker_path(path, "T"))
+    fb(batch, 4)  # now guarded by the full-digest marker
+    assert applied == [1]
+
+    # a DIFFERENT txn never inherits a foreign truncated marker, even on
+    # a filename collision: plant txn T's content at U's truncated path —
+    # the content txn_id re-check rejects it and U's batch 0 applies
+    with open(f"{path}__applied.{hashlib.md5(b'U').hexdigest()[:12]}", "w") as fh:
+        _json.dump({"txn_id": "T", "batch_id": 9}, fh)
+    fb_u = sp_mod._idempotent_foreach_batch(path, "U", lambda df: applied.append(2))
+    fb_u(batch, 0)
+    assert applied == [1, 2]
