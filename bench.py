@@ -7,7 +7,10 @@ Prints the full per-query JSON line:
 followed by a SHORT summary JSON line (same metric/value, no per-query
 map) emitted LAST — the full line outgrew the driver's finite tail
 capture at ~58 queries, so the trailing short line is what guarantees
-the headline number parses (round-8 VERDICT finding #2).
+the headline number parses (round-8 VERDICT finding #2).  The full JSON
+is ALSO written to BENCH_LOCAL.json next to this script (round-9
+VERDICT #5) and committed each round, so per-query adjudication never
+depends on tail reconstruction.
 
 Each query executes fully (noop sink — no driver collect cost, no result
 materialization skew); timing covers plan → execute → last task done.
@@ -61,6 +64,10 @@ HEADLINE = [
     "decayed_engagement_counters",
     "bigram_lm_fluency",
     "bpe_train_merges",
+    # round-10: the train→encode round trip (fold over the distinct-word
+    # table + broadcast join back — real fertility from the learned
+    # tokenizer)
+    "bpe_encode_fertility",
     "data_quality_expectations",
     # round-2 additions: chunking, vocab, skew pre-flight, burst dedup,
     # covariance slice, mergeable-histogram quantiles
@@ -266,25 +273,35 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                # host-noise sentinel (BASELINE.md "Bench noise
-                # normalization"): loadavg brackets the run; the fixed
-                # calibration job's wall time scales cross-round numbers.
-                "noise": {
-                    "loadavg_start": [round(x, 2) for x in load_start],
-                    "loadavg_end": [round(x, 2) for x in load_end],
-                    "calibration_sec": [calib_start, calib_end],
-                },
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        # host-noise sentinel (BASELINE.md "Bench noise
+        # normalization"): loadavg brackets the run; the fixed
+        # calibration job's wall time scales cross-round numbers.
+        "noise": {
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
+            "calibration_sec": [calib_start, calib_end],
+        },
+    }
+    print(json.dumps(full))
+    # ... and the SAME full JSON to a stable file (round-9 VERDICT #5):
+    # the driver's finite tail capture truncates the per-query dict, so
+    # cross-round per-query adjudication reads this committed artifact
+    # instead of reconstructing from the tail.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # a read-only checkout must not fail the bench
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     # SHORT summary line, emitted LAST (round-8 VERDICT #2): the full
     # per-query line above outgrew the driver's tail capture, so both
     # BENCH_r07/r08 recorded "parsed": null and lost the headline metric.

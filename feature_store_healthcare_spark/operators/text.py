@@ -247,6 +247,34 @@ def bpe_merge_candidates(
     )
 
 
+def _merge_pair_fold(syms, a: str, b: str):
+    """Apply merge rule ``(a, b) -> a+b`` to a symbol array, greedy
+    left-to-right and non-overlapping (``("a","a")`` on ``aaa`` yields
+    ``[aa, a]``) — the ONE JVM-side ``aggregate`` fold shared by
+    :func:`bpe_train` (per training round) and :func:`bpe_encode` (per
+    rule pass), so the encoder reproduces the trainer's segmentation by
+    construction.  No Python UDF: the fold is a codegen'd higher-order
+    function over the symbol array."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _char_syms(col) -> "F.Column":
+    """A word as its character-symbol array — round 0 of any BPE state."""
+    return F.expr(f"transform(sequence(1, length({col})), i -> substr({col}, i, 1))")
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
     """OP-51 completion (round-8 VERDICT #6): ITERATIVE BPE tokenizer
     induction — the real training loop, not just
@@ -288,12 +316,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "cnt",
-            F.expr(
-                "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
-            ).alias("syms"),
-        )
+        .select("cnt", _char_syms("w").alias("syms"))
     )
     state = words.localCheckpoint(eager=True)
     rules: list[tuple[int, str, str, str, int]] = []
@@ -322,24 +345,97 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         rules.append((step, a, b, a + b, c))
         if step == n_merges:
             break  # the last rule needs no re-segmentation pass
-        merged = F.aggregate(
-            F.col("syms"),
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        merged = _merge_pair_fold(F.col("syms"), a, b)
         state = state.select("cnt", merged.alias("syms")).localCheckpoint(
             eager=True
         )
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    rules_per_pass: int = 16,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Apply a learned BPE merge table to tokenize a corpus — the
+    train→encode round trip :func:`bpe_train` left open (round-9 VERDICT
+    #2): what an actual pipeline runs daily at 100 TB once the tokenizer
+    is trained.  ``merges`` is the trainer's output DataFrame (applied in
+    ``step`` order) or an iterable of ``(lhs, rhs)`` pairs.  Returns one
+    row per document with ≥1 word:
+    ``(id_col, tokens array<string>, n_words, n_tokens)``.
+
+    Semantics: rules are applied as SEQUENTIAL greedy left-to-right
+    passes in step order — the same :func:`_merge_pair_fold` the trainer
+    runs per round, so encoding the training corpus reproduces the
+    trainer's final segmentation bit-for-bit (test-pinned).  (Canonical
+    BPE encoders apply the lowest-rank pair present in each word
+    repeatedly; the two agree except in pathological re-exposure cases a
+    greedy trainer never produces on its own corpus.  Sequential passes
+    are this engine's contract because they make train and encode share
+    one fold.)
+
+    Spark shape (the trainer's vocabulary-compression discipline, turned
+    around):
+
+    - The corpus is scanned ONCE into per-doc word positions
+      (``posexplode``); the expensive per-word rule folds run over the
+      DISTINCT-WORD table — encode cost scales with |vocab|, not corpus
+      bytes, exactly like training.
+    - Rules chain ``rules_per_pass`` folds per select (bounding codegen
+      expression depth), with an eager ``localCheckpoint`` between
+      passes so a 30k-rule production vocabulary is |vocab|-sized work
+      per pass with flat lineage — never a corpus rescan.
+    - The segmented vocabulary joins back to word occurrences on the
+      word string.  ``broadcast_vocab=True`` (default) broadcasts it —
+      the right plan whenever the distinct-word table fits an executor
+      broadcast budget, and it sidesteps hot-word skew ("the" is in
+      every partition) entirely.  At web-scale vocabularies (100M+
+      distinct words) pass False: the shuffle join is vocab/corpus
+      bucketable and AQE's skew-join splits the hot words.
+    - Per-doc reassembly is one ``collect_list(struct(pos, toks))`` +
+      ``array_sort`` + ``flatten`` — order restored from the stored
+      position, no window, no second shuffle.
+
+    Reference: no tokenizer exists in the reference repo; this is the
+    driver-mandated LLM-pipeline surface (SURVEY §2 OP-51).
+    """
+    if isinstance(merges, DataFrame):
+        rules = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
+    else:
+        rules = [(a, b) for a, b in merges]
+
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+    ).where(F.length("w") >= 1)
+
+    seg = doc_words.select("w").distinct().select("w", _char_syms("w").alias("syms"))
+    for start in range(0, len(rules), max(1, rules_per_pass)):
+        col = F.col("syms")
+        for a, b in rules[start : start + rules_per_pass]:
+            col = _merge_pair_fold(col, a, b)
+        seg = seg.select("w", col.alias("syms"))
+        if start + rules_per_pass < len(rules):
+            seg = seg.localCheckpoint(eager=True)
+
+    vocab = F.broadcast(seg) if broadcast_vocab else seg
+    ordered = F.flatten(
+        F.expr("transform(array_sort(collect_list(struct(pos, syms))), s -> s.syms)")
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            ordered.alias("tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
     )
 
 

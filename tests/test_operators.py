@@ -264,6 +264,53 @@ def test_bpe_train_classic_example(spark):
     assert empty.count() == 0
 
 
+def test_bpe_encode_round_trip(spark):
+    """bpe_encode (round-9 VERDICT #2) applies a learned merge table as
+    sequential greedy passes — encoding the TRAINING corpus reproduces
+    the trainer's own segmentation (the self-consistency contract), the
+    classic example tokenizes to the textbook pieces, and the multi-pass
+    checkpointed path (rules_per_pass < |rules|) is bit-identical to the
+    single-pass chain."""
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id int, text string",
+    )
+    merges = text.bpe_train(docs, "text", n_merges=4)
+    enc = text.bpe_encode(docs, "doc_id", "text", merges).collect()
+    assert len(enc) == 1
+    row = enc[0]
+    # es→est, lo→low learned; 'low'→[low], 'lower'→[low,e,r],
+    # 'newest'→[n,e,w,est], 'widest'→[w,i,d,est]
+    assert row.n_words == 16
+    toks = row.tokens
+    assert toks[:5] == ["low"] * 5
+    assert toks[5:11] == ["low", "e", "r"] * 2
+    assert toks[11:15] == ["n", "e", "w", "est"]
+    assert row.n_tokens == len(toks)
+
+    # multi-pass (2 rules per select + localCheckpoint) ≡ single chain,
+    # and the list-of-pairs form ≡ the DataFrame form
+    e1 = sorted(map(tuple, text.bpe_encode(docs, "doc_id", "text", merges,
+                                           rules_per_pass=2).collect()))
+    pairs = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
+    e2 = sorted(map(tuple, text.bpe_encode(docs, "doc_id", "text",
+                                           pairs).collect()))
+    assert sorted(map(tuple, enc)) == e1 == e2
+
+    # greedy non-overlap parity with the trainer: (a,a) on 'aaa' → [aa,a]
+    aa = spark.createDataFrame([(1, "aaa aaa")], "doc_id int, text string")
+    got = text.bpe_encode(aa, "doc_id", "text", [("a", "a")]).collect()[0]
+    assert got.tokens == ["aa", "a", "aa", "a"]
+
+    # a doc with no words yields no row; unknown words fall back to chars
+    mixed = spark.createDataFrame(
+        [(1, "zzz"), (2, None)], "doc_id int, text string"
+    )
+    out = text.bpe_encode(mixed, "doc_id", "text", merges).collect()
+    assert len(out) == 1 and out[0].tokens == ["z", "z", "z"]
+
+
 def test_bpe_ish_estimate(spark):
     df = spark.createDataFrame([(1, "internationalization, no?")], "doc_id long, text string")
     n = df.select(text.bpe_ish_token_estimate(F.col("text")).alias("n")).collect()[0].n
