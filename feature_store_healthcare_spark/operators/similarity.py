@@ -765,11 +765,18 @@ def compact_ivf_index(spark, path: str, new_path: str) -> None:
     probes at ``new_path``) and deletes the old directory once no reader
     needs it — same non-atomic-swap contract as ``stores.compact_bucketed``,
     and the same guard: compacting INTO the live path would overwrite the
-    files the compaction scan is reading.
+    files the compaction scan is reading.  Concurrent compactors are
+    excluded by the same marker-file lease
+    (``stores.acquire_compaction_lease``, keyed on the live index root);
+    a second compactor raises ``stores.LeaseHeldError``.
     """
     import os
 
-    from feature_store_healthcare_spark.stores import local_path
+    from feature_store_healthcare_spark.stores import (
+        acquire_compaction_lease,
+        local_path,
+        release_compaction_lease,
+    )
 
     # The guard covers BOTH directories each side touches (index root and
     # its __centroids sibling) and nesting in either direction: compacting
@@ -788,19 +795,23 @@ def compact_ivf_index(spark, path: str, new_path: str) -> None:
                     "would delete files the compaction scan is reading. "
                     "Compact to a fresh path and swap."
                 )
-    (
-        spark.read.parquet(path)
-        .repartition(F.col("__list"))
-        .write.mode("overwrite")
-        .partitionBy("__list")
-        .parquet(new_path)
-    )
-    (
-        spark.read.parquet(f"{path}__centroids")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{new_path}__centroids")
-    )
+    lease, owner = acquire_compaction_lease(path)
+    try:
+        (
+            spark.read.parquet(path)
+            .repartition(F.col("__list"))
+            .write.mode("overwrite")
+            .partitionBy("__list")
+            .parquet(new_path)
+        )
+        (
+            spark.read.parquet(f"{path}__centroids")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{new_path}__centroids")
+        )
+    finally:
+        release_compaction_lease(lease, owner)
 
 
 def ivf_topk_from_index(

@@ -236,6 +236,90 @@ def _bucket_spec(
     )
 
 
+class LeaseHeldError(RuntimeError):
+    """Another writer holds the compaction lease for this target."""
+
+
+def acquire_compaction_lease(
+    target: str, owner: str | None = None, ttl_sec: float = 3600.0
+) -> tuple[str, str]:
+    """Claim the single-writer compaction lease for ``target`` (a table
+    location or index root).  The lease is a marker file at
+    ``{target}.__compact_lease`` holding ``{owner, acquired_at, ttl_sec}``;
+    acquisition is an atomic ``O_CREAT|O_EXCL`` create, so two LIVE writers
+    can never both hold it.  A lease older than its ``ttl_sec`` is STALE
+    (the holder crashed mid-compaction — the swap contract already makes
+    that recoverable): takeover renames the stale file to a unique claim
+    name (exactly one racer's rename succeeds) and then re-runs the
+    exclusive create.  Returns ``(lease_path, owner)`` for
+    :func:`release_compaction_lease`.
+
+    Scope note: the lease serialises COMPACTORS against each other.
+    Appenders and readers are already safe against a concurrent compaction
+    by the existing contracts (append targets the catalog table; readers
+    retry the swap window via :func:`read_table`) and do not take it.
+    """
+    import json
+    import uuid
+
+    lease = local_path(target).rstrip(os.sep) + ".__compact_lease"
+    owner = owner or f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
+    payload = json.dumps(
+        {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
+    )
+    for attempt in range(2):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return lease, owner
+        except FileExistsError:
+            pass
+        try:
+            with open(lease) as f:
+                cur = json.load(f)
+        except FileNotFoundError:
+            continue  # holder released between create-fail and read: retry
+        except (OSError, ValueError):
+            cur = {"owner": "<unreadable>", "acquired_at": 0.0, "ttl_sec": 0.0}
+        age = time.time() - float(cur.get("acquired_at", 0.0))
+        if age <= float(cur.get("ttl_sec", ttl_sec)):
+            raise LeaseHeldError(
+                f"compaction lease for {target!r} held by "
+                f"{cur.get('owner')!r} (age {age:.0f}s of "
+                f"{cur.get('ttl_sec')}s)"
+            )
+        # Stale: claim it by renaming to a unique name — one racer wins,
+        # the losers get FileNotFoundError and loop back to the exclusive
+        # create (which the winner has by then re-taken → LeaseHeldError).
+        try:
+            os.rename(lease, f"{lease}.stale.{uuid.uuid4().hex[:12]}")
+        except FileNotFoundError:
+            pass
+    raise LeaseHeldError(
+        f"compaction lease for {target!r} could not be acquired after "
+        "stale takeover — another compactor won the race"
+    )
+
+
+def release_compaction_lease(lease: str, owner: str) -> None:
+    """Release a lease acquired by :func:`acquire_compaction_lease`.  Only
+    the owner's own lease is removed — if a stale takeover replaced it,
+    the file belongs to the new holder and is left alone."""
+    import json
+
+    try:
+        with open(lease) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        return
+    if cur.get("owner") == owner:
+        try:
+            os.remove(lease)
+        except FileNotFoundError:
+            pass
+
+
 def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     """Rewrite an append-grown bucketed table so each bucket holds ONE file
     — the periodic maintenance step behind ``mode="append"`` writers
@@ -261,6 +345,14 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     fully written, under ``{table}__compact`` at ``new_path``, and
     recovery is re-issuing the RENAME.  Returns the OLD location for the
     caller to delete once no reader needs it.
+
+    Concurrent COMPACTORS are excluded by the marker-file lease
+    (:func:`acquire_compaction_lease`, keyed on the table's current
+    location): two maintenance jobs racing the drop/rename swap was the
+    one remaining single-writer surface after round 9 made postings
+    stats append-only.  A second compactor gets :class:`LeaseHeldError`
+    instead of corrupting the swap; a crashed holder's lease expires
+    after its TTL and is taken over.
     """
     bucket_cols, n_buckets, sort_cols, old_location = _bucket_spec(spark, table)
     if os.path.abspath(local_path(new_path)) == os.path.abspath(
@@ -284,21 +376,27 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     # (task, bucket) instead of one per bucket.  A plain parquet scan keeps
     # the exchange, and write-side bucket assignment comes from the row
     # VALUES, so correctness never depended on the scan's metadata.
-    compacted = spark.read.parquet(old_location).repartition(
-        n_buckets, F.col(bucket_cols[0])
-    )
-    tmp = f"{table}__compact"
-    spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(tmp)}")
-    write_bucketed(
-        compacted,
-        tmp,
-        bucket_cols[0],
-        n_buckets,
-        new_path,
-        sort_col=sort_cols[0] if sort_cols else None,
-    )
-    spark.sql(f"DROP TABLE {_quote_ident(table)}")
-    spark.sql(f"ALTER TABLE {_quote_ident(tmp)} RENAME TO {_quote_ident(table)}")
+    lease, lease_owner = acquire_compaction_lease(old_location)
+    try:
+        compacted = spark.read.parquet(old_location).repartition(
+            n_buckets, F.col(bucket_cols[0])
+        )
+        tmp = f"{table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(tmp)}")
+        write_bucketed(
+            compacted,
+            tmp,
+            bucket_cols[0],
+            n_buckets,
+            new_path,
+            sort_col=sort_cols[0] if sort_cols else None,
+        )
+        spark.sql(f"DROP TABLE {_quote_ident(table)}")
+        spark.sql(
+            f"ALTER TABLE {_quote_ident(tmp)} RENAME TO {_quote_ident(table)}"
+        )
+    finally:
+        release_compaction_lease(lease, lease_owner)
     return old_location
 
 

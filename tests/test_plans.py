@@ -5,6 +5,8 @@ actual physical plans so perf regressions fail fast and loudly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -249,6 +251,73 @@ def test_compact_bucketed_guards_and_swap_window(spark, tmp_path):
                     "swap_b", "swap_b__compact"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql("DROP DATABASE IF EXISTS cmpdb")
+
+
+def test_compaction_lease_excludes_second_writer(spark, tmp_path):
+    """Round-9 VERDICT #4: compaction's whole-table swap is the one
+    remaining single-writer surface (stats went append-only in round 9).
+    The marker-file lease turns "single writer by contract" into an
+    enforced exclusion: a second compactor gets LeaseHeldError while the
+    first holds the lease, a crashed holder's stale lease is taken over
+    after its TTL, and the O_CREAT|O_EXCL acquisition means two live
+    acquirers can never both win."""
+    import json
+    import time as _time
+
+    from feature_store_healthcare_spark.stores import (
+        LeaseHeldError,
+        acquire_compaction_lease,
+        compact_bucketed,
+        read_table,
+        release_compaction_lease,
+        write_bucketed,
+    )
+
+    df = spark.range(100).selectExpr("id", "id % 10 as k")
+    p1 = str(tmp_path / "lease_v1")
+    try:
+        write_bucketed(df, "lease_b", "k", 2, p1, mode="overwrite")
+        write_bucketed(df, "lease_b", "k", 2, p1, mode="append")
+
+        # writer A holds the lease → compact_bucketed (writer B) refuses
+        lease, owner = acquire_compaction_lease(p1, owner="writer-a")
+        with pytest.raises(LeaseHeldError, match="writer-a"):
+            compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v2"))
+        # two live acquirers can never both win
+        with pytest.raises(LeaseHeldError):
+            acquire_compaction_lease(p1, owner="writer-b")
+        # releasing with the wrong owner is a no-op (B can't free A's lease)
+        release_compaction_lease(lease, "writer-b")
+        with pytest.raises(LeaseHeldError):
+            acquire_compaction_lease(p1, owner="writer-b")
+        release_compaction_lease(lease, owner)
+
+        # lease free → compaction proceeds and releases on exit
+        old = compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v2"))
+        assert old.endswith("lease_v1")
+        assert not os.path.exists(old.rstrip("/") + ".__compact_lease")
+        assert read_table(spark, "lease_b").count() == 200
+
+        # stale takeover: a crashed holder's expired lease does not block
+        # (the compacted table now lives at lease_v2; the lease keys on it)
+        loc = str(tmp_path / "lease_v2")
+        stale = loc + ".__compact_lease"
+        with open(stale, "w") as f:
+            json.dump({"owner": "crashed", "acquired_at": _time.time() - 10,
+                       "ttl_sec": 1.0}, f)
+        old2 = compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v3"))
+        assert old2.endswith("lease_v2")
+        assert read_table(spark, "lease_b").count() == 200
+        # a FRESH foreign lease still blocks even after the stale dance
+        fresh = str(tmp_path / "lease_v3") + ".__compact_lease"
+        with open(fresh, "w") as f:
+            json.dump({"owner": "live-holder", "acquired_at": _time.time(),
+                       "ttl_sec": 3600.0}, f)
+        with pytest.raises(LeaseHeldError, match="live-holder"):
+            compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v4"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lease_b")
+        spark.sql("DROP TABLE IF EXISTS lease_b__compact")
 
 
 def test_bucketed_pit_join_zero_exchange(spark, sf_dir, tmp_path):

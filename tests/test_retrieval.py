@@ -509,6 +509,8 @@ def test_hybrid_rrf_ivf_stored_recall_pin(spark, sf_dir):
     assert set(a) == set(e)  # same query batch, every query answered
     assert all(len(ids) == 10 for ids in a.values())  # full top-10 each
     recalls = {q: len(e[q] & a[q]) / len(e[q]) for q in e}
-    assert min(recalls.values()) >= 0.5, recalls
+    # round-9 VERDICT #8: with k-means refinement shipped the measured min
+    # is 0.70; a 0.5 floor would let the refinement silently regress.
+    assert min(recalls.values()) >= 0.6, recalls
     mean = sum(recalls.values()) / len(recalls)
     assert mean >= 0.8, recalls
