@@ -182,7 +182,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     # text analysis + LM-based quality + packing (lang-id and per-lang
     # stats variants stay check_oracle-verified)
-    "text_quality_scores",
+    # round 10 (rotation rule 2): `text_quality_scores`' per-doc quality
+    # arithmetic (length, punct/digit ratios) is re-evaluated inside the
+    # seated `corpus_curation_pipeline`'s quality gates, so its slot goes
+    # to `bpe_encode_fertility` — the BPE train→encode round trip, the
+    # strongest text/LM contract in the catalog (the entry runs the
+    # iterative trainer AND applies the learned merge table; its exact
+    # oracle unrolls both, so a defect in either fails the hash).  It
+    # subsumes `bpe_train_merges` (same trainer call inside), which stays
+    # check_oracle-verified in the tail with its own bit-exact oracle.
+    # Driver-session safe: one bounded (≤1-row) collect per merge round,
+    # no table writes.
+    "bpe_encode_fertility",
     "doc_perplexity_quality",
     "sequence_packing_report",
     # experiments, association mining, retrieval eval (★ round-2 families)
