@@ -94,3 +94,106 @@ def cuped(
             F.round(F.col("__rho2") * 100, 2).alias("var_reduction_pct"),
         )
     )
+
+
+def logistic_regression_fit(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iters: int = 3,
+    lr: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch-gradient-descent logistic regression — the LEARNED quality
+    filter of a training-data pipeline (fit a tiny linear model on weak
+    labels over cheap text-shape features, then score the corpus), and
+    the engine's supervised-model-fitting surface next to the analysis
+    frames (PSI/KS/CUPED/MI).  Returns one row per iteration:
+    ``(step, logloss, w0, w1, ..., wd)`` — ``logloss`` is the mean
+    negative log-likelihood under the PRE-update weights of that step,
+    ``w*`` the POST-update weights (bias first), so the trajectory shows
+    the loss the step saw and the weights it produced.
+
+    Bit-determinism contract (the catalog entry's DuckDB oracle unrolls
+    the same ``n_iters`` steps and hash-matches):
+
+    - the per-row sigmoid ``p = round(1/(1+exp(-z)), 6)`` is rounded so
+      a 1-ulp ``exp`` divergence between engines cannot propagate into
+      the weight trajectory;
+    - ``z`` is the left-associated chain ``w0 + w1*x1 + ... + wd*xd`` —
+      fixed operand order, pure IEEE double arithmetic;
+    - every gradient/loss sum accumulates as ``DECIMAL(30,10)`` (the
+      CUPED moment pattern), so sums are order-independent under any
+      partitioning and re-association;
+    - weight updates are plain double arithmetic on those sums:
+      ``w_j' = w_j - lr * (g_j / n)``.
+
+    Scale shape (the pagerank/bpe_train bounded-iteration discipline):
+    the projected feature table is localCheckpointed ONCE (the corpus
+    text is never rescanned); each iteration is one column-pruned scan
+    feeding a SINGLE-ROW global aggregate — partial aggregation per
+    partition, a 1-row final reduce, no shuffle of row data — plus an
+    O(d) driver-side update.  Mutable state is ``d+1`` floats regardless
+    of corpus size; iteration count is fixed up front.  At 100 TB the
+    per-step cost is exactly one pass over a (d+1)-column projection.
+
+    Loss terms clamp ``p`` to ``[1e-6, 1 - 1e-6]`` before ``log`` so a
+    saturated row cannot emit ±inf; the gradient uses the unclamped
+    (rounded) ``p``, matching the textbook ``(p - y)·x`` form.
+    """
+    spark = feats.sparkSession
+    d = len(feature_cols)
+    state = feats.select(
+        *[F.col(c).cast("double").alias(f"__x{j + 1}") for j, c in enumerate(feature_cols)],
+        F.col(label_col).cast("double").alias("__y"),
+    ).localCheckpoint(eager=True)
+    n = state.count()
+    if n == 0:
+        raise ValueError("logistic_regression_fit: empty feature table")
+    dec = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")  # noqa: E731
+
+    w = [0.0] * (d + 1)
+    rows: list[tuple] = []
+    for step in range(1, n_iters + 1):
+        z = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j + 1}")
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        pc = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0 - 1e-6))
+        y = F.col("__y")
+        resid = p - y
+        aggs = [dec(resid).alias("g0")]
+        aggs += [
+            dec(resid * F.col(f"__x{j + 1}")).alias(f"g{j + 1}") for j in range(d)
+        ]
+        aggs.append(
+            dec(-(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc))).alias(
+                "__l"
+            )
+        )
+        g = state.agg(*aggs).collect()[0]
+        loss = g["__l"] / n
+        w = [w[j] - lr * (g[f"g{j}"] / n) for j in range(d + 1)]
+        rows.append(
+            (step, _round_half_up(loss, round_to))
+            + tuple(_round_half_up(x, round_to) for x in w)
+        )
+    schema = "step int, logloss double, " + ", ".join(
+        f"w{j} double" for j in range(d + 1)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Decimal HALF_UP rounding (ties away from zero) — the semantics of
+    Spark's ``F.round`` and DuckDB's ``round``, which Python's built-in
+    banker's-rounding ``round()`` does NOT share on exact dyadic ties
+    (e.g. 1/128 at 6 digits).  Driver-side outputs that an external
+    oracle re-derives must round the same way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
