@@ -5796,6 +5796,99 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return experiment.cuped(per_user, arm_col="arm", pre_col="x", post_col="y")
 
 
+def _logreg_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
+    """Unrolled DuckDB twin of ``experiment.logistic_regression_fit`` on the
+    weak-label quality-filter features (the `bpe_train`/CUPED oracle
+    discipline: every iteration's gradient pass re-derived step by step).
+    Weights carry UNROUNDED between steps — only the emitted trajectory
+    rows round to 6 — and every cross-row sum is DECIMAL(30,10)-exact, so
+    the CTE chain is bit-deterministic under any row order."""
+    dec = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(30,10))) AS DOUBLE)"  # noqa: E731
+    xs = [f"x{j}" for j in range(1, d + 1)]
+    ctes = [
+        f"""feats AS (
+      SELECT len(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+               / greatest(length(text), 1) AS x1,
+             len(regexp_extract_all(text, '[0-9]'))
+               / greatest(length(text), 1) AS x2,
+             len({_TOKENS_SQL}) / CAST(256 AS DOUBLE) AS x3,
+             CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS y
+      FROM documents
+    )""",
+        "c AS (SELECT COUNT(*) AS n FROM feats)",
+        "it0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(d + 1))
+        + ")",
+    ]
+    for k in range(1, n_iters + 1):
+        prev = f"it{k - 1}"
+        z = f"{prev}.w0"
+        for j, x in enumerate(xs):
+            z = f"{z} + {prev}.w{j + 1} * {x}"
+        grads = ", ".join(
+            [dec("(p - y)") + " AS g0"]
+            + [dec(f"(p - y) * {x}") + f" AS g{j + 1}" for j, x in enumerate(xs)]
+            + [dec("-(y * ln(pc) + (1 - y) * ln(1 - pc))") + " AS l"]
+        )
+        ctes.append(
+            f"""g{k} AS (
+      SELECT {grads}
+      FROM (SELECT y, {', '.join(xs)},
+                   round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({z}))), 6) AS p
+            FROM feats, {prev})
+           , LATERAL (SELECT least(greatest(p, CAST(0.000001 AS DOUBLE)),
+                                   CAST(1 AS DOUBLE) - CAST(0.000001 AS DOUBLE)) AS pc)
+    )"""
+        )
+        ws = ", ".join(
+            f"{prev}.w{j} - CAST({lr!r} AS DOUBLE) * (g{k}.g{j} / c.n) AS w{j}"
+            for j in range(d + 1)
+        )
+        ctes.append(f"it{k} AS (SELECT {ws}, g{k}.l / c.n AS loss FROM g{k}, {prev}, c)")
+    steps = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, ROUND(loss, 6) AS logloss, "
+        + ", ".join(f"ROUND(w{j}, 6) AS w{j}" for j in range(d + 1))
+        + f" FROM it{k}"
+        for k in range(1, n_iters + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
+@query("logreg_weak_label_fit", _logreg_oracle())
+def logreg_weak_label_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ learned quality filter for a training-data pipeline: fit a tiny
+    logistic regression on WEAK labels (is-English from the corpus `lang`
+    tag) over cheap text-shape features — punctuation ratio, digit ratio,
+    whitespace-token density — then the trajectory (per-step logloss +
+    weights) is the audit artifact a curation run records.  The features
+    are the proven-parity `text_quality_scores` expressions; the fit is
+    operators.experiment.logistic_regression_fit (3 batch-GD steps, one
+    column-pruned scan per step feeding a single-row decimal-exact
+    aggregate — pagerank's bounded-iteration discipline, mutable state is
+    d+1 floats at any corpus size).  Oracle unrolls all 3 steps."""
+    from feature_store_healthcare_spark.operators import experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    feats = docs.select(
+        (
+            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
+            / F.greatest(F.length(c), F.lit(1))
+        ).alias("x1"),
+        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
+            "x2"
+        ),
+        (text.token_count(c) / F.lit(256.0)).alias("x3"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    return experiment.logistic_regression_fit(
+        feats, ["x1", "x2", "x3"], "y", n_iters=3, lr=1.0
+    )
+
+
 @query(
     "robust_outlier_stats",
     """

@@ -140,6 +140,77 @@ class TestCuped:
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+class TestLogisticRegressionFit:
+    """operators.experiment.logistic_regression_fit: batch-GD trajectory —
+    bit-determinism (partition invariance + a hand-computed step-1 pin)
+    and learning (loss decreases, informative weight gets the right sign)."""
+
+    def _toy(self, spark):
+        from pyspark.sql import Row
+
+        # y = 1 iff x1 large; x2 is noise-ish (deterministic, exact dyadic
+        # feature values so the hand-computed pin is IEEE-reproducible)
+        rows = [
+            Row(x1=(i % 8) / 8.0, x2=((i * 3) % 5) / 4.0, y=1.0 if i % 8 >= 4 else 0.0)
+            for i in range(64)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_loss_decreases_and_separates(self, spark):
+        from feature_store_healthcare_spark.operators import experiment
+
+        out = experiment.logistic_regression_fit(
+            self._toy(spark), ["x1", "x2"], "y", n_iters=4, lr=2.0
+        ).collect()
+        losses = [r.logloss for r in sorted(out, key=lambda r: r.step)]
+        assert losses == sorted(losses, reverse=True) and losses[-1] < losses[0]
+        assert sorted(out, key=lambda r: r.step)[-1].w1 > 0  # x1 drives y
+
+    def test_partition_invariant(self, spark):
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = self._toy(spark)
+        a = experiment.logistic_regression_fit(df, ["x1", "x2"], "y").collect()
+        b = experiment.logistic_regression_fit(
+            df.repartition(13), ["x1", "x2"], "y"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_step1_matches_hand_computation(self, spark):
+        from feature_store_healthcare_spark.operators import experiment
+
+        rows = [(r.x1, r.x2, r.y) for r in self._toy(spark).collect()]
+        n = len(rows)
+        # w=0 -> z=0 -> p=0.5 exactly; all step-1 sums are exact dyadics
+        g0 = sum(0.5 - y for _, _, y in rows) / n
+        g1 = sum((0.5 - y) * x1 for x1, _, y in rows) / n
+        g2 = sum((0.5 - y) * x2 for _, x2, y in rows) / n
+        import math
+
+        loss = -sum(
+            y * math.log(0.5) + (1 - y) * math.log(0.5) for _, _, y in rows
+        ) / n
+        got = {
+            r.step: r
+            for r in experiment.logistic_regression_fit(
+                self._toy(spark), ["x1", "x2"], "y", n_iters=1, lr=1.0
+            ).collect()
+        }[1]
+        assert got.w0 == round(-g0, 6)
+        assert got.w1 == round(-g1, 6)
+        assert got.w2 == round(-g2, 6)
+        assert abs(got.logloss - loss) < 1e-6
+
+    def test_empty_input_raises(self, spark):
+        import pytest
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = self._toy(spark).where("x1 < -1")
+        with pytest.raises(ValueError):
+            experiment.logistic_regression_fit(df, ["x1", "x2"], "y")
+
+
 class TestRobustOutliers:
     def test_flags_planted_outliers_despite_corruption(self, spark):
         from pyspark.sql import Row
