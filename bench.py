@@ -105,6 +105,10 @@ HEADLINE = [
     "hybrid_rrf_stored",
     # round-8: both retrieval halves from stored indexes (postings + IVF)
     "hybrid_rrf_ivf_stored",
+    # round-10: learned quality filter (batch-GD logreg trajectory) and
+    # the training-mix token-budget planner
+    "logreg_weak_label_fit",
+    "source_mix_plan",
 ]
 
 

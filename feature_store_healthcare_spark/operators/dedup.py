@@ -1376,3 +1376,4 @@ def span_duplicates(
         )
         .where(F.col("n_docs") >= 2)
     )
+

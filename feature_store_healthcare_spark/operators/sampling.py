@@ -352,3 +352,60 @@ def kfold_assign(key: Column | str, k: int = 5, salt: str = "fold") -> Column:
     rerun (the cross-validation split twin of hash_split's fractions)."""
     h = F.conv(split_key(key, salt), 16, 10).cast("bigint")
     return F.pmod(h, F.lit(k)).cast("int")
+
+
+def source_mix_plan(
+    docs: DataFrame,
+    group_col: str,
+    token_count: Column,
+    target: dict[str, float],
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Training-mix planner (the budget arithmetic behind DoReMi/The Pile
+    style domain weighting): given a TARGET token share per group (lang /
+    source / domain) and the tokens actually available, compute the
+    largest total token budget that honors every share without repeating
+    any group more than ``max_epochs`` times, and each group's allocation
+    and epoch count under it.  The binding group — the one at exactly
+    ``max_epochs`` — is the mix's bottleneck; everything else is
+    down-sampled.  Complements :func:`weighted_mix`, which MATERIALIZES
+    a given per-group multiplicity row-by-row: this op COMPUTES the
+    multiplicities (the ``epochs`` column is exactly the weights dict
+    ``weighted_mix`` consumes) from token-share targets + availability.
+
+    Plan: one corpus scan → per-group token sums (exact BIGINT, partial-
+    aggregated) → broadcast join with the |target|-row share table → a
+    1-row global MIN cross-joined back.  Driver holds nothing; works
+    unchanged at 100 TB where the groupBy output is still |groups| rows.
+    Double arithmetic is fixed-order (tokens→double, ×epochs, ÷share) so
+    the plan is engine-reproducible bit-for-bit.
+
+    Output: (``group_col``, n_docs, n_tokens, target_frac, alloc_tokens
+    rounded to 2, epochs rounded to 6), one row per group present in both
+    the corpus and ``target``.
+    """
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(target.items()), f"{group_col} string, target_frac double"
+    )
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count).alias("n_tokens"),
+    )
+    j = per.join(F.broadcast(tgt), group_col)
+    cap = (
+        F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
+        / F.col("target_frac")
+    )
+    budget = F.broadcast(j.agg(F.min(cap).alias("__budget")))
+    return j.crossJoin(budget).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "target_frac",
+        F.round(F.col("__budget") * F.col("target_frac"), 2).alias("alloc_tokens"),
+        F.round(
+            F.col("__budget") * F.col("target_frac") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )

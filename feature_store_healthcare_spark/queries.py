@@ -5497,6 +5497,55 @@ def temperature_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.15, "es": 0.15, "zh": 0.1}
+
+
+@query(
+    "source_mix_plan",
+    f"""
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tgt(lang, target_frac) AS (
+      VALUES {', '.join(f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(_MIX_TARGET.items()))}
+    ),
+    j AS (
+      SELECT per.lang, n_docs, n_tokens, target_frac
+      FROM per JOIN tgt USING (lang)
+    ),
+    b AS (
+      SELECT MIN(CAST(n_tokens AS DOUBLE) * CAST(2 AS DOUBLE) / target_frac)
+               AS budget
+      FROM j
+    )
+    SELECT lang, n_docs, n_tokens, target_frac,
+           ROUND(b.budget * target_frac, 2) AS alloc_tokens,
+           ROUND(b.budget * target_frac / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM j, b
+    """,
+)
+def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ training-mix planner (sampling.source_mix_plan): target per-lang
+    token shares (40% en / 20% de / 15% fr / 15% es / 10% zh), max 2
+    epochs per lang — the largest budget honoring every share, each
+    lang's allocation and epoch count under it.  The planning half of
+    the mixing story: `domain_mix_report` MATERIALIZES given per-source
+    multiplicities (sampling.weighted_mix); this COMPUTES them (its
+    `epochs` column is weighted_mix's weights input) from targets +
+    availability.  One corpus scan, one |langs|-row broadcast,
+    fixed-order double arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.source_mix_plan(
+        docs,
+        "lang",
+        text.token_count(F.col("text")),
+        target=_MIX_TARGET,
+        max_epochs=2.0,
+    )
+
+
 @query(
     "inverse_value_lookup",
     """

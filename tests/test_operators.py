@@ -1377,3 +1377,38 @@ def test_check_band_family_probe_gate(spark, tmp_path):
             dedup.check_band_family(path, portable=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_probe_fam")
+
+
+# -------------------------------------------------- training-mix planner
+
+def test_source_mix_plan_budget_math(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    # en: 1000 tokens, de: 100 -> with shares .8/.2 and max 2 epochs the
+    # binding group is de (100*2/.2 = 1000 < 1000*2/.8 = 2500): budget
+    # 1000, en gets 800 (0.8 epochs), de 200 (exactly 2 epochs)
+    docs = spark.createDataFrame(
+        [("en", 1000), ("de", 100)], "lang string, n_tok long"
+    )
+    out = {
+        r.lang: r
+        for r in sampling.source_mix_plan(
+            docs, "lang", F.col("n_tok"), {"en": 0.8, "de": 0.2}, max_epochs=2.0
+        ).collect()
+    }
+    assert out["de"].alloc_tokens == 200.0 and out["de"].epochs == 2.0
+    assert out["en"].alloc_tokens == 800.0 and out["en"].epochs == 0.8
+    assert out["en"].n_docs == 1 and out["en"].n_tokens == 1000
+
+
+def test_source_mix_plan_drops_groups_outside_target(spark):
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [("en", 10), ("xx", 10)], "lang string, n_tok long"
+    )
+    rows = sampling.source_mix_plan(
+        docs, "lang", F.col("n_tok"), {"en": 1.0}, max_epochs=1.0
+    ).collect()
+    assert [r.lang for r in rows] == ["en"]
+    assert rows[0].epochs == 1.0
