@@ -373,10 +373,15 @@ def source_mix_plan(
     multiplicities (the ``epochs`` column is exactly the weights dict
     ``weighted_mix`` consumes) from token-share targets + availability.
 
-    Plan: one corpus scan → per-group token sums (exact BIGINT, partial-
-    aggregated) → broadcast join with the |target|-row share table → a
-    1-row global MIN cross-joined back.  Driver holds nothing; works
-    unchanged at 100 TB where the groupBy output is still |groups| rows.
+    Plan: ONE corpus scan → per-group token sums (exact BIGINT, partial-
+    aggregated) → broadcast join with the |target|-row share table, then
+    the |groups|-row joined frame is localCheckpointed so the 1-row
+    global MIN and the final projection both read the materialized rows
+    instead of re-deriving the corpus aggregate (without it Catalyst
+    plans a second full scan under the budget subtree — the exact
+    duplicate-lineage trap the drift statistic frames guard against).
+    Driver holds nothing; works unchanged at 100 TB where the groupBy
+    output is still |groups| rows.
     Double arithmetic is fixed-order (tokens→double, ×epochs, ÷share) so
     the plan is engine-reproducible bit-for-bit.
 
@@ -392,7 +397,7 @@ def source_mix_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count).alias("n_tokens"),
     )
-    j = per.join(F.broadcast(tgt), group_col)
+    j = per.join(F.broadcast(tgt), group_col).localCheckpoint(eager=True)
     cap = (
         F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
         / F.col("target_frac")

@@ -1412,3 +1412,24 @@ def test_source_mix_plan_drops_groups_outside_target(spark):
     ).collect()
     assert [r.lang for r in rows] == ["en"]
     assert rows[0].epochs == 1.0
+
+
+def test_source_mix_plan_single_corpus_scan(spark):
+    """The |groups|-row joined frame is localCheckpointed, so the final
+    plan reads materialized rows — NO second corpus scan under the budget
+    subtree (the duplicate-lineage trap) and the budget arrives broadcast."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    docs = spark.range(100).select(
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") % 7 + 1).alias("n_tok"),
+    )
+    plan = (
+        sampling.source_mix_plan(
+            docs, "lang", F.col("n_tok"),
+            {"l0": 0.5, "l1": 0.3, "l2": 0.2}, max_epochs=2.0,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan" not in plan and "Range" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row budget, built broadcast

@@ -116,6 +116,11 @@ REHEARSAL = [
     # compression — measured instead of argued: the ×20-docs ratio should
     # sit far below 20× because only the one corpus scan scales
     "bpe_train_merges",
+    # round-10 additions: the learned quality filter (3 single-row
+    # aggregate passes over a checkpointed projection — per-step cost is
+    # one column-pruned scan) and the mix planner (one scan + broadcasts)
+    "logreg_weak_label_fit",
+    "source_mix_plan",
 ]
 
 #: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
