@@ -108,6 +108,7 @@ HEADLINE = [
     # round-10: learned quality filter (batch-GD logreg trajectory) and
     # the training-mix token-budget planner
     "logreg_weak_label_fit",
+    "logreg_quality_filter",
     "source_mix_plan",
 ]
 

@@ -197,3 +197,32 @@ def _round_half_up(x: float, digits: int) -> float:
             decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+def logistic_score(
+    feats: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    out_col: str = "score",
+) -> Column:
+    """Score rows with a fitted logistic model — the APPLY half of the
+    learned quality filter (:func:`logistic_regression_fit` is the train
+    half; together they are the fit→score round trip a curation pipeline
+    runs: fit once on weak labels, score the whole corpus).  ``weights``
+    is ``[w0, w1, ..., wd]`` (bias first — the trajectory row layout).
+
+    Returns a COLUMN (not a frame): ``round(sigmoid(w0 + w1*x1 + ...),
+    6)`` with the same left-associated chain and 6-digit rounding as the
+    trainer's per-step probability, so a score is engine-reproducible
+    bit-for-bit from the (rounded) published weights.  Pure JVM-side
+    expression — scoring 100 TB is one codegen'd projection, no Python,
+    no shuffle."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"logistic_score: {len(feature_cols)} features need "
+            f"{len(feature_cols) + 1} weights (bias first), got {len(weights)}"
+        )
+    z = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c).cast("double")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(out_col)

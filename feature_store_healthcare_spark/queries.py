@@ -5845,18 +5845,19 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return experiment.cuped(per_user, arm_col="arm", pre_col="x", post_col="y")
 
 
-def _logreg_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
-    """Unrolled DuckDB twin of ``experiment.logistic_regression_fit`` on the
-    weak-label quality-filter features (the `bpe_train`/CUPED oracle
+def _logreg_ctes(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> list[str]:
+    """Shared CTE chain for the logreg twins (the `bpe_train`/CUPED oracle
     discipline: every iteration's gradient pass re-derived step by step).
-    Weights carry UNROUNDED between steps — only the emitted trajectory
-    rows round to 6 — and every cross-row sum is DECIMAL(30,10)-exact, so
-    the CTE chain is bit-deterministic under any row order."""
+    Weights carry UNROUNDED between steps — only emitted values round to
+    6 — and every cross-row sum is DECIMAL(30,10)-exact, so the chain is
+    bit-deterministic under any row order.  `feats` carries `lang` so the
+    scoring twin can group by it; the gradient CTEs ignore it."""
     dec = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(30,10))) AS DOUBLE)"  # noqa: E731
     xs = [f"x{j}" for j in range(1, d + 1)]
     ctes = [
         f"""feats AS (
-      SELECT len(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+      SELECT lang,
+             len(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
                / greatest(length(text), 1) AS x1,
              len(regexp_extract_all(text, '[0-9]'))
                / greatest(length(text), 1) AS x2,
@@ -5895,6 +5896,13 @@ def _logreg_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
             for j in range(d + 1)
         )
         ctes.append(f"it{k} AS (SELECT {ws}, g{k}.l / c.n AS loss FROM g{k}, {prev}, c)")
+    return ctes
+
+
+def _logreg_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
+    """Unrolled DuckDB twin of ``experiment.logistic_regression_fit`` on
+    the weak-label quality-filter features: the per-step trajectory."""
+    ctes = _logreg_ctes(n_iters, lr, d)
     steps = "\n      UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, ROUND(loss, 6) AS logloss, "
         + ", ".join(f"ROUND(w{j}, 6) AS w{j}" for j in range(d + 1))
@@ -5906,23 +5914,49 @@ def _logreg_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
     )
 
 
-@query("logreg_weak_label_fit", _logreg_oracle())
-def logreg_weak_label_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """★ learned quality filter for a training-data pipeline: fit a tiny
-    logistic regression on WEAK labels (is-English from the corpus `lang`
-    tag) over cheap text-shape features — punctuation ratio, digit ratio,
-    whitespace-token density — then the trajectory (per-step logloss +
-    weights) is the audit artifact a curation run records.  The features
-    are the proven-parity `text_quality_scores` expressions; the fit is
-    operators.experiment.logistic_regression_fit (3 batch-GD steps, one
-    column-pruned scan per step feeding a single-row decimal-exact
-    aggregate — pagerank's bounded-iteration discipline, mutable state is
-    d+1 floats at any corpus size).  Oracle unrolls all 3 steps."""
-    from feature_store_healthcare_spark.operators import experiment
+def _logreg_filter_oracle(n_iters: int = 3, lr: float = 1.0, d: int = 3) -> str:
+    """Unrolled DuckDB twin of the fit→score round trip: the same CTE
+    chain, then every doc scored with the step-``n_iters`` PUBLISHED
+    (6-digit-rounded) weights — exactly what the Spark entry reads off
+    the trajectory — and folded to a per-lang keep report."""
+    ctes = _logreg_ctes(n_iters, lr, d)
+    last = f"it{n_iters}"
+    ctes.append(
+        "w AS (SELECT "
+        + ", ".join(f"ROUND(w{j}, 6) AS w{j}" for j in range(d + 1))
+        + f" FROM {last})"
+    )
+    z = "w.w0"
+    for j in range(1, d + 1):
+        z = f"{z} + w.w{j} * x{j}"
+    ctes.append(
+        f"""scored AS (
+      SELECT lang,
+             round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({z}))), 6) AS p
+      FROM feats, w
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_score
+    FROM scored GROUP BY lang
+    """
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+
+def _quality_feats(docs: DataFrame) -> DataFrame:
+    """Weak-label quality-filter features shared by the logreg twins: the
+    proven-parity `text_quality_scores` expressions (punct/digit ratios)
+    plus whitespace-token density, and the is-English weak label."""
     c = F.col("text")
-    feats = docs.select(
+    return docs.select(
+        "lang",
         (
             F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
             / F.greatest(F.length(c), F.lit(1))
@@ -5933,8 +5967,60 @@ def logreg_weak_label_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (text.token_count(c) / F.lit(256.0)).alias("x3"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+
+
+@query("logreg_weak_label_fit", _logreg_oracle())
+def logreg_weak_label_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ learned quality filter for a training-data pipeline, train half:
+    fit a tiny logistic regression on WEAK labels (is-English from the
+    corpus `lang` tag) over cheap text-shape features — the trajectory
+    (per-step logloss + weights) is the audit artifact a curation run
+    records.  operators.experiment.logistic_regression_fit: 3 batch-GD
+    steps, one column-pruned scan per step feeding a single-row
+    decimal-exact aggregate — pagerank's bounded-iteration discipline,
+    mutable state is d+1 floats at any corpus size.  Oracle unrolls all
+    3 steps."""
+    from feature_store_healthcare_spark.operators import experiment
+
+    docs = load_table(spark, sf_dir, "documents")
     return experiment.logistic_regression_fit(
+        _quality_feats(docs), ["x1", "x2", "x3"], "y", n_iters=3, lr=1.0
+    )
+
+
+@query("logreg_quality_filter", _logreg_filter_oracle())
+def logreg_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ learned quality filter, apply half (the fit→score round trip —
+    the logreg twin of bpe_train→bpe_encode): fit 3 GD steps, read the
+    step-3 PUBLISHED (6-digit-rounded) weights off the trajectory, score
+    every document with operators.experiment.logistic_score (one
+    codegen'd projection — scoring 100 TB is a single corpus scan, no
+    Python, no shuffle), and fold to a per-lang keep report (keep =
+    score ≥ 0.5).  Oracle unrolls fit AND scoring, so a defect in either
+    half fails the hash."""
+    from feature_store_healthcare_spark.operators import experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _quality_feats(docs)
+    traj = experiment.logistic_regression_fit(
         feats, ["x1", "x2", "x3"], "y", n_iters=3, lr=1.0
+    ).collect()
+    last = max(traj, key=lambda r: r.step)
+    score = experiment.logistic_score(
+        feats, ["x1", "x2", "x3"], [last.w0, last.w1, last.w2, last.w3], out_col="p"
+    )
+    return (
+        feats.select("lang", score)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("p") >= F.lit(0.5), 1).otherwise(0)).alias("n_keep"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
     )
 
 

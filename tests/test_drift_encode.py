@@ -411,3 +411,33 @@ class TestEwmaAndSeasonal:
         assert "2024-01-29" in flagged          # the broken Monday
         # ordinary weekend days are NOT anomalies under their own baseline
         assert "2024-01-06" not in flagged and "2024-01-07" not in flagged
+
+
+class TestLogisticScore:
+    """operators.experiment.logistic_score: the apply half."""
+
+    def test_score_matches_sigmoid_and_separates(self, spark):
+        import math
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = spark.createDataFrame([Row(x1=0.25, x2=1.0), Row(x1=4.0, x2=0.0)])
+        rows = df.select(
+            "x1", experiment.logistic_score(df, ["x1", "x2"], [-1.0, 2.0, 0.5])
+        ).collect()
+        got = {r.x1: r.score for r in rows}
+        exp = lambda x1, x2: round(  # noqa: E731
+            1.0 / (1.0 + math.exp(-(-1.0 + 2.0 * x1 + 0.5 * x2))), 6
+        )
+        assert got[0.25] == exp(0.25, 1.0)
+        assert got[4.0] == exp(4.0, 0.0)
+
+    def test_weight_arity_guard(self, spark):
+        import pytest
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        with pytest.raises(ValueError):
+            experiment.logistic_score(None, ["x1", "x2"], [0.0, 1.0])

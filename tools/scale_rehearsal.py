@@ -120,6 +120,7 @@ REHEARSAL = [
     # aggregate passes over a checkpointed projection — per-step cost is
     # one column-pruned scan) and the mix planner (one scan + broadcasts)
     "logreg_weak_label_fit",
+    "logreg_quality_filter",
     "source_mix_plan",
 ]
 
