@@ -389,6 +389,16 @@ def source_mix_plan(
     rounded to 2, epochs rounded to 6), one row per group present in both
     the corpus and ``target``.
     """
+    bad = {k: v for k, v in target.items() if not (0.0 < float(v) < float("inf"))}
+    if bad or max_epochs <= 0:
+        # a zero/negative share makes its cap ±Infinity or negative and
+        # silently poisons the global MIN budget (every allocation goes
+        # negative or a group drops out of the MIN with no error) —
+        # fail fast before the nonsense plan reaches weighted_mix
+        raise ValueError(
+            f"source_mix_plan: target shares must be finite and > 0 "
+            f"(bad: {bad or None}) and max_epochs > 0 (got {max_epochs})"
+        )
     spark = docs.sparkSession
     tgt = spark.createDataFrame(
         sorted(target.items()), f"{group_col} string, target_frac double"
@@ -396,7 +406,9 @@ def source_mix_plan(
     per = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count).alias("n_tokens"),
-    )
+    # an all-empty group (0 tokens) would pin the budget at 0 and NaN its
+    # own epochs: it has nothing to allocate, so it simply isn't planned
+    ).where(F.col("n_tokens") > 0)
     j = per.join(F.broadcast(tgt), group_col).localCheckpoint(eager=True)
     cap = (
         F.col("n_tokens").cast("double") * F.lit(float(max_epochs))

@@ -766,7 +766,7 @@ def compact_ivf_index(spark, path: str, new_path: str) -> None:
     needs it — same non-atomic-swap contract as ``stores.compact_bucketed``,
     and the same guard: compacting INTO the live path would overwrite the
     files the compaction scan is reading.  Concurrent compactors are
-    excluded by the same marker-file lease
+    excluded by the same flock-backed lease
     (``stores.acquire_compaction_lease``, keyed on the live index root);
     a second compactor raises ``stores.LeaseHeldError``.
     """

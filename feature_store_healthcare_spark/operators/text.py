@@ -30,6 +30,24 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.split(normalize_text(c), " "))
 
 
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars (non-alnum, non-underscore, non-whitespace) per
+    text char — THE quality-gate ratio.  One definition shared by
+    `text_quality_scores`, the curation pipeline's gates and the learned
+    quality filter's features (one fix site; the DuckDB twin is the
+    `regexp_extract_all`/`greatest` form in their oracles)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def digit_ratio(text: Column | str) -> Column:
+    """Digit chars per text char — `punct_ratio`'s sibling gate."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))
+
+
 def bpe_ish_token_estimate(text: Column | str) -> Column:
     """BPE-ish subword-count estimate: word pieces + punctuation marks,
     counted with a single regexp (≈ GPT-style ``\\w+|[^\\w\\s]`` pre-token
@@ -405,6 +423,12 @@ def bpe_encode(
     Reference: no tokenizer exists in the reference repo; this is the
     driver-mandated LLM-pipeline surface (SURVEY §2 OP-51).
     """
+    if rules_per_pass < 1:
+        # the range step was guarded with max(1, ...) but the slice was
+        # not: rules_per_pass=0 would silently apply NO rules (pure
+        # char-level tokens, inflated fertility) and negatives a wrong
+        # subset — fail loudly instead
+        raise ValueError(f"bpe_encode: rules_per_pass must be >= 1, got {rules_per_pass}")
     if isinstance(merges, DataFrame):
         rules = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
     else:
@@ -416,7 +440,7 @@ def bpe_encode(
     ).where(F.length("w") >= 1)
 
     seg = doc_words.select("w").distinct().select("w", _char_syms("w").alias("syms"))
-    for start in range(0, len(rules), max(1, rules_per_pass)):
+    for start in range(0, len(rules), rules_per_pass):
         col = F.col("syms")
         for a, b in rules[start : start + rules_per_pass]:
             col = _merge_pair_fold(col, a, b)

@@ -1171,13 +1171,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         (F.length(F.regexp_replace(c, r"\s", "")) / n_tokens).alias("mean_token_len"),
-        (
-            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
-            / F.greatest(F.length(c), F.lit(1))
-        ).alias("punct_ratio"),
-        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
-            "digit_ratio"
-        ),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.digit_ratio(c).alias("digit_ratio"),
     )
 
 
@@ -2828,13 +2823,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "text",
         text.token_count(c).alias("n_tokens"),
-        (
-            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
-            / F.greatest(F.length(c), F.lit(1))
-        ).alias("punct_ratio"),
-        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
-            "digit_ratio"
-        ),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.digit_ratio(c).alias("digit_ratio"),
     )
     kept = scored.where(
         (F.col("n_tokens") >= 5)
@@ -5507,6 +5497,7 @@ _MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.15, "es": 0.15, "zh": 0.1}
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
+      HAVING CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) > 0
     ),
     tgt(lang, target_frac) AS (
       VALUES {', '.join(f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(_MIX_TARGET.items()))}
@@ -5957,13 +5948,8 @@ def _quality_feats(docs: DataFrame) -> DataFrame:
     c = F.col("text")
     return docs.select(
         "lang",
-        (
-            F.regexp_count(c, F.lit(r"[^0-9a-zA-Z_\s]"))
-            / F.greatest(F.length(c), F.lit(1))
-        ).alias("x1"),
-        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(F.length(c), F.lit(1))).alias(
-            "x2"
-        ),
+        text.punct_ratio(c).alias("x1"),
+        text.digit_ratio(c).alias("x2"),
         (text.token_count(c) / F.lit(256.0)).alias("x3"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )

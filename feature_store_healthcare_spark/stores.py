@@ -240,84 +240,109 @@ class LeaseHeldError(RuntimeError):
     """Another writer holds the compaction lease for this target."""
 
 
+#: leases THIS process holds: lease_path -> (flocked fd, owner).  The fd
+#: stays open for the compaction's duration — closing it is what releases
+#: the kernel lock, which is also what makes crash recovery automatic.
+_LEASE_FDS: dict[str, tuple[int, str]] = {}
+
+
 def acquire_compaction_lease(
     target: str, owner: str | None = None, ttl_sec: float = 3600.0
 ) -> tuple[str, str]:
     """Claim the single-writer compaction lease for ``target`` (a table
-    location or index root).  The lease is a marker file at
-    ``{target}.__compact_lease`` holding ``{owner, acquired_at, ttl_sec}``;
-    acquisition is an atomic ``O_CREAT|O_EXCL`` create, so two LIVE writers
-    can never both hold it.  A lease older than its ``ttl_sec`` is STALE
-    (the holder crashed mid-compaction — the swap contract already makes
-    that recoverable): takeover renames the stale file to a unique claim
-    name (exactly one racer's rename succeeds) and then re-runs the
-    exclusive create.  Returns ``(lease_path, owner)`` for
+    location or index root).  Mutual exclusion is a kernel advisory lock
+    (``flock LOCK_EX | LOCK_NB``) on the marker file at
+    ``{target}.__compact_lease``, held for the compaction's duration: a
+    second live acquirer fails fast with :class:`LeaseHeldError`, and a
+    CRASHED holder's lock is dropped by the kernel the moment its process
+    dies, so takeover is automatic — no TTL heuristics and none of the
+    read-then-act races a marker-content protocol has (a racer could
+    watch a lease expire, then rename away the FRESH lease a competitor
+    re-created in the same window; or read the empty just-created file of
+    a live holder as "stale").  ``flock`` conflicts per open file
+    description, so two acquirers in one process exclude each other too.
+
+    The file's JSON payload ``{owner, acquired_at, ttl_sec}`` is
+    diagnostics for humans and error messages — the kernel lock is the
+    exclusion mechanism; ``ttl_sec`` is recorded but no longer drives
+    takeover.  Acquisition re-binds if the path was unlinked between open
+    and lock (a releasing holder removes the file), so a lock on a dead
+    inode is never returned.  Returns ``(lease_path, owner)`` for
     :func:`release_compaction_lease`.
 
-    Scope note: the lease serialises COMPACTORS against each other.
-    Appenders and readers are already safe against a concurrent compaction
-    by the existing contracts (append targets the catalog table; readers
-    retry the swap window via :func:`read_table`) and do not take it.
+    Scope notes: the lease serialises COMPACTORS against each other —
+    appenders and readers are already safe against a concurrent
+    compaction by the existing contracts (append targets the catalog
+    table; readers retry the swap window via :func:`read_table`) and do
+    not take it.  ``flock`` is host-local advisory locking, exactly the
+    scope of this engine's local marker stores; compaction is
+    operator/driver-run maintenance, not executor-parallel work (on a
+    shared filesystem whose ``flock`` does not propagate, run compaction
+    from one coordinator — the same assumption the marker files already
+    make).
     """
+    import fcntl
     import json
     import uuid
 
     lease = local_path(target).rstrip(os.sep) + ".__compact_lease"
     owner = owner or f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
-    payload = json.dumps(
-        {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
-    )
-    for attempt in range(2):
+    for _ in range(8):
+        fd = os.open(lease, os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            return lease, owner
-        except FileExistsError:
-            pass
-        try:
-            with open(lease) as f:
-                cur = json.load(f)
-        except FileNotFoundError:
-            continue  # holder released between create-fail and read: retry
-        except (OSError, ValueError):
-            cur = {"owner": "<unreadable>", "acquired_at": 0.0, "ttl_sec": 0.0}
-        age = time.time() - float(cur.get("acquired_at", 0.0))
-        if age <= float(cur.get("ttl_sec", ttl_sec)):
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            try:
+                cur = json.loads(os.pread(fd, 4096, 0).decode() or "{}")
+            except ValueError:
+                cur = {}
+            os.close(fd)
+            age = time.time() - float(cur.get("acquired_at") or 0.0)
             raise LeaseHeldError(
                 f"compaction lease for {target!r} held by "
-                f"{cur.get('owner')!r} (age {age:.0f}s of "
-                f"{cur.get('ttl_sec')}s)"
+                f"{cur.get('owner', '<unknown>')!r} (age {age:.0f}s)"
             )
-        # Stale: claim it by renaming to a unique name — one racer wins,
-        # the losers get FileNotFoundError and loop back to the exclusive
-        # create (which the winner has by then re-taken → LeaseHeldError).
+        # Unlink-safe bind: if the path no longer names our inode (the
+        # previous holder released — removed the file — between our open
+        # and our flock), this lock is on a dead file; retry on the live
+        # path.  Exactly one of the racers that re-open will own the new
+        # inode's lock.
         try:
-            os.rename(lease, f"{lease}.stale.{uuid.uuid4().hex[:12]}")
+            bound = os.stat(lease).st_ino == os.fstat(fd).st_ino
         except FileNotFoundError:
-            pass
+            bound = False
+        if not bound:
+            os.close(fd)
+            continue
+        payload = json.dumps(
+            {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
+        )
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, payload.encode(), 0)
+        _LEASE_FDS[lease] = (fd, owner)
+        return lease, owner
     raise LeaseHeldError(
-        f"compaction lease for {target!r} could not be acquired after "
-        "stale takeover — another compactor won the race"
+        f"compaction lease for {target!r}: lost the re-bind race 8 times "
+        "(concurrent release/acquire churn) — retry"
     )
 
 
 def release_compaction_lease(lease: str, owner: str) -> None:
-    """Release a lease acquired by :func:`acquire_compaction_lease`.  Only
-    the owner's own lease is removed — if a stale takeover replaced it,
-    the file belongs to the new holder and is left alone."""
-    import json
-
-    try:
-        with open(lease) as f:
-            cur = json.load(f)
-    except (OSError, ValueError):
+    """Release a lease acquired by :func:`acquire_compaction_lease` in
+    THIS process.  A caller that never acquired (or names a different
+    owner) is a no-op — it cannot unlock, remove, or otherwise disturb a
+    holder's lease, because the kernel lock rides on the holder's own fd.
+    The marker file is removed before the fd closes; a racer that opened
+    the old inode re-binds onto the fresh path (see acquire)."""
+    held = _LEASE_FDS.get(lease)
+    if held is None or held[1] != owner:
         return
-    if cur.get("owner") == owner:
-        try:
-            os.remove(lease)
-        except FileNotFoundError:
-            pass
+    del _LEASE_FDS[lease]
+    try:
+        os.remove(lease)
+    except FileNotFoundError:
+        pass
+    os.close(held[0])
 
 
 def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:

@@ -1433,3 +1433,12 @@ def test_source_mix_plan_single_corpus_scan(spark):
     )
     assert "FileScan" not in plan and "Range" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row budget, built broadcast
+
+
+def test_bpe_encode_rejects_nonpositive_rules_per_pass(spark):
+    # rules_per_pass=0 used to silently apply NO merge rules (char-level
+    # tokens, inflated fertility); it must fail loudly instead
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="rules_per_pass"):
+            text.bpe_encode(docs, "doc_id", "text", [("a", "b")], rules_per_pass=bad)

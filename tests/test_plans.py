@@ -256,14 +256,16 @@ def test_compact_bucketed_guards_and_swap_window(spark, tmp_path):
 def test_compaction_lease_excludes_second_writer(spark, tmp_path):
     """Round-9 VERDICT #4: compaction's whole-table swap is the one
     remaining single-writer surface (stats went append-only in round 9).
-    The marker-file lease turns "single writer by contract" into an
+    The flock-backed lease turns "single writer by contract" into an
     enforced exclusion: a second compactor gets LeaseHeldError while the
-    first holds the lease, a crashed holder's stale lease is taken over
-    after its TTL, and the O_CREAT|O_EXCL acquisition means two live
-    acquirers can never both win."""
+    first HOLDS the kernel lock, a crashed holder's lock drops with its
+    process (takeover is immediate, no TTL wait), and two live acquirers
+    can never both win — including in one process, since flock conflicts
+    per open file description."""
     import json
     import time as _time
 
+    import feature_store_healthcare_spark.stores as _stores
     from feature_store_healthcare_spark.stores import (
         LeaseHeldError,
         acquire_compaction_lease,
@@ -298,8 +300,10 @@ def test_compaction_lease_excludes_second_writer(spark, tmp_path):
         assert not os.path.exists(old.rstrip("/") + ".__compact_lease")
         assert read_table(spark, "lease_b").count() == 200
 
-        # stale takeover: a crashed holder's expired lease does not block
-        # (the compacted table now lives at lease_v2; the lease keys on it)
+        # crashed holder: a leftover marker file with NO live kernel lock
+        # (what a dead process leaves behind) does not block — takeover is
+        # immediate, no TTL wait.  (The compacted table now lives at
+        # lease_v2; the lease keys on it.)
         loc = str(tmp_path / "lease_v2")
         stale = loc + ".__compact_lease"
         with open(stale, "w") as f:
@@ -308,13 +312,22 @@ def test_compaction_lease_excludes_second_writer(spark, tmp_path):
         old2 = compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v3"))
         assert old2.endswith("lease_v2")
         assert read_table(spark, "lease_b").count() == 200
-        # a FRESH foreign lease still blocks even after the stale dance
-        fresh = str(tmp_path / "lease_v3") + ".__compact_lease"
-        with open(fresh, "w") as f:
-            json.dump({"owner": "live-holder", "acquired_at": _time.time(),
-                       "ttl_sec": 3600.0}, f)
+        # a lease HELD by a live acquirer blocks — content alone never
+        # could under the old marker protocol's races (an empty or
+        # mid-write file read as stale, a fresh lease renamed away)
+        loc3 = str(tmp_path / "lease_v3")
+        lease3, owner3 = acquire_compaction_lease(loc3, owner="live-holder")
         with pytest.raises(LeaseHeldError, match="live-holder"):
             compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v4"))
+        # simulated crash: the fd closes (process death) without a
+        # release — the kernel drops the lock, the marker file remains,
+        # and the next compactor takes over at once
+        fd3, _ = _stores._LEASE_FDS.pop(lease3)
+        os.close(fd3)
+        assert os.path.exists(lease3)
+        old3 = compact_bucketed(spark, "lease_b", str(tmp_path / "lease_v4"))
+        assert old3.endswith("lease_v3")
+        assert read_table(spark, "lease_b").count() == 200
     finally:
         spark.sql("DROP TABLE IF EXISTS lease_b")
         spark.sql("DROP TABLE IF EXISTS lease_b__compact")

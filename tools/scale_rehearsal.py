@@ -953,8 +953,14 @@ def _hybrid_recall(
         (f"q{i}", _BM25_QUERY_SET[i % len(_BM25_QUERY_SET)][1])
         for i in range(n_queries)
     ]
-    bm = retrieval.bm25_topk(docs_df, "doc_id", "text", qset, k=20).select(
-        "query_id", "doc_id", "rank"
+    # materialized ONCE: the lexical half is shared by the exact fusion
+    # and every timed approx iteration — without this, each timed probe
+    # re-runs the full-corpus BM25 scan and warm_probe_sec measures the
+    # lexical scan it claims to hold constant, not the IVF half
+    bm = (
+        retrieval.bm25_topk(docs_df, "doc_id", "text", qset, k=20)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)
     )
     qbatch = emb_df.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
