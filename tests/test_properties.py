@@ -668,3 +668,36 @@ def test_minhash_band_join_matches_naive_collisions(spark, texts):
             ).collect()
         }
         assert got == expected
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=5),
+    fracs=st.lists(st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=5),
+    max_epochs=st.sampled_from([0.5, 1.0, 2.0, 4.0]),
+)
+@SETTINGS
+def test_source_mix_plan_invariants(spark, toks, fracs, max_epochs):
+    """Invariants of the training-mix planner against randomized
+    availability/targets: (1) no group exceeds max_epochs; (2) at least
+    one group BINDS at exactly max_epochs (it is the budget argmin);
+    (3) allocations are proportional to the target shares — alloc/frac is
+    the same budget for every group (so realized token shares match the
+    targets exactly)."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    n = min(len(toks), len(fracs))
+    toks, fracs = toks[:n], fracs[:n]
+    target = {f"g{i}": fracs[i] for i in range(n)}
+    docs = spark.createDataFrame(
+        [(f"g{i}", toks[i]) for i in range(n)], "lang string, n_tok long"
+    )
+    rows = sampling.source_mix_plan(
+        docs, "lang", F.col("n_tok"), target, max_epochs=max_epochs
+    ).collect()
+    assert len(rows) == n
+    budget = min(t * max_epochs / f for t, f in zip(toks, fracs))
+    for r in rows:
+        assert r.epochs <= max_epochs + 1e-6
+        # proportionality: alloc/frac == budget (to output rounding)
+        assert r.alloc_tokens == pytest.approx(budget * r.target_frac, abs=0.01)
+    assert any(abs(r.epochs - max_epochs) < 1e-6 for r in rows)

@@ -174,6 +174,11 @@ DEEPDOCS = [
     "perplexity_stored_postings",
     "bigram_lm_fluency",
     "bigram_lm_stored_postings",
+    # round-10: the BPE train→encode round trip at 1M docs — the encode
+    # half's rule folds are vocab-sized, but the per-doc reassembly
+    # (collect_list over word occurrences) shuffles corpus tokens; this
+    # row is that claim measured
+    "bpe_encode_fertility",
     # NOT phi_scrub_notes: its notes are synthesized from the customer
     # table, which this documents-only blow-up does not write
 ]
