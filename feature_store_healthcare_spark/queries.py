@@ -197,6 +197,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_perplexity_quality",
     "sequence_packing_report",
     # experiments, association mining, retrieval eval (★ round-2 families)
+    # round 10 (rotation rule 2, documented NON-rotation): the new
+    # supervised fit→score round trip (`logreg_quality_filter`, exact
+    # unrolled GD+scoring oracle) stays in the tail because no seated
+    # contract subsumes it and it subsumes none — `cuped` pins the
+    # decimal-moment covariate technique, PMI association, MRR retrieval
+    # eval; evicting any of them would violate the rule's "strictly
+    # covered" criterion.  Both logreg entries stay check_oracle-verified
+    # at sf0.01 AND sf0.1 (rule 3) and benched in HEADLINE.
     "cuped_experiment_analysis",
     "session_cooccurrence_pmi",
     "retrieval_self_mrr",

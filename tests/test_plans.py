@@ -825,3 +825,50 @@ def test_read_table_retry_falls_back_to_message_text():
 
     assert read_table(LegacySpark(), "t_swap_legacy") == "resolved"
     assert len(calls) == 2
+
+
+def test_compaction_lease_across_real_processes(tmp_path):
+    """The flock contract is cross-process: a second OS process fails fast
+    while we hold the lease; a process that acquires and DIES without
+    releasing loses its kernel lock with its last fd, so the next acquire
+    takes over immediately (the crash-recovery story, pinned on real
+    process boundaries rather than same-process fd games)."""
+    import subprocess
+    import sys as _sys
+
+    from feature_store_healthcare_spark.stores import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
+
+    target = str(tmp_path / "xproc_table")
+
+    def probe(extra: str = "") -> str:
+        code = (
+            "import sys\n"
+            "sys.path.insert(0, '/root/repo')\n"
+            "from feature_store_healthcare_spark.stores import ("
+            "acquire_compaction_lease, LeaseHeldError)\n"
+            "try:\n"
+            f"    acquire_compaction_lease({target!r}, owner='other-proc')\n"
+            "    print('ACQUIRED')\n"
+            f"    {extra}\n"
+            "except LeaseHeldError:\n"
+            "    print('HELD')\n"
+        )
+        return subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+        ).stdout
+
+    lease, owner = acquire_compaction_lease(target, owner="local")
+    assert "HELD" in probe()
+    release_compaction_lease(lease, owner)
+    # the subprocess acquires, then exits WITHOUT releasing (simulated
+    # crash — its marker file survives, its kernel lock does not)
+    assert "ACQUIRED" in probe()
+    import os as _os
+
+    assert _os.path.exists(lease)
+    lease2, owner2 = acquire_compaction_lease(target, owner="local-2")
+    assert lease2 == lease
+    release_compaction_lease(lease2, owner2)
