@@ -292,33 +292,44 @@ def acquire_compaction_lease(
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
+            # held by someone else: build diagnostics, NEVER leak the fd
+            # (a flaky read while reporting must not turn a polling
+            # acquire loop into an fd leak)
             try:
                 cur = json.loads(os.pread(fd, 4096, 0).decode() or "{}")
-            except ValueError:
+            except (OSError, ValueError):
                 cur = {}
-            os.close(fd)
+            finally:
+                os.close(fd)
             age = time.time() - float(cur.get("acquired_at") or 0.0)
             raise LeaseHeldError(
                 f"compaction lease for {target!r} held by "
                 f"{cur.get('owner', '<unknown>')!r} (age {age:.0f}s)"
             )
-        # Unlink-safe bind: if the path no longer names our inode (the
-        # previous holder released — removed the file — between our open
-        # and our flock), this lock is on a dead file; retry on the live
-        # path.  Exactly one of the racers that re-open will own the new
-        # inode's lock.
+        # We hold the lock from here on: any failure before the registry
+        # insert must close the fd (closing releases the lock), or the
+        # lease would be stuck held by this process with no release path.
         try:
-            bound = os.stat(lease).st_ino == os.fstat(fd).st_ino
-        except FileNotFoundError:
-            bound = False
-        if not bound:
+            # Unlink-safe bind: if the path no longer names our inode
+            # (the previous holder released — removed the file — between
+            # our open and our flock), this lock is on a dead file; retry
+            # on the live path.  Exactly one of the racers that re-open
+            # will own the new inode's lock.
+            try:
+                bound = os.stat(lease).st_ino == os.fstat(fd).st_ino
+            except FileNotFoundError:
+                bound = False
+            if not bound:
+                os.close(fd)
+                continue
+            payload = json.dumps(
+                {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
+            )
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, payload.encode(), 0)
+        except Exception:
             os.close(fd)
-            continue
-        payload = json.dumps(
-            {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
-        )
-        os.ftruncate(fd, 0)
-        os.pwrite(fd, payload.encode(), 0)
+            raise
         _LEASE_FDS[lease] = (fd, owner)
         return lease, owner
     raise LeaseHeldError(
@@ -333,16 +344,21 @@ def release_compaction_lease(lease: str, owner: str) -> None:
     owner) is a no-op — it cannot unlock, remove, or otherwise disturb a
     holder's lease, because the kernel lock rides on the holder's own fd.
     The marker file is removed before the fd closes; a racer that opened
-    the old inode re-binds onto the fresh path (see acquire)."""
-    held = _LEASE_FDS.get(lease)
-    if held is None or held[1] != owner:
+    the old inode re-binds onto the fresh path (see acquire).  The fd is
+    closed (= the lock freed) even if the marker removal fails — a
+    permissions/IO error must not leave the lease stuck held."""
+    held = _LEASE_FDS.pop(lease, None)  # atomic take: double-release is a no-op
+    if held is None:
         return
-    del _LEASE_FDS[lease]
+    if held[1] != owner:
+        _LEASE_FDS[lease] = held  # not yours: put it back untouched
+        return
     try:
         os.remove(lease)
     except FileNotFoundError:
         pass
-    os.close(held[0])
+    finally:
+        os.close(held[0])
 
 
 def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
@@ -371,13 +387,13 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
     recovery is re-issuing the RENAME.  Returns the OLD location for the
     caller to delete once no reader needs it.
 
-    Concurrent COMPACTORS are excluded by the marker-file lease
+    Concurrent COMPACTORS are excluded by the flock-backed lease
     (:func:`acquire_compaction_lease`, keyed on the table's current
     location): two maintenance jobs racing the drop/rename swap was the
     one remaining single-writer surface after round 9 made postings
     stats append-only.  A second compactor gets :class:`LeaseHeldError`
-    instead of corrupting the swap; a crashed holder's lease expires
-    after its TTL and is taken over.
+    instead of corrupting the swap; a crashed holder's kernel lock drops
+    with its process, so the next compactor takes over immediately.
     """
     bucket_cols, n_buckets, sort_cols, old_location = _bucket_spec(spark, table)
     if os.path.abspath(local_path(new_path)) == os.path.abspath(

@@ -441,3 +441,29 @@ class TestLogisticScore:
 
         with pytest.raises(ValueError):
             experiment.logistic_score(None, ["x1", "x2"], [0.0, 1.0])
+
+
+    def test_single_class_saturation_stays_finite(self, spark):
+        """All-one labels push p toward 1 and log(1-p) toward -inf; the
+        [1e-6, 1-1e-6] clamp must keep every trajectory value finite while
+        the gradient (which uses the UNCLAMPED rounded p) keeps moving the
+        weights toward saturation."""
+        import math
+
+        from pyspark.sql import Row
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = spark.createDataFrame(
+            [Row(x1=float(i % 4), y=1.0) for i in range(32)]
+        )
+        out = sorted(
+            experiment.logistic_regression_fit(
+                df, ["x1"], "y", n_iters=5, lr=50.0
+            ).collect(),
+            key=lambda r: r.step,
+        )
+        assert all(math.isfinite(r.logloss) and math.isfinite(r.w0) for r in out)
+        # saturated: loss collapses toward the clamp floor, bias grows
+        assert out[-1].logloss < out[0].logloss
+        assert out[-1].w0 > 0

@@ -841,18 +841,20 @@ def test_compaction_lease_across_real_processes(tmp_path):
         release_compaction_lease,
     )
 
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
     target = str(tmp_path / "xproc_table")
 
-    def probe(extra: str = "") -> str:
+    def probe() -> str:
         code = (
             "import sys\n"
-            "sys.path.insert(0, '/root/repo')\n"
+            f"sys.path.insert(0, {repo!r})\n"
             "from feature_store_healthcare_spark.stores import ("
             "acquire_compaction_lease, LeaseHeldError)\n"
             "try:\n"
             f"    acquire_compaction_lease({target!r}, owner='other-proc')\n"
             "    print('ACQUIRED')\n"
-            f"    {extra}\n"
             "except LeaseHeldError:\n"
             "    print('HELD')\n"
         )
