@@ -183,14 +183,7 @@ def streaming_online_upsert(
         reduced = latest_per_key(batch_df, keys, ts_col, tiebreak=tiebreak)
         store.merge(reduced, keys, ts_col, tiebreak)
 
-    writer = (
-        stream.writeStream.foreachBatch(_upsert)
-        .outputMode("update")
-        .queryName(queryName)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return _maintenance_writer(stream, _upsert, queryName, checkpoint_dir)
 
 
 def _read_batch_marker(marker_path: str) -> dict | None:
@@ -199,8 +192,15 @@ def _read_batch_marker(marker_path: str) -> dict | None:
 
     if not os.path.exists(marker_path):
         return None
-    with open(marker_path) as fh:
-        return json.load(fh)
+    try:
+        with open(marker_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        # a torn/empty marker (crash between replace's metadata commit and
+        # the data flush on a no-ordering filesystem) must mean "missing"
+        # — the documented one-batch replay window — not a permanent
+        # JSONDecodeError that fails every subsequent micro-batch
+        return None
 
 
 def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
@@ -210,6 +210,8 @@ def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
     tmp = marker_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"txn_id": txn_id, "batch_id": batch_id}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # data before rename — no torn marker
     os.replace(tmp, marker_path)  # atomic on POSIX
 
 
@@ -510,12 +512,62 @@ def streaming_ivf_maintenance(
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
+def _recover_state_swap(state_path: str) -> None:
+    """Crash recovery for :func:`_swap_state_dir`: a fold that died
+    between "move state aside" and "move tmp in" leaves ``state_path``
+    absent with the ``.old`` copy intact — restore it.  The interrupted
+    batch was never marked applied, so it re-folds on replay instead of
+    the state silently reinitializing from one batch (the failure the
+    old rmtree-then-move order had)."""
+    import os
+    import shutil
+
+    state = state_path.rstrip("/")
+    old = state + ".old"
+    if not os.path.exists(state) and os.path.exists(old):
+        shutil.move(old, state)
+
+
+def _swap_state_dir(
+    merged: DataFrame, state_path: str, marker: dict | None = None
+) -> None:
+    """Crash-safe replacement of a persistent state directory: write the
+    new state to ``.tmp`` (this executes the plan, so the old state is
+    fully read BEFORE anything moves), move the old state aside to
+    ``.old``, move ``.tmp`` in, then drop ``.old``.  Every crash window
+    leaves either the old state or the new one on disk — never nothing.
+    When ``marker`` is given ({txn_id, batch_id}), it is written INSIDE
+    the tmp directory (``_applied.json`` — underscore-prefixed, so parquet
+    readers ignore it) before the move: state content and replay
+    high-water mark then commit in the SAME atomic rename, closing the
+    double-fold window a separate marker file would leave between the
+    state swap and the marker write."""
+    import os
+    import shutil
+
+    state = state_path.rstrip("/")
+    tmp, old = state + ".tmp", state + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if marker is not None:
+        _write_batch_marker(
+            os.path.join(tmp, "_applied.json"), marker["txn_id"], marker["batch_id"]
+        )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(state):
+        shutil.move(state, old)
+    shutil.move(tmp, state)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def streaming_incremental_rollup(
     stream: DataFrame,
     state_path: str,
     keys: list[str],
     value_col: str,
     checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
     queryName: str = "incremental_rollup",
 ):
     """Incremental materialized-view maintenance under Structured
@@ -526,38 +578,44 @@ def streaming_incremental_rollup(
     dashboard reads is ``finalize_agg_states`` over that tiny table — the
     100 TB stream is touched exactly once per event, never rescanned.
 
-    The swap is atomic-enough for local parquet (write tmp → move); on
-    Delta/Iceberg the merge would be a single MERGE INTO transaction.
+    The additive fold is NOT naturally replay-idempotent (unlike the CDC
+    argmax), so an at-least-once replay is guarded by a (txn_id,
+    batch_id) high-water mark stored INSIDE the state directory — it
+    commits atomically with the state content in the swap's rename, so
+    there is no window where the state holds a batch the marker does not
+    know about.  The swap itself is crash-safe (:func:`_swap_state_dir`:
+    old state moved aside, never deleted before the new one lands); on
+    Delta/Iceberg the whole fold would be a single MERGE INTO
+    transaction.
     """
+    import os
+
     from feature_store_healthcare_spark import maintenance
+
+    txn = txn_id or checkpoint_dir or state_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _recover_state_swap(state_path)
+        mark = os.path.join(state_path.rstrip("/"), "_applied.json")
+        last = _read_batch_marker(mark)
+        if (
+            last is not None
+            and last["txn_id"] == txn
+            and batch_id <= last["batch_id"]
+        ):
+            return  # at-least-once replay of a folded batch: no double-add
         batch_states = maintenance.incremental_agg(batch_df, keys, value_col)
-        import os
-        import shutil
-
         if os.path.exists(state_path):
             existing = spark.read.parquet(state_path)
             merged = maintenance.merge_agg_states(existing, batch_states, keys)
         else:
             merged = batch_states
-        tmp = state_path.rstrip("/") + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        shutil.move(tmp, state_path)
+        _swap_state_dir(merged, state_path, {"txn_id": txn, "batch_id": batch_id})
 
-    writer = (
-        stream.writeStream.foreachBatch(_fold)
-        .outputMode("update")
-        .queryName(queryName)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return _maintenance_writer(stream, _fold, queryName, checkpoint_dir)
 
 
 RUNNING_FEATURES_SCHEMA = T.StructType(
@@ -598,6 +656,13 @@ def stateful_running_features(
     """
     import pandas as pd  # local import: executors ship their own
 
+    # the output schema names ITS key column after `key` — a caller
+    # grouping by patient_id must not get the values back under a column
+    # literally called user_id (the default's name)
+    out_schema = T.StructType(
+        [T.StructField(key, T.LongType())] + list(RUNNING_FEATURES_SCHEMA.fields[1:])
+    )
+
     def update(key_tuple, pdfs, state):
         if state.exists:
             n, s, last_us = state.get
@@ -612,7 +677,7 @@ def stateful_running_features(
         state.update((n, s, last_us))
         yield pd.DataFrame(
             {
-                "user_id": [key_tuple[0]],
+                key: [key_tuple[0]],
                 "n_events": [n],
                 "sum_value": [s],
                 "last_ts": [pd.Timestamp(last_us, unit="us")],
@@ -624,7 +689,7 @@ def stateful_running_features(
         .groupBy(key)
         .applyInPandasWithState(
             update,
-            outputStructType=RUNNING_FEATURES_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_RUNNING_STATE_SCHEMA,
             outputMode="update",
             timeoutConf="NoTimeout",
@@ -637,25 +702,27 @@ def streaming_cdc_apply(
     state_path: str,
     keys: list[str],
     ts_col: str = "ts",
-    op_col: str = "op",
     tiebreak: list[str] | None = None,
+    checkpoint_dir: str | None = None,
     queryName: str = "cdc_apply",
 ):
     """Streaming twin of operators.cdc: fold a CDC changelog stream
     (upsert/delete ops) into a materialized state table, micro-batch by
-    micro-batch.
+    micro-batch.  (The op column rides through the fold untouched —
+    :func:`read_cdc_state` is where its name matters.)
 
     The state RETAINS winning delete rows as tombstones (read them out
     with :func:`read_cdc_state`, which filters them): a late update older
     than a delete must LOSE, and without the tombstone the delete's
     timestamp would be forgotten the moment it wins.  Each micro-batch is
     first reduced to its winning change per key (map-side combinable
-    argmax), so shuffle and state I/O scale with distinct keys per batch,
-    not rows.  On Delta/Iceberg the fold would be one MERGE INTO; on
-    plain parquet it is write-tmp → atomic move, same plan.
-    """
+    argmax) so the SHUFFLE scales with distinct keys per batch, not rows;
+    the state fold then reads and rewrites the full state table (per-batch
+    state I/O is O(total keys) on plain parquet — on Delta/Iceberg the
+    same fold is one MERGE INTO touching only changed files).  The fold
+    is replay-idempotent by argmax (re-folding an applied batch changes
+    nothing), and the swap is crash-safe (:func:`_swap_state_dir`)."""
     import os
-    import shutil
 
     from feature_store_healthcare_spark.operators import cdc
 
@@ -665,6 +732,7 @@ def streaming_cdc_apply(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _recover_state_swap(state_path)
         latest = cdc.latest_change(batch_df, keys, ts_col, tiebreak=tiebreak)
         if os.path.exists(state_path):
             existing = spark.read.parquet(state_path)
@@ -672,17 +740,9 @@ def streaming_cdc_apply(
             new_state = cdc.latest_change(merged, keys, ts_col, tiebreak=tiebreak)
         else:
             new_state = latest
-        tmp = state_path.rstrip("/") + ".tmp"
-        new_state.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.replace(tmp, state_path)
+        _swap_state_dir(new_state, state_path)
 
-    return (
-        stream.writeStream.foreachBatch(_fold)
-        .outputMode("update")
-        .queryName(queryName)
-    )
+    return _maintenance_writer(stream, _fold, queryName, checkpoint_dir)
 
 
 def read_cdc_state(
@@ -726,13 +786,20 @@ def streaming_burst_throttle(
     key via ``applyInPandasWithState``.
 
     For in-order delivery the emitted set is IDENTICAL to the batch twin
-    (pinned by test); out-of-order rows inside a micro-batch are locally
-    sorted first, and the watermark bounds how late input may arrive.
-    State is one long per key — sharded with the groupBy key.
+    (pinned by test): the gap compares WHOLE epoch seconds, exactly the
+    twin's ``ts.cast("long")`` truncation — µs-exact subtraction would
+    silently diverge on sub-second timestamps (59.2 s < 60 dropped here,
+    60 ≥ 60 kept there).  Out-of-order rows inside a micro-batch are
+    locally sorted first; a CROSS-batch late event (event time behind the
+    key's high-water mark, within the watermark) is dropped WITHOUT
+    regressing the mark — its true event-time predecessor is unknowable
+    here, and rewinding the state would corrupt every later gap decision
+    (the twin would judge the next event against the high-water
+    predecessor, not the late one).  Under reordering the stream is thus
+    a conservative subset of the twin whose post-late decisions still
+    match it.  State is one long per key — sharded with the groupBy key.
     """
     import pandas as pd  # executors import their own
-
-    gap_us = min_gap_seconds * 1_000_000
 
     def update(key_tuple, pdfs, state):
         last_us = state.get[0] if state.exists else None
@@ -741,7 +808,12 @@ def streaming_burst_throttle(
             pdf = pdf.sort_values(["ts", "event_id"])
             for _, row in pdf.iterrows():
                 us = int(row["ts"].value // 1_000)
-                if last_us is None or us - last_us >= gap_us:
+                if last_us is not None and us < last_us:
+                    continue  # cross-batch late event: drop, keep the mark
+                sec, last_sec = us // 1_000_000, (
+                    None if last_us is None else last_us // 1_000_000
+                )
+                if last_sec is None or sec - last_sec >= min_gap_seconds:
                     out.append(row)
                 last_us = us
         if last_us is not None:

@@ -828,3 +828,100 @@ def test_streaming_marker_truncated_digest_migration(spark, tmp_path):
     fb_u = sp_mod._idempotent_foreach_batch(path, "U", lambda df: applied.append(2))
     fb_u(batch, 0)
     assert applied == [1, 2]
+
+
+def test_streaming_burst_throttle_subsecond_matches_batch_twin(spark, tmp_path):
+    """Sub-second timestamps: the gap must compare WHOLE epoch seconds
+    (the batch twin's ts.cast('long') truncation).  Event 2 is 59.2 s
+    after event 1 in µs terms but exactly 60 truncated seconds — the twin
+    KEEPS it, so the stream must too (µs-exact subtraction dropped it)."""
+    from feature_store_healthcare_spark.operators.dedup import burst_dedup
+
+    d = tmp_path / "subsec_in"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.900", "user_id": 1,
+         "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.100", "user_id": 1,
+         "event_type": "a", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:01:30.000", "user_id": 1,
+         "event_type": "a", "value": 3.0, "props": "{}"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = sp.stream_events(spark, str(d))
+    out = sp.streaming_burst_throttle(stream, min_gap_seconds=60)
+    _run_available_now(
+        out.writeStream.format("memory").queryName("subsec_out").outputMode("append"),
+        tmp_path,
+        "subsec",
+    )
+    got = {r.event_id for r in spark.table("subsec_out").collect()}
+    batch = (
+        spark.read.schema(sp.EVENTS_STREAM_SCHEMA)
+        .json(str(d))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    want = {
+        r.event_id
+        for r in burst_dedup(
+            batch, ["user_id", "event_type"], "ts", 60, tie_col="event_id"
+        ).collect()
+    }
+    assert got == want and 2 in got and 3 not in got
+
+
+def test_streaming_rollup_replay_does_not_double_add(spark, events_dir, tmp_path):
+    """At-least-once replay guard: re-delivering the whole backlog under
+    the SAME txn_id with restarted batch ids (what a checkpoint-lost
+    restart does) must not double-add into the additive state — the
+    (txn_id, batch_id) high-water mark rides inside the state directory
+    and commits atomically with the fold."""
+    from feature_store_healthcare_spark import maintenance
+
+    state = str(tmp_path / "replay_state")
+    for attempt in ("first", "replayed"):
+        stream = sp.stream_events(spark, events_dir, max_files_per_trigger=1)
+        writer = sp.streaming_incremental_rollup(
+            stream, state, keys=["user_id"], value_col="value", txn_id="one-stream"
+        )
+        # fresh checkpoint per attempt -> Spark re-delivers everything
+        _run_available_now(writer, tmp_path, f"replay_{attempt}")
+    got = {
+        r.user_id: r
+        for r in maintenance.finalize_agg_states(
+            spark.read.parquet(state), ["user_id"]
+        ).collect()
+    }
+    assert got[1].n == 3 and got[1].total == 129.0  # not 258.0
+    assert got[2].n == 3 and got[2].total == 17.0
+
+
+def test_state_swap_crash_recovery(spark, tmp_path):
+    """A fold that died between 'move state aside' and 'move tmp in'
+    leaves only the .old directory; the next fold must restore it rather
+    than silently reinitializing from one batch."""
+    import os
+    import shutil
+
+    state = str(tmp_path / "swap_state")
+    df = spark.range(5).selectExpr("id", "id * 2 as v")
+    sp._swap_state_dir(df, state)
+    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    shutil.move(state, state + ".old")  # the crash window
+    assert not os.path.exists(state)
+    sp._recover_state_swap(state)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == before
+    # and a marker written inside the dir survives the swap + is readable
+    sp._swap_state_dir(df, state, {"txn_id": "t", "batch_id": 7})
+    got = sp._read_batch_marker(os.path.join(state, "_applied.json"))
+    assert got == {"txn_id": "t", "batch_id": 7}
+    # parquet readers ignore the underscore-prefixed marker file
+    assert spark.read.parquet(state).count() == 5
+
+
+def test_torn_marker_reads_as_missing(tmp_path):
+    """A zero-length / torn marker file must mean 'missing' (one-batch
+    replay window), not a permanent JSONDecodeError on every batch."""
+    p = str(tmp_path / "marker.json")
+    open(p, "w").close()  # torn: exists but empty
+    assert sp._read_batch_marker(p) is None
