@@ -66,11 +66,24 @@ def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
-    """One-row (n_docs, avgdl) — broadcast into the scorer."""
-    return df.select(F.size(tokens(text_col)).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+def _query_terms(spark, queries: list[tuple[str, str]]):
+    """(qterms frame, plan-time term list) for a query batch — BOTH
+    derived from the same Spark-side tokenization (`tokens`, the corpus
+    tokenizer).  The term list used to come from a Python
+    ``qt.lower().split()`` twin; any Python-vs-Java divergence (a
+    non-breaking space: ``str.split()`` splits on it, Java ``\\s`` does
+    not; locale-sensitive ``lower()`` pairs) silently emptied the
+    hit⋈qterms join and returned NO results for the query.  One bounded
+    collect (≤ Σ query terms — the batch is a Python literal already)
+    makes the pushed filter identical to the join side by construction."""
+    q = spark.createDataFrame(queries, "query_id string, query string")
+    qterms = q.select(
+        "query_id", F.explode(F.array_distinct(tokens("query"))).alias("term")
     )
+    term_set = sorted(
+        {r.term for r in qterms.select("term").distinct().collect()} - {""}
+    )
+    return qterms, term_set
 
 
 # ---------------------------------------------------------------------------
@@ -167,11 +180,22 @@ def build_postings_index(
     """
     from feature_store_healthcare_spark.stores import write_bucketed
 
+    spark = docs.sparkSession
+    # one stats pass up front: its n_docs feeds the auto bucket sizing AND
+    # the collected row is written back as stats row 0 — a separate
+    # docs.count() would be a third full corpus scan at the 100 TB design
+    # point for a number the stats aggregate already produces
+    stats_row = _postings_stats(docs, text_col).collect()[0]
     if n_buckets is None:
-        n_buckets = auto_index_buckets(docs.sparkSession, docs.count())
+        n_buckets = auto_index_buckets(spark, stats_row["n_docs"])
     post = postings(docs, id_col, text_col)
     write_bucketed(post, table, "term", n_buckets, path, sort_col="term")
-    _write_postings_stats(_postings_stats(docs, text_col), table, path, "overwrite")
+    _write_postings_stats(
+        spark.createDataFrame([stats_row], "n_docs long, sum_dl long, n_dl long"),
+        table,
+        path,
+        "overwrite",
+    )
     return n_buckets
 
 
@@ -246,10 +270,19 @@ def append_postings_index(
     sums the rows (:func:`_folded_postings_stats`).  The pre-round-9
     read-merge-OVERWRITE lost one writer's update when two appenders
     raced (both read S, both wrote S+own); with per-batch rows there is
-    no shared read-modify-write at all — concurrent appends land as
-    distinct parquet files and integer addition is commutative, so stats
-    end correct under ANY interleaving (test-pinned).  The single-writer
-    contract now applies only to COMPACTION, which still swaps the whole
+    no shared read-modify-write at all — appends land as distinct parquet
+    files and integer addition is commutative, so stats end correct under
+    any SERIALIZED interleaving of appenders' steps (test-pinned —
+    logically concurrent streams, batches landing in any order).
+    PHYSICALLY simultaneous writes into one table are a separate,
+    table-format-level constraint: plain parquet's FileOutputCommitter
+    stages all jobs' task files under the same ``_temporary`` directory,
+    so two appends COMMITTING at the same instant can destroy each
+    other's staging (on Delta/Iceberg this is exactly what the commit
+    protocol solves) — run simultaneous appenders against the same index
+    only on such a format, or let micro-batch scheduling serialize them
+    as the streaming maintainers do.  The single-writer contract
+    otherwise applies only to COMPACTION, which still swaps the whole
     table (``stores.compact_bucketed`` — a table-format concern, as
     documented there).  Growth is one 3-long row per append — a year of
     daily appends is 365 rows; the fold is a sub-millisecond scan.
@@ -319,9 +352,7 @@ def bm25_topk_from_index(
 
     post = read_table(spark, table)
     id_col = _index_id_col(post, ("term", "tf", "dl"))
-    term_set = sorted(
-        {t for _, qt in queries for t in " ".join(qt.lower().split()).split(" ") if t}
-    )
+    qterms, term_set = _query_terms(spark, queries)
     hit = post.where(F.col("term").isin(term_set))
     # one row per (doc, term) by construction ⇒ df(term) = count of hits
     dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -332,10 +363,6 @@ def bm25_topk_from_index(
     stats = _folded_postings_stats(spark, table).select(
         "n_docs",
         (F.col("sum_dl").cast("double") / F.col("n_dl")).alias("avgdl"),
-    )
-    q = spark.createDataFrame(queries, "query_id string, query string")
-    qterms = q.select(
-        "query_id", F.explode(F.array_distinct(tokens("query"))).alias("term")
     )
     return _bm25_score(hit, qterms, dfreq, stats, id_col, k, k1, b, round_to)
 
@@ -466,21 +493,18 @@ def bm25_topk(
     the base recomputes.
     """
     spark = docs.sparkSession
-    q = spark.createDataFrame(queries, "query_id string, query string")
-    qterms = q.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens("query"))).alias("term"),
-    )
     # The query batch is a Python literal, so the union of query terms is
     # known at PLAN time — push it INTO the token explode as a filter.
     # The corpus scan then emits only query-relevant postings (explode
     # output shrinks from every token to query-term hits), the same way a
     # real inverted index reads only the queried postings lists.
-    term_set = sorted(
-        {t for _, qt in queries for t in " ".join(qt.lower().split()).split(" ") if t}
-    )
+    qterms, term_set = _query_terms(spark, queries)
     toks = tokens(text_col)
-    hit_toks = F.filter(toks, lambda t: t.isin(*term_set))
+    hit_toks = (
+        F.filter(toks, lambda t: t.isin(*term_set))
+        if term_set
+        else F.filter(toks, lambda t: F.lit(False))
+    )
     # ONE tokenize pass over the corpus: (id, dl, query-term hits) — the
     # hit arrays are tiny (query terms only), so the persisted base is
     # |docs| narrow rows.  All three consumers below (postings, document
@@ -530,6 +554,8 @@ def rrf_fuse(
     (query_col, item_col, rrf_score, n_sources, fused_rank); optionally cut
     to the fused top-``k``.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking to fuse")
     contribs = [
         r.select(
             F.col(query_col),

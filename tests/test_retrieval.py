@@ -514,3 +514,43 @@ def test_hybrid_rrf_ivf_stored_recall_pin(spark, sf_dir):
     assert min(recalls.values()) >= 0.6, recalls
     mean = sum(recalls.values()) / len(recalls)
     assert mean >= 0.8, recalls
+
+
+def test_bm25_query_tokenization_matches_corpus_tokenizer(spark):
+    """A query containing a non-breaking space (U+00A0): Python str.split()
+    splits on it, Java \\s does not — the old Python-side term_set silently
+    emptied the hit join and returned NO results.  Both bm25 paths must
+    tokenize queries with the corpus tokenizer."""
+    from feature_store_healthcare_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "hash join strategies"), (2, "merge join plans"), (3, "unrelated text")],
+        "doc_id long, text string",
+    )
+    nbsp_queries = [("q0", "hash join")]
+    got = retrieval.bm25_topk(docs, "doc_id", "text", nbsp_queries, k=5).collect()
+    retrieval.release_bm25_cache()
+    # Java \s+ does NOT split U+00A0, so the query is ONE token that
+    # matches nothing — but identically on both sides: no silent
+    # half-tokenized divergence, and a plain-space query still ranks.
+    plain = retrieval.bm25_topk(docs, "doc_id", "text", [("q0", "hash join")], k=5).collect()
+    retrieval.release_bm25_cache()
+    assert {r.doc_id for r in plain} == {1, 2}
+    # the nbsp query is ONE token on both sides -> matches nothing, by
+    # construction on BOTH the pushed filter and the qterms join side
+    assert got == []
+    # the real invariant: Spark-side qterms and the pushed term filter are
+    # derived from the SAME tokenization, so hit and join can never
+    # disagree — pinned directly on the helper
+    qterms, term_set = retrieval._query_terms(spark, nbsp_queries)
+    spark_side = sorted(r.term for r in qterms.select("term").distinct().collect())
+    assert spark_side == term_set  # identical by construction
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    import pytest
+
+    from feature_store_healthcare_spark.operators import retrieval
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        retrieval.rrf_fuse([], "query_id", "doc_id")
