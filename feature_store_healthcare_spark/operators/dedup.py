@@ -101,11 +101,19 @@ def shingles(
         lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
     )
     # Docs shorter than n tokens yield a single (short) shingle — keep it.
+    # NULL text yields NO row: without the filter, size(NULL)=-1 walks the
+    # NULL chain to a single NULL shingle per NULL-text doc, every such
+    # doc gets the IDENTICAL degenerate signature/band key, and k NULL
+    # docs explode into O(k²) mutual LSH candidates (1M scraped rows with
+    # missing text → ~5e11 pairs) that cluster_survivors then collapses
+    # to one survivor.  The Arrow kernel already emits nothing for NULL
+    # text, so this is also what makes the documented family parity true.
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     arr = F.array_distinct(ngrams) if distinct else ngrams
     cols = [F.col(id_col)]
     if size_col is not None:
         cols.append(F.size(arr).alias(size_col))
-    return df.select(*cols, F.explode(arr).alias("shingle"))
+    return df.where(c.isNotNull()).select(*cols, F.explode(arr).alias("shingle"))
 
 
 def minhash_signatures(
@@ -591,8 +599,14 @@ def ngram_jaccard_pairs(
     # hot-shingle frequency, and the per-task map is the memory hot spot on
     # small-heap executors (the map spills, but 32 concurrent tasks × big
     # maps still spike the heap before spill kicks in).
+    # ... but ONLY on the broadcast path: with broadcast_candidates=False
+    # the pair join exchanges both sides on the shingle key anyway, so a
+    # preceding repartition by doc id is a wasted full shuffle of the
+    # corpus-sized shingle table.
     parallelism = df.sparkSession.sparkContext.defaultParallelism * 4
-    probe = sh.repartition(parallelism, id_col)
+    probe = (
+        sh.repartition(parallelism, id_col) if broadcast_candidates else sh
+    )
     if not force:
         # Candidate volume Σ f·(f−1)/2 = (F2 − F1)/2 over shingle
         # frequencies, estimated with an AMS second-moment sketch
@@ -625,7 +639,14 @@ def ngram_jaccard_pairs(
             sh._jdf.queryExecution().analyzed().semanticHash(),
             input_version,
         )
-        est = _JACCARD_GUARD_MEMO.get(key)
+        # hash-bucket-then-CONFIRM (the caching.py discipline): the 32-bit
+        # semanticHash alone can collide across different shingle plans
+        # whose version tokens coincide, silently serving one corpus's
+        # estimate to another — keep the analyzed plan in the slot and
+        # accept the hit only if sameResult agrees.
+        analyzed = sh._jdf.queryExecution().analyzed()
+        hit = _JACCARD_GUARD_MEMO.get(key)
+        est = hit[1] if hit is not None and hit[0].sameResult(analyzed) else None
         if est is None:
             # hash PROJECTED once per row before the aggregate: aggregate
             # expressions don't share subexpressions, so xxhash64 inside
@@ -645,7 +666,7 @@ def ngram_jaccard_pairs(
             )
             f2 = sum(row[f"__z{i}"] ** 2 for i in range(64)) / 64.0
             est = max((f2 - row["__n"]) / 2.0, 0.0)
-            _JACCARD_GUARD_MEMO[key] = est
+            _JACCARD_GUARD_MEMO[key] = (analyzed, est)
         if est > candidate_budget:
             raise ValueError(
                 f"ngram_jaccard_pairs: estimated {est:,.0f} candidate join "
@@ -758,6 +779,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # free the PREVIOUS round's checkpoint blocks now that the
+        # convergence check has read them — without this, a ~log(d)-round
+        # run retains every round's full labels copy in executor storage
+        # until GC happens to collect the Python references, evicting the
+        # persisted edges table on small heaps.  Storage stays bounded at
+        # 2 copies (current + the one being built).
+        if labels is not new:
+            labels.unpersist()
         labels = new
         if still_decreasing == 0:
             break
@@ -1043,7 +1072,19 @@ def burst_dedup(
     secs = F.col(ts_col).cast("timestamp").cast("long")
     prev = F.lag(secs).over(w)
     gap_ok = prev.isNull() | (secs - prev >= F.lit(min_gap_seconds))
-    return df.withColumn("__keep", gap_ok).where(F.col("__keep")).drop("__keep")
+    # A NULL timestamp cannot be gap-evaluated — and worse, it used to
+    # BYPASS the gate twice: the NULL row itself was always kept (prev of
+    # the first row is null) and, sorting first, it became the next real
+    # event's lag value, whose NULL comparison read as "no predecessor" —
+    # a malformed-timestamp retry burst (the exact garbage this operator
+    # collapses) sailed through and disarmed the check for its successor.
+    # Malformed rows are dropped; the quarantine path is where they go.
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__keep", gap_ok)
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )
 
 
 def _banded_signatures(
@@ -1286,6 +1327,19 @@ def build_band_index(
         num_hashes,
         bands,
     )
+    # Marker ordering: REMOVE before the overwrite, stamp after.  Writing
+    # the marker only after the data meant a crash inside the overwrite
+    # of a family-CHANGING rebuild left the OLD family marker over NEW
+    # rows — old-family probes then passed the gate and joined
+    # incompatible bands, i.e. zero collisions and every duplicate
+    # silently admitted.  With the marker gone during the window, the
+    # crash state fails LOUD (no marker → rebuild) instead of silent.
+    import os
+
+    try:
+        os.remove(_family_marker_path(path))
+    except FileNotFoundError:
+        pass
     write_bucketed(bands_df, table, "bkey", n_buckets, path, mode="overwrite")
     _write_band_family(path, _band_family(portable))
 

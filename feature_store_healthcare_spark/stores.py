@@ -236,6 +236,11 @@ def _bucket_spec(
     )
 
 
+#: path-keyed sidecar files that must travel with a table when compaction
+#: relocates it (suffix appended to the table's location path)
+_SIDECAR_SUFFIXES = ("__family",)
+
+
 class LeaseHeldError(RuntimeError):
     """Another writer holds the compaction lease for this target."""
 
@@ -436,6 +441,17 @@ def compact_bucketed(spark: SparkSession, table: str, new_path: str) -> str:
         spark.sql(
             f"ALTER TABLE {_quote_ident(tmp)} RENAME TO {_quote_ident(table)}"
         )
+        # Migrate path-keyed sidecar markers (the LSH band index's
+        # ``{path}__family`` hash-family stamp) to the new location:
+        # without this, routine compaction stranded the index marker-less
+        # — the next append/probe refused with "rebuild" (a full-corpus
+        # rebuild for a maintenance step) while the stale marker lived on
+        # next to the DELETED old path.  MOVE, not copy, so nothing
+        # vouches for data that is about to be removed.
+        for suffix in _SIDECAR_SUFFIXES:
+            src = local_path(old_location).rstrip(os.sep) + suffix
+            if os.path.exists(src):
+                os.replace(src, local_path(new_path).rstrip(os.sep) + suffix)
     finally:
         release_compaction_lease(lease, lease_owner)
     return old_location

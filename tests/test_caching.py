@@ -272,7 +272,7 @@ def test_jaccard_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches)
         sh1._jdf.queryExecution().analyzed().semanticHash(),
         data_version(docs1),
     )
-    est1 = dedup._JACCARD_GUARD_MEMO[key1]
+    est1 = dedup._JACCARD_GUARD_MEMO[key1][1]  # slot = (analyzed plan, est)
     stale_shingles = dedup._SHINGLE_CACHE.peek()
     # grow the corpus in place (the incremental loop's append pattern)
     more = [(i, "alpha beta gamma delta") for i in range(10, 40)]
@@ -292,7 +292,7 @@ def test_jaccard_guard_memo_reestimates_on_growth(spark, tmp_path, clean_caches)
         data_version(docs2),
     )
     assert key2 != key1  # new file list ⇒ new memo key ⇒ re-estimated
-    est2 = dedup._JACCARD_GUARD_MEMO[key2]
+    est2 = dedup._JACCARD_GUARD_MEMO[key2][1]
     assert est2 > est1 * 4  # 4x the docs on one hot shingle ⇒ ≳16x candidates
 
 

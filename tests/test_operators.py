@@ -120,7 +120,10 @@ def test_ngram_jaccard_candidate_budget_tripwire(docs):
     from feature_store_healthcare_spark.caching import data_version
 
     key = (sh._jdf.queryExecution().analyzed().semanticHash(), data_version(docs))
-    est = dedup._JACCARD_GUARD_MEMO[key]
+    stored_plan, est = dedup._JACCARD_GUARD_MEMO[key]
+    # the slot carries the analyzed plan for sameResult confirmation — a
+    # 32-bit hash collision must not serve another corpus's estimate
+    assert stored_plan.sameResult(sh._jdf.queryExecution().analyzed())
     assert exact / 2 <= est <= exact * 2, (est, exact)
 
 
@@ -1442,3 +1445,79 @@ def test_bpe_encode_rejects_nonpositive_rules_per_pass(spark):
     for bad in (0, -1):
         with pytest.raises(ValueError, match="rules_per_pass"):
             text.bpe_encode(docs, "doc_id", "text", [("a", "b")], rules_per_pass=bad)
+
+
+def test_null_text_docs_never_pair(spark):
+    """NULL-text docs must yield NO shingle rows (the Arrow kernel's
+    semantics): previously each NULL doc got the identical degenerate
+    signature/band key, so k NULL docs exploded into O(k^2) mutual LSH
+    candidates and cluster_survivors collapsed them into one survivor."""
+    rows = [(1, None), (2, None), (3, None), (4, "real text about spark")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    assert {r.doc_id for r in sh.collect()} == {4}  # NULL docs: no rows
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=4, portable=True
+    ).collect()
+    assert pairs == []
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=2, num_hashes=4,
+                                    portable=True)
+    assert [r.doc_id for r in sigs.collect()] == [4]
+
+
+def test_burst_dedup_null_ts_cannot_disarm_gate(spark):
+    """A NULL-timestamp row is dropped (quarantine material, not
+    gap-evaluable) and must NOT become the next event's lag predecessor —
+    previously it sailed through AND disarmed the gap check for its
+    successor."""
+    rows = [
+        (1, "k", None, 0.0),
+        (2, "k", "2024-01-01 10:00:00", 1.0),
+        (3, "k", "2024-01-01 10:00:05", 2.0),  # 5s after event 2: drop
+        (4, "k", "2024-01-01 10:02:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, key string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    kept = {
+        r.event_id
+        for r in dedup.burst_dedup(
+            df, ["key"], "ts", min_gap_seconds=60, tie_col="event_id"
+        ).collect()
+    }
+    assert kept == {2, 4}  # null dropped; 3 gated by 2; 4 clears the gap
+
+
+def test_compact_bucketed_migrates_family_marker(spark, tmp_path):
+    """Routine compaction must carry the band index's path-keyed family
+    marker to the new location — previously the compacted index was
+    stranded marker-less (every append/probe refused with 'rebuild') while
+    the stale marker kept vouching for the deleted old path."""
+    import os
+
+    from feature_store_healthcare_spark.stores import compact_bucketed
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 3} repeated tokens") for i in range(30)],
+        "doc_id long, text string",
+    )
+    p1 = str(tmp_path / "band_v1")
+    try:
+        dedup.build_band_index(docs, "doc_id", "text", "band_mig", p1, n_buckets=2,
+                               portable=True)
+        assert os.path.exists(p1 + "__family")
+        p2 = str(tmp_path / "band_v2")
+        old = compact_bucketed(spark, "band_mig", p2)
+        assert old.endswith("band_v1")
+        assert os.path.exists(p2 + "__family")      # travelled
+        assert not os.path.exists(p1 + "__family")  # moved, not copied
+        # the compacted index still accepts same-family appends
+        delta = spark.createDataFrame(
+            [(100, "a brand new admitted document")], "doc_id long, text string"
+        )
+        dedup.append_band_index(
+            delta, "doc_id", "text", "band_mig", p2, n_buckets=2, portable=True
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_mig")
+        spark.sql("DROP TABLE IF EXISTS band_mig__compact")
