@@ -248,19 +248,45 @@ def calibration_run(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+#: interleave the calibration sentinel every N queries (round-11 VERDICT
+#: #3: BENCH_r10's start/end-only pair missed a mid-run load spike that
+#: inflated `feature_correlation_matrix` 11.2×).  Each query is bracketed
+#: by the nearest sentinel before and after it; a segment whose BOTH
+#: bracket samples exceed ratio × base marks every query in it
+#: CONTAMINATED (one-sided spikes are scheduler noise — the warm sentinel
+#: itself varies ~1.5× on an idle host, measured 0.20–0.45 s over 8
+#: back-to-back samples), and flagged queries are re-timed (bounded
+#: retries) until their bracket is clean or retries run out — whatever
+#: remains flagged is machine-readable in noise.contaminated.
+#:
+#: base = min(median of this run's samples, _CAL_IDLE_SEC): the median
+#: alone is blind to a WHOLE-RUN-contaminated bench (r10: loadavg 9.4 at
+#: start, 11.2 at end — every sample would be inflated together), so the
+#: pinned idle upper bound caps it.  _CAL_IDLE_SEC is measured on this
+#: 32-core container (warm samples 0.20–0.45 s); override with
+#: $SPARK_GRAFT_CAL_IDLE on different hardware.
+_CAL_EVERY = 10
+_CAL_IDLE_SEC = float(os.environ.get("SPARK_GRAFT_CAL_IDLE", "0.45"))
+_CONTAM_RATIO = 2.0
+_CONTAM_RETRIES = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("fshs-bench")
-    # session warmup: touch the JVM + parquet reader once (not per-query)
+    # session warmup: touch the JVM + parquet reader once (not per-query),
+    # and one DISCARDED calibration so JIT warmup never inflates the
+    # first kept sample (r10's start sample read 2.2× the warm floor)
     load_table(spark, sf_dir, "region").count()
+    calibration_run(spark)
     load_start = os.getloadavg()
-    calib_start = calibration_run(spark)
 
     qs = catalog.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     todo = [(name, qs[name]) for name in HEADLINE] + list(EXTRA.items())
-    for name, fn in todo:
+
+    def timed_best(fn) -> float:
         # min over N runs: the steady-state cost of the plan, robust to
         # host-level CPU noise and one-time JIT/python-worker warmup
         best = None
@@ -269,9 +295,49 @@ def main() -> None:
             run_query(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return best
 
-    calib_end = calibration_run(spark)
+    cal: list[float] = [calibration_run(spark)]
+    seg_of: dict[str, int] = {}
+    for i, (name, fn) in enumerate(todo):
+        seg_of[name] = len(cal) - 1
+        timings[name] = round(timed_best(fn), 3)
+        if (i + 1) % _CAL_EVERY == 0 and (i + 1) < len(todo):
+            cal.append(calibration_run(spark))
+    cal.append(calibration_run(spark))
+
+    def cal_base() -> float:
+        ordered = sorted(cal)
+        return min(ordered[len(ordered) // 2], _CAL_IDLE_SEC)
+
+    def contaminated() -> set[str]:
+        cut = _CONTAM_RATIO * cal_base()
+        return {
+            name
+            for name, j in seg_of.items()
+            if min(cal[j], cal[min(j + 1, len(cal) - 1)]) > cut
+        }
+
+    fnmap = dict(todo)
+    flagged = contaminated()
+    for _ in range(_CONTAM_RETRIES):
+        if not flagged:
+            break
+        pre = calibration_run(spark)
+        cal.append(pre)
+        retried = sorted(flagged)
+        for name in retried:
+            timings[name] = round(min(timings[name], timed_best(fnmap[name])), 3)
+        post = calibration_run(spark)
+        cal.append(post)
+        if max(pre, post) <= _CONTAM_RATIO * cal_base():
+            flagged.clear()  # clean bracket around the whole retry pass
+    if flagged:
+        print(
+            f"bench: {len(flagged)} queries still measured under host load "
+            f"after {_CONTAM_RETRIES} retries: {sorted(flagged)}",
+            file=sys.stderr,
+        )
     load_end = os.getloadavg()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -290,7 +356,14 @@ def main() -> None:
         "noise": {
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in load_end],
-            "calibration_sec": [calib_start, calib_end],
+            # every interleaved sentinel sample, in run order (first =
+            # start, last samples bracket contamination retries)
+            "calibration_sec": cal,
+            # machine-readable contamination flag (round-11 VERDICT #3):
+            # queries whose every measurement ran inside a calibration
+            # bracket > 1.4× the run's best sample — treat their floors
+            # as upper bounds, not regressions
+            "contaminated": sorted(flagged),
         },
     }
     print(json.dumps(full))
@@ -319,7 +392,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
-                "calibration_sec": [calib_start, calib_end],
+                "calibration_sec": [cal[0], cal[-1]],
+                "n_contaminated": len(flagged),
             }
         )
     )
