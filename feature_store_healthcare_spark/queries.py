@@ -149,9 +149,32 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # bound; eav_asof_lookup remains check_oracle-verified in the tail)
     "eav_latest_tie_fallback",
     "pit_training_join",
-    "pit_interval_join",
+    # round 11 (rotation rule 2 + VERDICT #2's stale-red ledger debt:
+    # seven queries' only driver rows were round-1 reds, long since fixed
+    # but never re-proved through the window — this round seats all
+    # seven; every evicted query stays check_oracle-verified in the tail
+    # per rule 3):
+    # - `pit_interval_join` proves the SAME semantics as the always-
+    #   seated `pit_training_join` against the IDENTICAL oracle (it is
+    #   the second physical strategy), so its slot goes to
+    #   `pit_tolerance_join` — the bounded-staleness variant whose
+    #   NULL-past-tolerance contract no seated query pins.
+    "pit_tolerance_join",
+    # - `pit_trailing_window_features` (leak-free trailing rolling
+    #   aggregate at the spine time) takes `tumbling_window_counts`'
+    #   slot from the time family below (see there).
+    "pit_trailing_window_features",
+    # - `training_set_builder` (the end-to-end spine→PIT→trailing-window
+    #   →hash-split pipeline in ONE plan) takes `train_test_split_report`'s
+    #   slot: the split-label arithmetic is re-evaluated verbatim inside
+    #   it (sampling.split_label_sql), plus the composition contract.
+    "training_set_builder",
     "resample_daily_ffill",
-    "pivot_event_type_stats",
+    # round 11: `pivot_event_type_stats`' long→wide pivot contract is a
+    # semantics subset of `pit_feature_vector_wide` (the same pivot with
+    # PIT as-of filtering stacked on top), so the wide feature vector —
+    # a round-1 stale-red — takes the pivot slot.
+    "pit_feature_vector_wide",
     "null_fill_defaults",
     "freshness_classification",
     "acl_filtered_features",
@@ -162,15 +185,26 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "serving_metrics_rollup",
     "json_extract_events",
     # time semantics: windows, sessions; CDC changelog materialization
-    "tumbling_window_counts",
+    # round 11: `tumbling_window_counts`' fixed-bucket time windowing is
+    # the weakest contract in the time family (sessionize pins the
+    # harder gap-based windows; the trailing-window entry seated above
+    # pins time-bounded frames); its slot funds the PIT-family expansion.
     "sessionize_events",
     "cdc_apply_changes",
-    # dedup family (exact + near-dup + cluster) and curation; the
+    # dedup family (exact + near-dup) and curation; the cluster-survivor,
     # embedding-cosine and incremental variants stay check_oracle-verified
+    # round 11: `dedup_cluster_survivors` composes the seated
+    # `dedup_minhash_lsh` pairs with connected components + survivor
+    # pick; the pair-generation contract stays seated, the composition
+    # rotates to the tail to fund `events_cube_stats` (below).
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_cluster_survivors",
     "corpus_curation_pipeline",
+    # round 11: the CUBE/GROUPING-SETS contract (all grouping combos +
+    # GROUPING() disambiguation flags) — a round-1 stale-red no seated
+    # rollup query pins (serving_metrics_rollup pins exact percentiles,
+    # which CUBE does not subsume, so it stays).
+    "events_cube_stats",
     # corpus chunking + shuffle-skew diagnostics + iterative graph
     # (★ round-2 families)
     "rag_chunk_documents",
@@ -211,14 +245,23 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # PHI content governance + retention (operators.privacy)
     "phi_scrub_notes",
     "retention_sweep",
-    # multimodal: metadata aggregation + the decode kernel path
-    "multimodal_media_stats",
+    # multimodal: the decode kernel path (round 11: `multimodal_media_stats`
+    # is a metadata groupBy over the same typed-media table the seated
+    # `multimodal_image_features` exercises END-TO-END — schema, binary
+    # payloads, mapInPandas kernel, exact oracle — so the stats rollup
+    # rotates to the tail to fund the text-family stale-reds below)
     "multimodal_image_features",
     # feature analysis / drift / sampling
     "feature_correlation_matrix",
     "feature_drift_psi",
-    "feature_label_mutual_info",
-    "train_test_split_report",
+    # round 11: `feature_label_mutual_info` (binned MI, a fixed
+    # arithmetic pipeline over the same histogram machinery drift_psi
+    # pins) and `train_test_split_report` (split labels re-proved inside
+    # the seated training_set_builder) rotate out to seat the two text
+    # stale-reds — per-language/source corpus stats and the corpus
+    # quality rollup, the text family's grouped-analysis contracts.
+    "text_stats_by_lang_source",
+    "corpus_rollup",
 )
 
 
