@@ -826,6 +826,7 @@ def ivf_topk_from_index(
     exclude_self: bool = True,
     centroids: list[tuple[int, list[float]]] | None = None,
     max_query_rows: int = 4096,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """:func:`ivf_topk` against a stored :func:`build_ivf_index` — same
     results (the nearest-list computation is the SAME numpy code on both
@@ -839,6 +840,14 @@ def ivf_topk_from_index(
     fail loudly, not leak a corpus-sized collect) so the probe lists are
     known at PLAN time; per-query list membership then rides a broadcast
     join and exact cosine re-ranks, identical to the in-session path.
+
+    ``round_decimals``: round the cosine to N decimals BEFORE ranking
+    (ties then break on the corpus id) — the determinism convention every
+    catalog-facing exact scorer uses so Spark and an external SQL oracle
+    rank identically.  With ``nprobe = n_centroids`` (every list probed —
+    IVF made exhaustive) and the same rounding, this function's ranking
+    is definitionally equal to the exact cosine top-k, which is the
+    oracle-checked exactness anchor for the approximate configurations.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -888,10 +897,12 @@ def ivf_topk_from_index(
     cand = F.broadcast(qdf).join(scan, on="__list")
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__cid"))
-    scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("__qv"), F.col("__cv"), dim=dim) / (F.col("__qn") * F.col("__cn")),
+    cos = _dot(F.col("__qv"), F.col("__cv"), dim=dim) / (
+        F.col("__qn") * F.col("__cn")
     )
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    scored = cand.withColumn("cosine", cos)
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -4585,8 +4585,12 @@ def _stored_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
 
 
 @query("hybrid_rrf_ivf_stored")  # no oracle BY DESIGN: the cosine half is
-# IVF-approximate, so there is no SQL the result is exactly equal to; the
-# correctness contract is the recall@10 regression pin vs the exact hybrid
+# IVF-approximate at nprobe=4, so there is no SQL this configuration is
+# exactly equal to.  Its exactness anchor is `hybrid_rrf_ivf_exhaustive`
+# (registered right below with the exact hybrid's oracle): the SAME code
+# path at nprobe=n_centroids hash-matches the exact plan at every SF, so
+# the only unverified delta here is which lists nprobe=4 skips — which the
+# recall@10 regression pin vs the exact hybrid measures
 # (tests/test_retrieval.py) plus the plan pin that NEITHER corpus is
 # scanned (tests/test_plans.py) — the same verification recipe as the ANN
 # family's recall-pinned entries.
@@ -4621,6 +4625,53 @@ def hybrid_rrf_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = similarity.ivf_topk_from_index(
         spark, path, qbatch, k=20, nprobe=4, centroids=cents
+    )
+    cos = ivf.select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return retrieval.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), cos],
+        "query_id",
+        "doc_id",
+        k=10,
+    )
+
+
+@query("hybrid_rrf_ivf_exhaustive", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Exactness anchor for `hybrid_rrf_ivf_stored` (round-10 VERDICT
+    #5: it was the catalog's only entry with no oracle, carrying an
+    in-test recall pin instead).  This entry runs the IDENTICAL
+    stored-index code path — same postings probe, same IVF index, same
+    ivf_topk_from_index plumbing (driver-side list assignment, static
+    ``__list IN`` partition pruning, broadcast probe join, cosine
+    re-rank) — but with ``nprobe = n_centroids``: every inverted list is
+    probed, so the candidate set is definitionally the full corpus and
+    the (4-decimal-rounded, id-tiebroken) ranking equals the exact
+    cosine scorer.  Registered under the exact hybrid's SQL oracle, the
+    hash match proves build→store→prune→probe→re-rank ≡ the single-pass
+    exact plan; a defect anywhere in the IVF machinery breaks it.  The
+    nprobe<n_centroids production configuration's remaining delta is
+    then ONLY which lists are skipped — exactly what the recall@10
+    bracket measures."""
+    table = _stored_postings(spark, sf_dir)
+    bm = retrieval.bm25_topk_from_index(spark, table, _BM25_QUERY_SET, k=20)
+    path, cents = _stored_ivf(spark, sf_dir)
+    qbatch = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    ivf = similarity.ivf_topk_from_index(
+        spark,
+        path,
+        qbatch,
+        k=20,
+        nprobe=len(cents),
+        centroids=cents,
+        round_decimals=4,
     )
     cos = ivf.select(
         F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
