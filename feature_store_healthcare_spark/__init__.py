@@ -21,6 +21,7 @@ behavior to the reference implementation for parity checking only.
 
 from feature_store_healthcare_spark.registry import (
     Feature,
+    FeatureCategory,
     FeatureGroup,
     FeatureRegistry,
     FeatureSchema,
@@ -29,10 +30,16 @@ from feature_store_healthcare_spark.registry import (
     FeatureValueType,
     PHILevel,
 )
-from feature_store_healthcare_spark.serving import FeatureServer, ServingConfig
+from feature_store_healthcare_spark.serving import (
+    FeatureFreshness,
+    FeatureServer,
+    ServingConfig,
+    ServingMode,
+)
 
 __all__ = [
     "Feature",
+    "FeatureCategory",
     "FeatureGroup",
     "FeatureRegistry",
     "FeatureSchema",
@@ -40,8 +47,10 @@ __all__ = [
     "FeatureStatus",
     "FeatureValueType",
     "PHILevel",
+    "FeatureFreshness",
     "FeatureServer",
     "ServingConfig",
+    "ServingMode",
 ]
 
 __version__ = "0.1.0"

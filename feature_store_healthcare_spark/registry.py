@@ -139,6 +139,32 @@ class PHILevel(str, Enum):
     DIRECT = "direct"
 
 
+class FeatureCategory(str, Enum):
+    """Healthcare feature categories (ref feature_registry.py:54-69).
+
+    ``FeatureSchema.category`` continues to STORE a plain string
+    (documented engine divergence: deployments add domain categories
+    without forking the enum), but this enum restores code-level
+    drop-in parity for reference callers — and being a ``str``
+    subclass, ``FeatureCategory.CLINICAL`` compares equal to the stored
+    ``"clinical"``, so both ``schema.category == FeatureCategory.X``
+    and ``list_features(category=FeatureCategory.X)`` work unchanged.
+    """
+
+    DEMOGRAPHIC = "demographic"
+    CLINICAL = "clinical"
+    LABORATORY = "laboratory"
+    MEDICATION = "medication"
+    PROCEDURE = "procedure"
+    DIAGNOSIS = "diagnosis"
+    VITAL_SIGN = "vital_sign"
+    IMAGING = "imaging"
+    GENOMIC = "genomic"
+    BEHAVIORAL = "behavioral"
+    SOCIAL = "social"
+    DERIVED = "derived"
+
+
 @dataclass
 class FeatureSchema:
     """Ref feature_registry.py:71-94."""
@@ -146,16 +172,22 @@ class FeatureSchema:
     name: str
     value_type: FeatureValueType
     description: str = ""
-    category: str = "derived"
+    category: str | FeatureCategory = "derived"
     entity_type: str = "patient"
     is_nullable: bool = True
     default_value: Any = None
     validation_rules: list[str] = field(default_factory=list)
     embedding_dim: int | None = None  # engine extension: EMBEDDING dim check
 
+    def __post_init__(self) -> None:
+        # accept the parity enum, store the reference's serialized form
+        # (a plain string) so unknown domain categories remain legal
+        if isinstance(self.category, Enum):
+            self.category = self.category.value
+
     def to_dict(self) -> dict[str, Any]:
-        """Serialization parity with ref :84-94 (category is a plain str
-        here, so no .value unwrap)."""
+        """Serialization parity with ref :84-94 (category normalizes to a
+        plain str at construction, so no .value unwrap)."""
         return {
             "name": self.name,
             "value_type": self.value_type.value,
@@ -412,7 +444,7 @@ class FeatureRegistry:
 
     def list_features(
         self,
-        category: str | None = None,
+        category: str | FeatureCategory | None = None,
         entity_type: str | None = None,
         status: FeatureStatus | str | None = None,
         phi_level: PHILevel | str | None = None,

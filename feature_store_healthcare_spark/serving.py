@@ -30,6 +30,7 @@ import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
+from enum import Enum
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -50,6 +51,42 @@ from feature_store_healthcare_spark.registry import (
 
 def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class ServingMode(str, Enum):
+    """Feature serving modes (ref feature_server.py:33-38) — parity enum
+    naming the engine path each mode maps to:
+
+    - ``ONLINE``: low-latency single-entity reads —
+      :meth:`FeatureServer.get_online_features` over the cached
+      latest-value table, or :func:`stores.kv_point_get` against the
+      exported KV table (OP-3).
+    - ``OFFLINE``: batch/historical —
+      :meth:`FeatureServer.get_offline_features` and the point-in-time
+      training joins (:meth:`FeatureServer.get_point_in_time_features`,
+      operators.pit).
+    - ``STREAMING``: real-time updates — the Structured Streaming
+      maintainers in ``streaming.pipeline`` (streaming_online_upsert et
+      al.) feeding the same online table the ONLINE path reads.
+    """
+
+    ONLINE = "online"
+    OFFLINE = "offline"
+    STREAMING = "streaming"
+
+
+class FeatureFreshness(str, Enum):
+    """Freshness classification (ref feature_server.py:41-46).  The
+    engine computes these as plain strings in the vector path
+    (:meth:`FeatureServer.get_online_features`) and the set-oriented
+    :meth:`FeatureServer.freshness_report`; the enum gives reference
+    callers the typed constants — str-subclass, so
+    ``vector.freshness[name] == FeatureFreshness.FRESH`` works against
+    the stored strings."""
+
+    FRESH = "fresh"  # within freshness_sla_seconds
+    STALE = "stale"  # exceeds SLA, within stale_threshold_seconds
+    EXPIRED = "expired"  # beyond stale threshold (or value missing)
 
 
 @dataclass
