@@ -214,3 +214,32 @@ def data_version(df: DataFrame) -> int:
         return hash(tuple(sorted(list(jarr))))
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     return hash((len(jarr), str(size)))
+
+
+def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Free an eager ``localCheckpoint``'s storage blocks NOW.
+
+    ``Dataset.unpersist()`` does NOT do this: it unregisters cached-query
+    entries from the ``CacheManager``, but a localCheckpoint's blocks are
+    persisted on the internal checkpointed RDD, which the CacheManager
+    never sees — measured empirically (round-10 ADVICE):
+    ``getRDDStorageInfo`` still lists every block after
+    ``Dataset.unpersist(true)``, and the blocks linger until the JVM
+    happens to GC the RDD reference.  Iterative operators that
+    re-checkpoint per round (connected components, PageRank, the BPE
+    trainer) would otherwise hold every round's full state copy.
+
+    The checkpointed RDD is reachable through the analyzed plan — an
+    eager localCheckpoint returns a Dataset whose plan IS a ``LogicalRDD``
+    wrapping it — so unpersisting THAT RDD releases the blocks
+    immediately (verified: storage info drops to empty).  Best-effort by
+    design: on a frame that is not a materialized localCheckpoint this is
+    a silent no-op, and a py4j surface change degrades to the old
+    GC-eventually behavior rather than failing the computation.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass

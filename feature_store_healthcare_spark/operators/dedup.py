@@ -34,6 +34,7 @@ from feature_store_healthcare_spark.caching import (
     BoundedMemo,
     PlanCache,
     data_version,
+    release_local_checkpoint,
 )
 
 #: One-entry persisted-plan caches (see caching.PlanCache): each call site
@@ -782,11 +783,14 @@ def connected_components(
         # free the PREVIOUS round's checkpoint blocks now that the
         # convergence check has read them — without this, a ~log(d)-round
         # run retains every round's full labels copy in executor storage
-        # until GC happens to collect the Python references, evicting the
+        # until GC happens to collect the RDD references, evicting the
         # persisted edges table on small heaps.  Storage stays bounded at
-        # 2 copies (current + the one being built).
+        # 2 copies (current + the one being built).  NOT Dataset.unpersist:
+        # that only consults the CacheManager, which never saw the
+        # checkpoint's RDD-level blocks (round-10 ADVICE, verified in
+        # test_caching.py::test_release_local_checkpoint_frees_blocks).
         if labels is not new:
-            labels.unpersist()
+            release_local_checkpoint(labels)
         labels = new
         if still_decreasing == 0:
             break

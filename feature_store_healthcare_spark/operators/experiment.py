@@ -216,11 +216,22 @@ def logistic_score(
     trainer's per-step probability, so a score is engine-reproducible
     bit-for-bit from the (rounded) published weights.  Pure JVM-side
     expression — scoring 100 TB is one codegen'd projection, no Python,
-    no shuffle."""
+    no shuffle.
+
+    ``feats`` is the frame the column will be selected from; it is used
+    here only to FAIL FAST on a missing/misnamed feature column (an
+    unresolved column otherwise surfaces as a downstream
+    AnalysisException naming the internal plan, not this call site)."""
     if len(weights) != len(feature_cols) + 1:
         raise ValueError(
             f"logistic_score: {len(feature_cols)} features need "
             f"{len(feature_cols) + 1} weights (bias first), got {len(weights)}"
+        )
+    missing = [c for c in feature_cols if c not in feats.columns]
+    if missing:
+        raise ValueError(
+            f"logistic_score: feature columns {missing} not in frame "
+            f"(has {feats.columns})"
         )
     z = F.lit(float(weights[0]))
     for j, c in enumerate(feature_cols):

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feature_store_healthcare_spark.caching import PlanCache, data_version
+from feature_store_healthcare_spark.caching import (
+    PlanCache,
+    data_version,
+    release_local_checkpoint,
+)
 
 #: One-entry cache for cooccurrence_pmi's distinct (basket, item) table —
 #: module lifecycle policy (caching.PlanCache): the table embeds the full
@@ -96,6 +100,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
+    last_ck = None  # the most recent loop checkpoint, released on supersede
     for i in range(iterations):
         contribs = (
             e_deg.join(
@@ -150,6 +155,13 @@ def pagerank(
             # each round reads `ranks` TWICE (contribs + dangling): without
             # truncation the prior rounds' DAG re-executes 2^k-fold
             ranks = ranks.localCheckpoint(eager=True)
+            # free the SUPERSEDED checkpoint's blocks now that the new one
+            # is materialized (Dataset.unpersist is a no-op for RDD-level
+            # checkpoint storage — caching.release_local_checkpoint);
+            # `flagged`'s blocks stay: every round still reads it
+            if last_ck is not None:
+                release_local_checkpoint(last_ck)
+            last_ck = ranks
     e_deg.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")

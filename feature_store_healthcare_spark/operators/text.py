@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_healthcare_spark.caching import release_local_checkpoint
 from feature_store_healthcare_spark.operators.dedup import normalize_text
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -364,9 +365,14 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         if step == n_merges:
             break  # the last rule needs no re-segmentation pass
         merged = _merge_pair_fold(F.col("syms"), a, b)
+        prev = state
         state = state.select("cnt", merged.alias("syms")).localCheckpoint(
             eager=True
         )
+        # free the superseded round's vocab-table checkpoint blocks now
+        # (Dataset.unpersist never releases RDD-level checkpoint storage
+        # — caching.release_local_checkpoint)
+        release_local_checkpoint(prev)
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
@@ -440,6 +446,7 @@ def bpe_encode(
     ).where(F.length("w") >= 1)
 
     seg = doc_words.select("w").distinct().select("w", _char_syms("w").alias("syms"))
+    last_ck = None  # superseded pass checkpoints released eagerly
     for start in range(0, len(rules), rules_per_pass):
         col = F.col("syms")
         for a, b in rules[start : start + rules_per_pass]:
@@ -447,6 +454,9 @@ def bpe_encode(
         seg = seg.select("w", col.alias("syms"))
         if start + rules_per_pass < len(rules):
             seg = seg.localCheckpoint(eager=True)
+            if last_ck is not None:
+                release_local_checkpoint(last_ck)
+            last_ck = seg
 
     vocab = F.broadcast(seg) if broadcast_vocab else seg
     ordered = F.flatten(

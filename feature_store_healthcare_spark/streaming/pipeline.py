@@ -587,11 +587,25 @@ def streaming_incremental_rollup(
     old state moved aside, never deleted before the new one lands); on
     Delta/Iceberg the whole fold would be a single MERGE INTO
     transaction.
+
+    ``txn_id`` SCOPE CONTRACT: batch ids are CHECKPOINT-scoped, so a
+    stable ``txn_id`` asserts identical batch packing — same source
+    files, same trigger config, same checkpoint lineage.  Reusing a
+    txn_id after the checkpoint is lost/deleted while NEW source files
+    have arrived is unsound: the restarted query repacks old+new rows
+    into low-numbered batch ids that the stored high-water mark will
+    skip, silently dropping the new rows.  The default therefore scopes
+    the txn to the CHECKPOINT DIR (fresh checkpoint ⇒ fresh txn ⇒ the
+    guard never cross-matches a different packing); pass an explicit
+    ``txn_id`` only to assert replay identity across restarts that KEEP
+    the checkpoint, and change it whenever the checkpoint is reset.
     """
     import os
 
     from feature_store_healthcare_spark import maintenance
 
+    # default scope: the checkpoint dir (batch-id packing's true scope);
+    # state_path only as the last resort for checkpoint-less test runs
     txn = txn_id or checkpoint_dir or state_path
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -656,11 +670,14 @@ def stateful_running_features(
     """
     import pandas as pd  # local import: executors ship their own
 
-    # the output schema names ITS key column after `key` — a caller
-    # grouping by patient_id must not get the values back under a column
-    # literally called user_id (the default's name)
+    # the output schema names ITS key column after `key` AND carries the
+    # key's ACTUAL type from the input stream — a caller grouping by a
+    # string key (e.g. event_type) must not get a schema pinned to the
+    # default's LongType (applyInPandasWithState would cast-fail or null
+    # the column at runtime)
     out_schema = T.StructType(
-        [T.StructField(key, T.LongType())] + list(RUNNING_FEATURES_SCHEMA.fields[1:])
+        [T.StructField(key, stream.schema[key].dataType)]
+        + list(RUNNING_FEATURES_SCHEMA.fields[1:])
     )
 
     def update(key_tuple, pdfs, state):
@@ -701,15 +718,24 @@ def streaming_cdc_apply(
     stream: DataFrame,
     state_path: str,
     keys: list[str],
+    *,
     ts_col: str = "ts",
     tiebreak: list[str] | None = None,
     checkpoint_dir: str | None = None,
     queryName: str = "cdc_apply",
+    op_col: str | None = None,
 ):
     """Streaming twin of operators.cdc: fold a CDC changelog stream
     (upsert/delete ops) into a materialized state table, micro-batch by
     micro-batch.  (The op column rides through the fold untouched —
-    :func:`read_cdc_state` is where its name matters.)
+    :func:`read_cdc_state` is where its name matters; the deprecated
+    ``op_col`` keyword is accepted and ignored for that reason.)
+
+    Params after ``keys`` are KEYWORD-ONLY: an earlier signature had
+    ``op_col`` as the 4th positional slot, so a stale positional caller
+    passing ``'op'`` would silently bind it to ``ts_col``/``tiebreak``
+    and fail deep inside the fold with a misleading AnalysisException —
+    now it fails at the call site with a plain TypeError.
 
     The state RETAINS winning delete rows as tombstones (read them out
     with :func:`read_cdc_state`, which filters them): a late update older

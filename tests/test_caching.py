@@ -386,3 +386,42 @@ def test_drift_caches_lifecycle_one_entry(spark):
     drift.robust_outliers(a, ["g"], "value").collect()
     drift.release_drift_caches(blocking=True)
     assert _n_cached(spark) <= base
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """Round-10 ADVICE, verified empirically: Dataset.unpersist() does NOT
+    free an eager localCheckpoint's storage (the blocks belong to the
+    internal checkpointed RDD, which the CacheManager never sees);
+    caching.release_local_checkpoint reaches the RDD through the
+    LogicalRDD plan and frees them immediately."""
+    from feature_store_healthcare_spark.caching import release_local_checkpoint
+
+    base = _n_cached(spark)
+    ck = spark.range(50_000).withColumn("x", F.col("id") * 2).localCheckpoint(
+        eager=True
+    )
+    assert _n_cached(spark) == base + 1
+    ck.unpersist(True)  # the documented no-op: blocks survive
+    assert _n_cached(spark) == base + 1
+    release_local_checkpoint(ck, blocking=True)
+    assert _n_cached(spark) == base
+    # best-effort contract: a non-checkpointed frame is a silent no-op
+    release_local_checkpoint(spark.range(10))
+
+
+def test_connected_components_bounds_checkpoint_storage(spark):
+    """The CC loop's per-round release actually releases (the round-10
+    comment claimed bounded storage via Dataset.unpersist, which was a
+    no-op): after the call returns, at most the returned labels
+    checkpoint remains beyond the baseline."""
+    base = _n_cached(spark)
+    # a 64-node path graph forces multiple label-propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components(pairs)
+    rows = labels.collect()
+    assert {r.component for r in rows} == {0}
+    # edges persisted+unpersisted, every superseded round released: only
+    # the final checkpointed labels table may remain
+    assert _n_cached(spark) <= base + 1

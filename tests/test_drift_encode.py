@@ -442,6 +442,19 @@ class TestLogisticScore:
         with pytest.raises(ValueError):
             experiment.logistic_score(None, ["x1", "x2"], [0.0, 1.0])
 
+    def test_missing_feature_column_fails_fast(self, spark):
+        """Round-10 ADVICE: `feats` was declared but unused — it now
+        validates the feature columns, so a typo fails HERE with the
+        column names, not downstream with a plan-internal
+        AnalysisException."""
+        import pytest
+
+        from feature_store_healthcare_spark.operators import experiment
+
+        df = spark.createDataFrame([(1.0, 2.0)], "x1 double, x2 double")
+        with pytest.raises(ValueError, match="nope"):
+            experiment.logistic_score(df, ["x1", "nope"], [0.0, 1.0, 2.0])
+
 
     def test_single_class_saturation_stays_finite(self, spark):
         """All-one labels push p toward 1 and log(1-p) toward -inf; the

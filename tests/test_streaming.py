@@ -190,6 +190,35 @@ def test_stateful_running_features_across_batches(spark, events_dir, tmp_path):
         assert final[u].last_ts == want[u].last_ts
 
 
+def test_stateful_running_features_string_key(spark, events_dir, tmp_path):
+    """Round-10 ADVICE: the output schema pinned its key field to
+    LongType regardless of the grouping column — a string key
+    (event_type) must come back as a string column, not a cast error or
+    nulls from applyInPandasWithState."""
+    stream = sp.stream_events(spark, events_dir)
+    feats = sp.stateful_running_features(stream, key="event_type")
+    assert feats.schema["event_type"].dataType.simpleString() == "string"
+    _run_available_now(
+        feats.writeStream.format("memory")
+        .queryName("running_str_out")
+        .outputMode("update"),
+        tmp_path,
+        "running_str",
+    )
+    rows = spark.table("running_str_out").collect()
+    keys = {r.event_type for r in rows}
+    assert keys and all(isinstance(k, str) for k in keys)
+    batch = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).json(events_dir)
+    want = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    final = {}
+    for r in rows:
+        final[r.event_type] = max(final.get(r.event_type, 0), r.n_events)
+    assert final == want
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Each purchase picks up only the same user's clicks in the trailing
     hour (inclusive end): earlier, later, and other-user clicks stay out."""
