@@ -186,153 +186,20 @@ def streaming_online_upsert(
     return _maintenance_writer(stream, _upsert, queryName, checkpoint_dir)
 
 
-def _read_batch_marker(marker_path: str) -> dict | None:
-    import json
-    import os
-
-    if not os.path.exists(marker_path):
-        return None
-    try:
-        with open(marker_path) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
-        # a torn/empty marker (crash between replace's metadata commit and
-        # the data flush on a no-ordering filesystem) must mean "missing"
-        # — the documented one-batch replay window — not a permanent
-        # JSONDecodeError that fails every subsequent micro-batch
-        return None
-
-
-def _write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
-    import json
-    import os
-
-    tmp = marker_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"txn_id": txn_id, "batch_id": batch_id}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())  # data before rename — no torn marker
-    os.replace(tmp, marker_path)  # atomic on POSIX
-
-
-def _marker_path(path: str, txn_id: str) -> str:
-    """The replay-marker file for one (index, logical stream) pair:
-    ``{path}__applied.{md5(txn_id)}``.  Keyed BY txn_id so a second
-    logical stream into the same index gets its OWN marker instead of
-    overwriting the first stream's replay protection (a single shared
-    slot silently destroyed stream A's high-water mark the moment
-    stream B committed a batch).  The FULL 128-bit digest is the
-    filename — the earlier 12-char truncation made reads safe (txn_id
-    is stored inside the file and re-checked) but left the WRITE path
-    exposed: on a filename collision each applied batch overwrote the
-    other stream's marker, destroying its high-water mark so its
-    replays double-appended.  At 128 bits a collision needs ~2^64
-    distinct txn_ids; the truncation bought nothing but that hazard."""
-    import hashlib
-
-    from feature_store_healthcare_spark.stores import local_path
-
-    digest = hashlib.md5(txn_id.encode()).hexdigest()
-    return f"{local_path(path)}__applied.{digest}"
-
-
-def _idempotent_foreach_batch(path: str, txn_id: str | None, apply_fn, refresh=None):
-    """Shared at-least-once replay guard for every stored-index
-    ``foreachBatch`` maintainer (postings, LSH band, IVF): wraps
-    ``apply_fn(batch_df)`` so a replayed (txn_id, batch_id) is skipped —
-    the txnAppId/txnVersion discipline Delta Lake documents for
-    idempotent foreachBatch writes, applied to the plain-parquet indexes
-    this container supports.
-
-    Contract (shared by all three maintainers):
-
-    - ``txn_id`` identifies the LOGICAL stream — batch ids are only
-      monotone within one checkpoint.  REQUIRED: with no scope, a second
-      logical stream would either skip fresh batches as replays (shared
-      marker) or double-append on replay (no marker).
-    - Markers are per-txn files (:func:`_marker_path`), so SERIAL streams
-      under distinct txn_ids each keep their own high-water mark.
-    - **Appends compose; compaction does not.**  Since round 9 the
-      postings stats are append-only per-batch rows folded at read time
-      (``retrieval._folded_postings_stats``), so two concurrent streams
-      with distinct txn_ids no longer lose each other's stats updates —
-      the old read-merge-overwrite hazard is gone.  What still requires
-      exclusivity is COMPACTION: ``stores.compact_bucketed`` swaps the
-      whole table, and an append interleaving with the swap window can
-      land in the dropped table.  Concurrency control across
-      append+compact is a table-format feature (Delta/Iceberg optimistic
-      commits); plain parquet has none, so pause maintenance streams
-      around compactions.
-    - The replay-skip path is one local file read, never a Spark job
-      (``isEmpty`` is checked only after the marker admits the batch).
-    - Residual window: a crash BETWEEN the append and the marker write
-      re-applies one batch — the same non-transactional two-file gap the
-      underlying appenders document; recovery is a rebuild.
-    - ``refresh``: called once after each APPLIED batch (never on the
-      skip path).  foreachBatch runs ``apply_fn`` under a CLONED
-      micro-batch session whose ``saveAsTable`` append invalidates only
-      the CLONE's table-relation cache — the driver session that built
-      the writer keeps serving its stale cached file listing, so a probe
-      issued there after the stream commits silently misses every
-      appended row (measured: catalog count frozen at the bootstrap
-      size while the raw parquet count grew).  The maintainers pass a
-      targeted ``spark.catalog.refreshTable`` on the ORIGINAL session
-      here; other sessions refresh themselves, exactly as with any
-      external append.
-    """
-    if txn_id is None:
-        raise ValueError(
-            "stored-index streaming maintenance requires txn_id (or a "
-            "checkpoint_dir passed through the calling function): the "
-            "idempotence marker is scoped to one logical stream, and a "
-            "constant default would silently skip a second stream's "
-            "batches as replays."
-        )
-    from feature_store_healthcare_spark.stores import local_path
-
-    marker = _marker_path(path, txn_id)
-    # migration: older markers lived at (a) the pre-round-8 un-suffixed
-    # path and (b) the round-8 12-char-truncated-digest path.  A stream
-    # restarting across either upgrade must still see its high-water mark
-    # there — otherwise the restart loses replay protection and the last
-    # applied batch double-appends, the exact hazard the renames were
-    # meant to close.  Both legacy reads are safe: txn_id is stored
-    # inside the file and re-checked, so a foreign stream's colliding
-    # marker is ignored.  New writes go to the full-digest path only.
-    import hashlib
-
-    legacy_paths = (
-        f"{local_path(path)}__applied."
-        f"{hashlib.md5(txn_id.encode()).hexdigest()[:12]}",
-        f"{local_path(path)}__applied",
-    )
-
-    def _last_applied() -> dict | None:
-        last = _read_batch_marker(marker)
-        if last is not None:
-            return last
-        for legacy in legacy_paths:
-            old = _read_batch_marker(legacy)
-            if old is not None and old["txn_id"] == txn_id:
-                return old
-        return None
-
-    def _fb(batch_df: DataFrame, batch_id: int) -> None:
-        last = _last_applied()
-        if (
-            last is not None
-            and last["txn_id"] == txn_id
-            and batch_id <= last["batch_id"]
-        ):
-            return  # at-least-once replay of an applied batch: skip
-        if batch_df.isEmpty():
-            return
-        apply_fn(batch_df)
-        _write_batch_marker(marker, txn_id, batch_id)
-        if refresh is not None:
-            refresh()
-
-    return _fb
+# Marker/lease/swap I/O lives in tableops — the transactional-table-format
+# seam (round-10 VERDICT #6): one module owns every marker and lease file,
+# and each operation documents its Delta/Iceberg equivalent.  The private
+# aliases keep this module's historical surface (tests and docstrings
+# reference them) while delegating all file I/O to the seam.
+from feature_store_healthcare_spark import tableops  # noqa: E402
+from feature_store_healthcare_spark.tableops import (  # noqa: E402
+    idempotent_commit as _idempotent_foreach_batch,
+    marker_path as _marker_path,
+    read_batch_marker as _read_batch_marker,
+    recover_state_swap as _recover_state_swap,
+    swap_state_dir as _swap_state_dir,
+    write_batch_marker as _write_batch_marker,
+)
 
 
 def _maintenance_writer(stream: DataFrame, fb, queryName: str, checkpoint_dir: str | None):
@@ -512,55 +379,6 @@ def streaming_ivf_maintenance(
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
-def _recover_state_swap(state_path: str) -> None:
-    """Crash recovery for :func:`_swap_state_dir`: a fold that died
-    between "move state aside" and "move tmp in" leaves ``state_path``
-    absent with the ``.old`` copy intact — restore it.  The interrupted
-    batch was never marked applied, so it re-folds on replay instead of
-    the state silently reinitializing from one batch (the failure the
-    old rmtree-then-move order had)."""
-    import os
-    import shutil
-
-    state = state_path.rstrip("/")
-    old = state + ".old"
-    if not os.path.exists(state) and os.path.exists(old):
-        shutil.move(old, state)
-
-
-def _swap_state_dir(
-    merged: DataFrame, state_path: str, marker: dict | None = None
-) -> None:
-    """Crash-safe replacement of a persistent state directory: write the
-    new state to ``.tmp`` (this executes the plan, so the old state is
-    fully read BEFORE anything moves), move the old state aside to
-    ``.old``, move ``.tmp`` in, then drop ``.old``.  Every crash window
-    leaves either the old state or the new one on disk — never nothing.
-    When ``marker`` is given ({txn_id, batch_id}), it is written INSIDE
-    the tmp directory (``_applied.json`` — underscore-prefixed, so parquet
-    readers ignore it) before the move: state content and replay
-    high-water mark then commit in the SAME atomic rename, closing the
-    double-fold window a separate marker file would leave between the
-    state swap and the marker write."""
-    import os
-    import shutil
-
-    state = state_path.rstrip("/")
-    tmp, old = state + ".tmp", state + ".old"
-    merged.write.mode("overwrite").parquet(tmp)
-    if marker is not None:
-        _write_batch_marker(
-            os.path.join(tmp, "_applied.json"), marker["txn_id"], marker["batch_id"]
-        )
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(state):
-        shutil.move(state, old)
-    shutil.move(tmp, state)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-
-
 def streaming_incremental_rollup(
     stream: DataFrame,
     state_path: str,
@@ -608,10 +426,15 @@ def streaming_incremental_rollup(
     # state_path only as the last resort for checkpoint-less test runs
     txn = txn_id or checkpoint_dir or state_path
 
+    def _merge(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        batch_states = maintenance.incremental_agg(batch_df, keys, value_col)
+        if existing is None:
+            return batch_states
+        return maintenance.merge_agg_states(existing, batch_states, keys)
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         _recover_state_swap(state_path)
         mark = os.path.join(state_path.rstrip("/"), "_applied.json")
         last = _read_batch_marker(mark)
@@ -621,13 +444,9 @@ def streaming_incremental_rollup(
             and batch_id <= last["batch_id"]
         ):
             return  # at-least-once replay of a folded batch: no double-add
-        batch_states = maintenance.incremental_agg(batch_df, keys, value_col)
-        if os.path.exists(state_path):
-            existing = spark.read.parquet(state_path)
-            merged = maintenance.merge_agg_states(existing, batch_states, keys)
-        else:
-            merged = batch_states
-        _swap_state_dir(merged, state_path, {"txn_id": txn, "batch_id": batch_id})
+        tableops.merge_fold(
+            batch_df, state_path, _merge, {"txn_id": txn, "batch_id": batch_id}
+        )
 
     return _maintenance_writer(stream, _fold, queryName, checkpoint_dir)
 
@@ -747,26 +566,15 @@ def streaming_cdc_apply(
     state I/O is O(total keys) on plain parquet — on Delta/Iceberg the
     same fold is one MERGE INTO touching only changed files).  The fold
     is replay-idempotent by argmax (re-folding an applied batch changes
-    nothing), and the swap is crash-safe (:func:`_swap_state_dir`)."""
-    import os
-
-    from feature_store_healthcare_spark.operators import cdc
-
+    nothing), and the swap is crash-safe (:func:`_swap_state_dir`).  The
+    fold itself IS ``tableops.upsert`` — the MERGE INTO boundary a
+    Delta/Iceberg deployment swaps out."""
     tiebreak = tiebreak or []
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        _recover_state_swap(state_path)
-        latest = cdc.latest_change(batch_df, keys, ts_col, tiebreak=tiebreak)
-        if os.path.exists(state_path):
-            existing = spark.read.parquet(state_path)
-            merged = existing.unionByName(latest.select(*existing.columns))
-            new_state = cdc.latest_change(merged, keys, ts_col, tiebreak=tiebreak)
-        else:
-            new_state = latest
-        _swap_state_dir(new_state, state_path)
+        tableops.upsert(batch_df, state_path, keys, ts_col, tiebreak=tiebreak)
 
     return _maintenance_writer(stream, _fold, queryName, checkpoint_dir)
 

@@ -1,0 +1,474 @@
+"""The transactional-table-format seam (round-10 VERDICT #6).
+
+This engine's persistent state — online latest tables, streaming rollup
+state, stored postings/band/IVF indexes — lives on PLAIN PARQUET
+directories because the container ships no ACID table format.  Every
+durability trick that implies (atomic-rename swaps, replay marker files,
+a flock compaction lease) is hand-rolled, correct on a local filesystem,
+and CONCEDED to be a table-format substitute: on Delta Lake or Iceberg
+each operation below is one native transactional call, and a deployment
+swaps the implementation here without touching any operator.
+
+This module owns ALL marker/lease/swap file I/O.  Operators and the
+streaming maintainers call the interface; nothing else in the package
+opens a marker or lease file.
+
+MERGE-shaped interface → table-format mapping:
+
+=====================  ====================================================
+this module            Delta Lake / Iceberg equivalent
+=====================  ====================================================
+:func:`upsert`         ``MERGE INTO state USING batch ON keys WHEN MATCHED
+                       AND batch newer THEN UPDATE WHEN NOT MATCHED THEN
+                       INSERT`` — one ACID commit; the ``ts_col`` +
+                       ``tiebreak`` argmax here is the MATCHED-newer guard.
+:func:`merge_fold`     an arbitrary read-modify-write committed as one
+                       transaction (Delta: ``txn.commit`` of the rewritten
+                       files; Iceberg: ``newOverwrite()``); used for
+                       aggregate-state folds that are not row-wise merges.
+:func:`append`         ``df.write.format("delta").mode("append")`` — blind
+                       ACID append, no swap/marker needed.  (Bucketed index
+                       appends go through ``stores.write_bucketed(mode=
+                       "append")``, the bucketed flavor of the same row.)
+:func:`compact`        ``OPTIMIZE table`` / Iceberg ``rewriteDataFiles`` —
+                       both take the format's own lock; the flock lease and
+                       the drop-and-rename catalog swap disappear.
+:func:`idempotent_commit`  Delta's documented ``txnAppId``/``txnVersion``
+                       foreachBatch discipline — the (txn_id, batch_id)
+                       marker file IS that pair on plain parquet.
+:func:`swap_state_dir` the commit primitive itself (atomic rename of a
+                       fully-written directory) — a table format's commit
+                       protocol replaces it outright.
+=====================  ====================================================
+
+Residual gaps a real table format closes (and plain parquet cannot):
+physically-simultaneous appends to one index (two writers interleaving
+files — serialized here by the txn-marker contract and operational
+discipline), append racing a compaction's swap window, and multi-table
+atomic commits.  These are documented at each call site; the seam exists
+so closing them is a swap of this module, not a rewrite of operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _local(path: str) -> str:
+    from feature_store_healthcare_spark.stores import local_path
+
+    return local_path(path)
+
+
+# ---------------------------------------------------------------------------
+# Replay markers (Delta: txnAppId/txnVersion)
+# ---------------------------------------------------------------------------
+
+
+def read_batch_marker(marker_path: str) -> dict | None:
+    if not os.path.exists(marker_path):
+        return None
+    try:
+        with open(marker_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        # a torn/empty marker (crash between replace's metadata commit and
+        # the data flush on a no-ordering filesystem) must mean "missing"
+        # — the documented one-batch replay window — not a permanent
+        # JSONDecodeError that fails every subsequent micro-batch
+        return None
+
+
+def write_batch_marker(marker_path: str, txn_id: str, batch_id: int) -> None:
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"txn_id": txn_id, "batch_id": batch_id}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # data before rename — no torn marker
+    os.replace(tmp, marker_path)  # atomic on POSIX
+
+
+def marker_path(path: str, txn_id: str) -> str:
+    """The replay-marker file for one (index, logical stream) pair:
+    ``{path}__applied.{md5(txn_id)}``.  Keyed BY txn_id so a second
+    logical stream into the same index gets its OWN marker instead of
+    overwriting the first stream's replay protection (a single shared
+    slot silently destroyed stream A's high-water mark the moment
+    stream B committed a batch).  The FULL 128-bit digest is the
+    filename — the earlier 12-char truncation made reads safe (txn_id
+    is stored inside the file and re-checked) but left the WRITE path
+    exposed: on a filename collision each applied batch overwrote the
+    other stream's marker, destroying its high-water mark so its
+    replays double-appended.  At 128 bits a collision needs ~2^64
+    distinct txn_ids; the truncation bought nothing but that hazard."""
+    digest = hashlib.md5(txn_id.encode()).hexdigest()
+    return f"{_local(path)}__applied.{digest}"
+
+
+def idempotent_commit(path: str, txn_id: str | None, apply_fn, refresh=None):
+    """Shared at-least-once replay guard for every stored-index
+    ``foreachBatch`` maintainer (postings, LSH band, IVF): wraps
+    ``apply_fn(batch_df)`` so a replayed (txn_id, batch_id) is skipped —
+    the txnAppId/txnVersion discipline Delta Lake documents for
+    idempotent foreachBatch writes, applied to the plain-parquet indexes
+    this container supports.
+
+    Contract (shared by all three maintainers):
+
+    - ``txn_id`` identifies the LOGICAL stream — batch ids are only
+      monotone within one checkpoint.  REQUIRED: with no scope, a second
+      logical stream would either skip fresh batches as replays (shared
+      marker) or double-append on replay (no marker).
+    - Markers are per-txn files (:func:`marker_path`), so SERIAL streams
+      under distinct txn_ids each keep their own high-water mark.
+    - **Appends compose; compaction does not.**  Since round 9 the
+      postings stats are append-only per-batch rows folded at read time
+      (``retrieval._folded_postings_stats``), so two concurrent streams
+      with distinct txn_ids no longer lose each other's stats updates —
+      the old read-merge-overwrite hazard is gone.  What still requires
+      exclusivity is COMPACTION: :func:`compact` swaps the whole table,
+      and an append interleaving with the swap window can land in the
+      dropped table.  Concurrency control across append+compact is a
+      table-format feature (Delta/Iceberg optimistic commits); plain
+      parquet has none, so pause maintenance streams around compactions.
+    - The replay-skip path is one local file read, never a Spark job
+      (``isEmpty`` is checked only after the marker admits the batch).
+    - Residual window: a crash BETWEEN the append and the marker write
+      re-applies one batch — the same non-transactional two-file gap the
+      underlying appenders document; recovery is a rebuild.
+    - ``refresh``: called once after each APPLIED batch (never on the
+      skip path).  foreachBatch runs ``apply_fn`` under a CLONED
+      micro-batch session whose ``saveAsTable`` append invalidates only
+      the CLONE's table-relation cache — the driver session that built
+      the writer keeps serving its stale cached file listing, so a probe
+      issued there after the stream commits silently misses every
+      appended row (measured: catalog count frozen at the bootstrap
+      size while the raw parquet count grew).  The maintainers pass a
+      targeted ``spark.catalog.refreshTable`` on the ORIGINAL session
+      here; other sessions refresh themselves, exactly as with any
+      external append.
+    """
+    if txn_id is None:
+        raise ValueError(
+            "stored-index streaming maintenance requires txn_id (or a "
+            "checkpoint_dir passed through the calling function): the "
+            "idempotence marker is scoped to one logical stream, and a "
+            "constant default would silently skip a second stream's "
+            "batches as replays."
+        )
+    marker = marker_path(path, txn_id)
+    # migration: older markers lived at (a) the pre-round-8 un-suffixed
+    # path and (b) the round-8 12-char-truncated-digest path.  A stream
+    # restarting across either upgrade must still see its high-water mark
+    # there — otherwise the restart loses replay protection and the last
+    # applied batch double-appends, the exact hazard the renames were
+    # meant to close.  Both legacy reads are safe: txn_id is stored
+    # inside the file and re-checked, so a foreign stream's colliding
+    # marker is ignored.  New writes go to the full-digest path only.
+    legacy_paths = (
+        f"{_local(path)}__applied."
+        f"{hashlib.md5(txn_id.encode()).hexdigest()[:12]}",
+        f"{_local(path)}__applied",
+    )
+
+    def _last_applied() -> dict | None:
+        last = read_batch_marker(marker)
+        if last is not None:
+            return last
+        for legacy in legacy_paths:
+            old = read_batch_marker(legacy)
+            if old is not None and old["txn_id"] == txn_id:
+                return old
+        return None
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        last = _last_applied()
+        if (
+            last is not None
+            and last["txn_id"] == txn_id
+            and batch_id <= last["batch_id"]
+        ):
+            return  # at-least-once replay of an applied batch: skip
+        if batch_df.isEmpty():
+            return
+        apply_fn(batch_df)
+        write_batch_marker(marker, txn_id, batch_id)
+        if refresh is not None:
+            refresh()
+
+    return _fb
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe state swap (the commit primitive a table format replaces)
+# ---------------------------------------------------------------------------
+
+
+def recover_state_swap(state_path: str) -> None:
+    """Crash recovery for :func:`swap_state_dir`: a fold that died
+    between "move state aside" and "move tmp in" leaves ``state_path``
+    absent with the ``.old`` copy intact — restore it.  The interrupted
+    batch was never marked applied, so it re-folds on replay instead of
+    the state silently reinitializing from one batch (the failure the
+    old rmtree-then-move order had)."""
+    state = state_path.rstrip("/")
+    old = state + ".old"
+    if not os.path.exists(state) and os.path.exists(old):
+        shutil.move(old, state)
+
+
+def swap_state_dir(
+    merged: DataFrame, state_path: str, marker: dict | None = None
+) -> None:
+    """Crash-safe replacement of a persistent state directory: write the
+    new state to ``.tmp`` (this executes the plan, so the old state is
+    fully read BEFORE anything moves), move the old state aside to
+    ``.old``, move ``.tmp`` in, then drop ``.old``.  Every crash window
+    leaves either the old state or the new one on disk — never nothing.
+    When ``marker`` is given ({txn_id, batch_id}), it is written INSIDE
+    the tmp directory (``_applied.json`` — underscore-prefixed, so parquet
+    readers ignore it) before the move: state content and replay
+    high-water mark then commit in the SAME atomic rename, closing the
+    double-fold window a separate marker file would leave between the
+    state swap and the marker write."""
+    state = state_path.rstrip("/")
+    tmp, old = state + ".tmp", state + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if marker is not None:
+        write_batch_marker(
+            os.path.join(tmp, "_applied.json"), marker["txn_id"], marker["batch_id"]
+        )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(state):
+        shutil.move(state, old)
+    shutil.move(tmp, state)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# Compaction lease (a table format's own commit lock replaces it)
+# ---------------------------------------------------------------------------
+
+
+class LeaseHeldError(RuntimeError):
+    """Another writer holds the compaction lease for this target."""
+
+
+#: leases THIS process holds: lease_path -> (flocked fd, owner).  The fd
+#: stays open for the compaction's duration — closing it is what releases
+#: the kernel lock, which is also what makes crash recovery automatic.
+_LEASE_FDS: dict[str, tuple[int, str]] = {}
+
+
+def acquire_compaction_lease(
+    target: str, owner: str | None = None, ttl_sec: float = 3600.0
+) -> tuple[str, str]:
+    """Claim the single-writer compaction lease for ``target`` (a table
+    location or index root).  Mutual exclusion is a kernel advisory lock
+    (``flock LOCK_EX | LOCK_NB``) on the marker file at
+    ``{target}.__compact_lease``, held for the compaction's duration: a
+    second live acquirer fails fast with :class:`LeaseHeldError`, and a
+    CRASHED holder's lock is dropped by the kernel the moment its process
+    dies, so takeover is automatic — no TTL heuristics and none of the
+    read-then-act races a marker-content protocol has (a racer could
+    watch a lease expire, then rename away the FRESH lease a competitor
+    re-created in the same window; or read the empty just-created file of
+    a live holder as "stale").  ``flock`` conflicts per open file
+    description, so two acquirers in one process exclude each other too.
+
+    The file's JSON payload ``{owner, acquired_at, ttl_sec}`` is
+    diagnostics for humans and error messages — the kernel lock is the
+    exclusion mechanism; ``ttl_sec`` is recorded but no longer drives
+    takeover.  Acquisition re-binds if the path was unlinked between open
+    and lock (a releasing holder removes the file), so a lock on a dead
+    inode is never returned.  Returns ``(lease_path, owner)`` for
+    :func:`release_compaction_lease`.
+
+    Scope notes: the lease serialises COMPACTORS against each other —
+    appenders and readers are already safe against a concurrent
+    compaction by the existing contracts (append targets the catalog
+    table; readers retry the swap window via ``stores.read_table``) and
+    do not take it.  ``flock`` is host-local advisory locking, exactly
+    the scope of this engine's local marker stores; compaction is
+    operator/driver-run maintenance, not executor-parallel work (on a
+    shared filesystem whose ``flock`` does not propagate, run compaction
+    from one coordinator — the same assumption the marker files already
+    make).
+    """
+    import fcntl
+    import uuid
+
+    lease = _local(target).rstrip(os.sep) + ".__compact_lease"
+    owner = owner or f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
+    for _ in range(8):
+        fd = os.open(lease, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            # held by someone else: build diagnostics, NEVER leak the fd
+            # (a flaky read while reporting must not turn a polling
+            # acquire loop into an fd leak)
+            try:
+                cur = json.loads(os.pread(fd, 4096, 0).decode() or "{}")
+            except (OSError, ValueError):
+                cur = {}
+            finally:
+                os.close(fd)
+            age = time.time() - float(cur.get("acquired_at") or 0.0)
+            raise LeaseHeldError(
+                f"compaction lease for {target!r} held by "
+                f"{cur.get('owner', '<unknown>')!r} (age {age:.0f}s)"
+            )
+        # We hold the lock from here on: any failure before the registry
+        # insert must close the fd (closing releases the lock), or the
+        # lease would be stuck held by this process with no release path.
+        try:
+            # Unlink-safe bind: if the path no longer names our inode
+            # (the previous holder released — removed the file — between
+            # our open and our flock), this lock is on a dead file; retry
+            # on the live path.  Exactly one of the racers that re-open
+            # will own the new inode's lock.
+            try:
+                bound = os.stat(lease).st_ino == os.fstat(fd).st_ino
+            except FileNotFoundError:
+                bound = False
+            if not bound:
+                os.close(fd)
+                continue
+            payload = json.dumps(
+                {"owner": owner, "acquired_at": time.time(), "ttl_sec": ttl_sec}
+            )
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, payload.encode(), 0)
+        except Exception:
+            os.close(fd)
+            raise
+        _LEASE_FDS[lease] = (fd, owner)
+        return lease, owner
+    raise LeaseHeldError(
+        f"compaction lease for {target!r}: lost the re-bind race 8 times "
+        "(concurrent release/acquire churn) — retry"
+    )
+
+
+def release_compaction_lease(lease: str, owner: str) -> None:
+    """Release a lease acquired by :func:`acquire_compaction_lease` in
+    THIS process.  A caller that never acquired (or names a different
+    owner) is a no-op — it cannot unlock, remove, or otherwise disturb a
+    holder's lease, because the kernel lock rides on the holder's own fd.
+    The marker file is removed before the fd closes; a racer that opened
+    the old inode re-binds onto the fresh path (see acquire).  The fd is
+    closed (= the lock freed) even if the marker removal fails — a
+    permissions/IO error must not leave the lease stuck held."""
+    held = _LEASE_FDS.pop(lease, None)  # atomic take: double-release is a no-op
+    if held is None:
+        return
+    if held[1] != owner:
+        _LEASE_FDS[lease] = held  # not yours: put it back untouched
+        return
+    try:
+        os.remove(lease)
+    except FileNotFoundError:
+        pass
+    finally:
+        os.close(held[0])
+
+
+# ---------------------------------------------------------------------------
+# The MERGE-shaped operations
+# ---------------------------------------------------------------------------
+
+
+def upsert(
+    batch: DataFrame,
+    state_path: str,
+    keys: Iterable[str],
+    ts_col: str,
+    tiebreak: Iterable[str] = (),
+    marker: dict | None = None,
+) -> None:
+    """Latest-wins upsert of ``batch`` into the parquet state table at
+    ``state_path`` — the plain-parquet stand-in for ``MERGE INTO state
+    USING batch ON keys WHEN MATCHED AND batch is newer (ts_col, then
+    tiebreak) THEN UPDATE WHEN NOT MATCHED THEN INSERT``, committed by
+    one crash-safe directory swap.
+
+    The batch is first reduced to its winning row per key (map-side
+    combinable argmax — shuffle scales with distinct keys per batch, not
+    rows), then merged against the existing state by the same argmax, so
+    re-applying an already-applied batch changes nothing
+    (replay-idempotent).  Tombstone retention and any op-column
+    semantics ride through untouched — this merges ROWS; what a row
+    means is the caller's contract (see ``streaming.pipeline.
+    streaming_cdc_apply``).  On plain parquet each call rewrites the
+    full state (O(total keys) I/O); a table format's MERGE touches only
+    the changed files."""
+    from feature_store_healthcare_spark.operators import cdc
+
+    keys, tiebreak = list(keys), list(tiebreak)
+    spark = batch.sparkSession
+    recover_state_swap(state_path)
+    latest = cdc.latest_change(batch, keys, ts_col, tiebreak=tiebreak)
+    if os.path.exists(state_path.rstrip("/")):
+        existing = spark.read.parquet(state_path)
+        merged = existing.unionByName(latest.select(*existing.columns))
+        new_state = cdc.latest_change(merged, keys, ts_col, tiebreak=tiebreak)
+    else:
+        new_state = latest
+    swap_state_dir(new_state, state_path, marker)
+
+
+def merge_fold(
+    batch: DataFrame,
+    state_path: str,
+    fold_fn,
+    marker: dict | None = None,
+) -> None:
+    """Generic transactional read-modify-write of a parquet state table:
+    ``fold_fn(existing: DataFrame | None, batch) -> new state`` runs with
+    the current state (None on first commit), and the result replaces the
+    state in one crash-safe swap — on Delta/Iceberg this is an arbitrary
+    transaction commit.  Used for folds that are not row-wise merges
+    (mergeable aggregate states, count sketches)."""
+    spark = batch.sparkSession
+    recover_state_swap(state_path)
+    existing = (
+        spark.read.parquet(state_path)
+        if os.path.exists(state_path.rstrip("/"))
+        else None
+    )
+    swap_state_dir(fold_fn(existing, batch), state_path, marker)
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Blind append to a parquet directory — Delta/Iceberg: an ACID
+    ``mode("append")`` commit.  No swap or marker: parquet file writes
+    are add-only and readers list the directory per query.  For BUCKETED
+    index tables use ``stores.write_bucketed(mode="append")`` (same row
+    of the mapping table; it must match the existing catalog layout)."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def compact(spark: SparkSession, table: str, new_path: str) -> str:
+    """One-file-per-bucket rewrite of an append-grown bucketed table —
+    Delta ``OPTIMIZE`` / Iceberg ``rewriteDataFiles``, which also make
+    the flock lease and the drop-and-rename swap disappear (the format's
+    commit protocol serializes writers).  Delegates to
+    ``stores.compact_bucketed``, which acquires the lease itself; see it
+    for the swap-window and recovery contract.  Returns the OLD location
+    for the caller to delete once no reader needs it."""
+    from feature_store_healthcare_spark.stores import compact_bucketed
+
+    return compact_bucketed(spark, table, new_path)
