@@ -311,11 +311,17 @@ def main() -> None:
         return min(ordered[len(ordered) // 2], _CAL_IDLE_SEC)
 
     def contaminated() -> set[str]:
+        # EITHER bracket sample over the cut flags the segment: a
+        # measured run had calibration 1.6 s at start (host load) with a
+        # clean after-sample, and the first segment's queries at 3-4×
+        # their floors — a min-of-bracket rule missed it.  The 2× ratio
+        # keeps idle false-positives out (warm sentinel spread measured
+        # 0.13-0.45 s against a ≥0.6 s cut).
         cut = _CONTAM_RATIO * cal_base()
         return {
             name
             for name, j in seg_of.items()
-            if min(cal[j], cal[min(j + 1, len(cal) - 1)]) > cut
+            if max(cal[j], cal[min(j + 1, len(cal) - 1)]) > cut
         }
 
     fnmap = dict(todo)
