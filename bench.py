@@ -110,6 +110,9 @@ HEADLINE = [
     "logreg_weak_label_fit",
     "logreg_quality_filter",
     "source_mix_plan",
+    # round-11: DSIR importance weights (classifier-free target-domain
+    # curation — one corpus shuffle + broadcast distributions)
+    "dsir_importance_resample",
 ]
 
 

@@ -426,3 +426,92 @@ def source_mix_plan(
             6,
         ).alias("epochs"),
     )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    prefix_chars: int = 2,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every document by
+    how much more likely its hashed bag-of-words is under the TARGET
+    distribution (the ``is_target`` subset — a trusted high-quality
+    domain) than under the RAW corpus distribution.  Selecting/resampling
+    by this weight steers a web-scale corpus toward the target domain
+    without training a classifier.
+
+    Both distributions are add-``alpha``-smoothed multinomials over the
+    ``16^prefix_chars`` feature-hashed dimensions (the same md5-prefix
+    trick as :func:`~feature_store_healthcare_spark.operators.text.
+    hashed_tf` — vocabulary-free, fixed width at any corpus size, and the
+    hex dim label reproduces in any engine).  The per-document weight is
+    the LENGTH-NORMALIZED mean log importance ratio
+    ``(1/n_tokens)·Σ_dim tf·(ln p_target(dim) − ln p_raw(dim))`` so long
+    documents do not dominate selection, rounded to ``round_to`` for
+    engine-reproducible thresholding.
+
+    Plan shape (100 TB): the per-dim distribution pass needs NO per-doc
+    grouping — BOTH smoothed multinomials come from one direct
+    ``groupBy(dim)`` over the token stream (map-side partial aggregation
+    ⇒ ≤``16^prefix_chars`` partial rows per task, the target flag rides
+    as a conditional sum), materialized at ≤``16^prefix_chars`` rows
+    with an eager localCheckpoint so the totals and the log-ratio table
+    read those rows instead of re-deriving the corpus aggregate (the
+    same duplicate-lineage guard as :func:`source_mix_plan`).  The
+    per-doc side is the ONLY corpus-sized shuffle: (doc, dim) tf →
+    broadcast join with the ≤256-row log-ratio table → one fold on the
+    uniform doc key.  Two tokenize passes, one corpus shuffle, no
+    collect, no UDF.  The RESAMPLING step composes with the existing
+    deterministic samplers: feed ``exp(dsir_logratio)`` to
+    :func:`weighted_sample` (Gumbel-top-k without replacement) or
+    threshold at 0 (doc more target-like than raw-like).
+
+    Output: (``id_col``, n_tokens, dsir_logratio).
+    """
+    from feature_store_healthcare_spark.operators.dedup import normalize_text
+
+    n_dims = 16**prefix_chars
+    toks = docs.select(
+        F.col(id_col),
+        is_target.cast("long").alias("__tgt"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.length("__tok") >= 1)
+    dim = F.substring(F.md5("__tok"), 1, prefix_chars).alias("dim")
+    dist = (
+        toks.groupBy(dim)
+        .agg(F.count(F.lit(1)).alias("r_ct"), F.sum("__tgt").alias("t_ct"))
+        .localCheckpoint(eager=True)  # ≤16^prefix_chars rows
+    )
+    tf = toks.groupBy(id_col, dim).agg(F.count(F.lit(1)).alias("tf"))
+    tots = dist.agg(
+        F.sum("r_ct").alias("r_tot"), F.sum("t_ct").alias("t_tot")
+    )
+    a, aD = float(alpha), float(alpha) * n_dims
+    lr = (
+        dist.crossJoin(F.broadcast(tots))
+        .select(
+            "dim",
+            (
+                F.log((F.col("t_ct") + F.lit(a)) / (F.col("t_tot") + F.lit(aD)))
+                - F.log((F.col("r_ct") + F.lit(a)) / (F.col("r_tot") + F.lit(aD)))
+            ).alias("logratio"),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(lr), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logratio")).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("__s") / F.col("n_tokens"), round_to).alias("dsir_logratio"),
+    )

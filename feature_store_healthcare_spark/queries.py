@@ -5640,6 +5640,72 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_resample",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, substr(md5(tok), 1, 2) AS dim, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST({_TOKENS_SQL}) AS tok FROM documents)
+      WHERE length(tok) >= 1
+      GROUP BY doc_id, substr(md5(tok), 1, 2)
+    ),
+    tfl AS (
+      SELECT tf.doc_id, tf.dim, tf.tf, (d.lang = 'en') AS tgt
+      FROM tf JOIN documents d USING (doc_id)
+    ),
+    dist AS (
+      SELECT dim, CAST(SUM(tf) AS BIGINT) AS r_ct,
+             CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS t_ct
+      FROM tfl GROUP BY dim
+    ),
+    tot AS (
+      SELECT CAST(SUM(r_ct) AS BIGINT) AS r_tot,
+             CAST(SUM(t_ct) AS BIGINT) AS t_tot
+      FROM dist
+    ),
+    lr AS (
+      SELECT dim,
+             ln((t_ct + 0.5) / (t_tot + 128.0))
+           - ln((r_ct + 0.5) / (r_tot + 128.0)) AS logratio
+      FROM dist CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             SUM(tf.tf * lr.logratio) AS s
+      FROM tf JOIN lr USING (dim) GROUP BY tf.doc_id
+    )
+    SELECT doc.doc_id, dd.lang, dd.source, doc.n_tokens,
+           ROUND(s / n_tokens, 6) AS dsir_logratio,
+           ROUND(s / n_tokens, 6) > 0 AS selected
+    FROM doc JOIN documents dd USING (doc_id)
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ DSIR importance weights (sampling.dsir_logratio_weights — Xie et
+    al. 2023): every document scored by the length-normalized log ratio of
+    its hashed bag-of-words likelihood under the TARGET distribution
+    (lang='en', the trusted-domain stand-in) vs the RAW corpus, both
+    add-0.5-smoothed multinomials over the 256 md5-hashed dims shared
+    with `hashed_tf_vectors`.  ``selected`` thresholds at 0 (more
+    target-like than raw-like); resampling WITHOUT replacement composes
+    with `weighted_doc_sample`'s Gumbel-top-k on exp(weight).  Two
+    corpus-sized shuffles ((doc,dim) tf + the per-doc fold); both
+    distribution tables are ≤256 rows built map-side and broadcast
+    back — the classifier-free curation lever at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = sampling.dsir_logratio_weights(
+        docs, "doc_id", "text", is_target=F.col("lang") == "en"
+    )
+    return w.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "dsir_logratio",
+        (F.col("dsir_logratio") > 0).alias("selected"),
+    )
+
+
+@query(
     "inverse_value_lookup",
     """
     WITH latest AS (

@@ -1473,6 +1473,47 @@ def test_source_mix_plan_single_corpus_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row budget, built broadcast
 
 
+def test_dsir_logratio_weights_separates_target_domain(spark):
+    """DSIR weights (sampling.dsir_logratio_weights): documents written in
+    the target subset's vocabulary must outscore documents from a
+    disjoint vocabulary, weights are length-normalized (a doc repeated
+    2x keeps its weight), and the broadcast distribution tables keep the
+    plan to exactly two corpus-sized exchanges."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    rows = [
+        (0, "alpha beta gamma alpha", 1),
+        (1, "beta alpha beta gamma", 1),
+        (2, "delta epsilon zeta zeta", 0),
+        (3, "epsilon delta zeta delta", 0),
+        (4, "alpha beta gamma beta", 0),  # raw doc in target vocabulary
+        # doc 5 = doc 0's text twice: same mean log ratio per token
+        (5, "alpha beta gamma alpha alpha beta gamma alpha", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    w = sampling.dsir_logratio_weights(
+        docs, "doc_id", "text", is_target=F.col("tgt") == 1
+    )
+    got = {r.doc_id: r for r in w.collect()}
+    assert len(got) == 6 and got[0].n_tokens == 4 and got[5].n_tokens == 8
+    # target-vocabulary docs (0,1,4,5) all beat disjoint-vocab docs (2,3)
+    assert min(got[i].dsir_logratio for i in (0, 1, 4, 5)) > max(
+        got[i].dsir_logratio for i in (2, 3)
+    )
+    # (no sign assertion: with 256 smoothed dims and a 24-token corpus the
+    # add-0.5 smoothing mass dominates raw counts and shifts every weight
+    # negative — the ORDERING above is the scale-independent contract)
+    # length normalization: doubling a doc leaves its weight unchanged
+    assert abs(got[5].dsir_logratio - got[0].dsir_logratio) <= 1e-6
+    # plan: tf shuffle + per-doc fold only; distributions broadcast back
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    corpus_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert corpus_exchanges <= 4, plan[:2000]  # 2 corpus + <=2 tiny dim aggs
+    assert "BroadcastExchange" in plan  # lr table broadcasts to the fold
+
+
 def test_bpe_encode_rejects_nonpositive_rules_per_pass(spark):
     # rules_per_pass=0 used to silently apply NO merge rules (char-level
     # tokens, inflated fertility); it must fail loudly instead
