@@ -122,6 +122,10 @@ REHEARSAL = [
     "logreg_weak_label_fit",
     "logreg_quality_filter",
     "source_mix_plan",
+    # round-11: DSIR importance weights — the ×20 ratio should track the
+    # two tokenize passes + one (doc,dim) shuffle; the distribution
+    # tables stay ≤256 rows at any scale
+    "dsir_importance_resample",
 ]
 
 #: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
