@@ -111,8 +111,11 @@ HEADLINE = [
     "logreg_quality_filter",
     "source_mix_plan",
     # round-11: DSIR importance weights (classifier-free target-domain
-    # curation — one corpus shuffle + broadcast distributions)
+    # curation — one corpus shuffle + broadcast distributions) and its
+    # stored-distribution incremental twin (first timed run pays the
+    # build+append; min-of-N reports the amortized delta-only score)
     "dsir_importance_resample",
+    "dsir_incremental_stored",
 ]
 
 

@@ -515,3 +515,121 @@ def dsir_logratio_weights(
         "n_tokens",
         F.round(F.col("__s") / F.col("n_tokens"), round_to).alias("dsir_logratio"),
     )
+
+
+def _dsir_dim_counts(
+    docs: DataFrame, text_col: str, is_target: Column, prefix_chars: int
+) -> DataFrame:
+    """Per-dim token counts (dim, r_ct, t_ct) — the sufficient statistics
+    of both DSIR multinomials, from one direct groupBy(dim) token pass
+    (map-side partials ⇒ ≤16^prefix_chars partial rows per task).
+    Integer counts fold EXACTLY under addition, which is what makes the
+    stored form (:func:`append_dsir_dist` + read-time sum) bit-identical
+    to a single-pass recompute."""
+    from feature_store_healthcare_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        is_target.cast("long").alias("__tgt"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.length("__tok") >= 1)
+    return toks.groupBy(
+        F.substring(F.md5("__tok"), 1, prefix_chars).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("r_ct"), F.sum("__tgt").alias("t_ct"))
+
+
+def build_dsir_dist(
+    docs: DataFrame,
+    text_col: str,
+    is_target: Column,
+    path: str,
+    prefix_chars: int = 2,
+) -> None:
+    """Persist the DSIR distribution statistics for a corpus — the stored
+    half of the incremental curation loop.  The table is APPEND-ONLY
+    per-batch count rows (like the postings stats): growing the corpus is
+    :func:`append_dsir_dist` (one delta-sized pass, O(|delta|)), and the
+    read-time fold in :func:`dsir_score_from_dist` sums per dim — exact,
+    because the statistics are integers.  Delta/Iceberg mapping: a plain
+    ACID append (tableops.append row of the mapping table)."""
+    _dsir_dim_counts(docs, text_col, is_target, prefix_chars).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_dsir_dist(
+    delta: DataFrame,
+    text_col: str,
+    is_target: Column,
+    path: str,
+    prefix_chars: int = 2,
+) -> None:
+    """Fold a new document batch into the stored DSIR distributions:
+    one pass over the DELTA only; the corpus is never re-read."""
+    from feature_store_healthcare_spark import tableops
+
+    tableops.append(_dsir_dim_counts(delta, text_col, is_target, prefix_chars), path)
+
+
+def dsir_score_from_dist(
+    delta_docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    prefix_chars: int = 2,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score a document batch against STORED DSIR distributions — the
+    steady-state incremental form: daily cost is one pass over the delta
+    (tokenize + (doc, dim) tf + the per-doc fold) plus a ≤256·batches-row
+    distribution read; the corpus text is never touched.  Bit-identical
+    to :func:`dsir_logratio_weights` over the full corpus when the stored
+    table holds the same documents' counts (integer fold — oracle-pinned
+    by the `dsir_incremental_stored` catalog entry).
+
+    Score AFTER :func:`append_dsir_dist` of the same batch to reproduce
+    the single-pass semantics; a dim the stored table has never seen
+    (possible when scoring without appending) falls back to the exact
+    zero-count smoothed log ratio ``ln(r_tot+αD) − ln(t_tot+αD)`` instead
+    of silently dropping the term."""
+    spark = delta_docs.sparkSession
+    n_dims = 16**prefix_chars
+    a, aD = float(alpha), float(alpha) * n_dims
+    dist = (
+        spark.read.parquet(path)
+        .groupBy("dim")
+        .agg(F.sum("r_ct").alias("r_ct"), F.sum("t_ct").alias("t_ct"))
+        .localCheckpoint(eager=True)  # ≤16^prefix_chars rows
+    )
+    tots = dist.agg(F.sum("r_ct").alias("r_tot"), F.sum("t_ct").alias("t_tot"))
+    lr = dist.crossJoin(F.broadcast(tots)).select(
+        "dim",
+        (
+            F.log((F.col("t_ct") + F.lit(a)) / (F.col("t_tot") + F.lit(aD)))
+            - F.log((F.col("r_ct") + F.lit(a)) / (F.col("r_tot") + F.lit(aD)))
+        ).alias("logratio"),
+    )
+    from feature_store_healthcare_spark.operators.dedup import normalize_text
+
+    toks = delta_docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    ).where(F.length("__tok") >= 1)
+    tf = toks.groupBy(
+        id_col, F.substring(F.md5("__tok"), 1, prefix_chars).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    unseen = F.log(F.col("r_tot") + F.lit(aD)) - F.log(F.col("t_tot") + F.lit(aD))
+    per_doc = (
+        tf.join(F.broadcast(lr), "dim", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.coalesce(F.col("logratio"), unseen)).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("__s") / F.col("n_tokens"), round_to).alias("dsir_logratio"),
+    )

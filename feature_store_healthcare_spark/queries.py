@@ -5639,10 +5639,13 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dsir_importance_resample",
-    f"""
-    WITH tf AS (
+#: shared DSIR oracle prefix: hashed per-(doc, dim) tf over the FULL
+#: corpus, per-dim distribution statistics (target = lang 'en'), totals
+#: and the add-0.5-smoothed per-dim log importance ratio (αD = 0.5·256 =
+#: 128).  Both the single-pass entry and the stored-incremental twin
+#: score against these same full-corpus distributions — the twin just
+#: restricts the scored rows to the delta.
+_DSIR_CTES = f"""tf AS (
       SELECT doc_id, substr(md5(tok), 1, 2) AS dim, COUNT(*) AS tf
       FROM (SELECT doc_id, UNNEST({_TOKENS_SQL}) AS tok FROM documents)
       WHERE length(tok) >= 1
@@ -5667,7 +5670,13 @@ def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln((t_ct + 0.5) / (t_tot + 128.0))
            - ln((r_ct + 0.5) / (r_tot + 128.0)) AS logratio
       FROM dist CROSS JOIN tot
-    ),
+    )"""
+
+
+@query(
+    "dsir_importance_resample",
+    f"""
+    WITH {_DSIR_CTES},
     doc AS (
       SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
              SUM(tf.tf * lr.logratio) AS s
@@ -5703,6 +5712,66 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_logratio",
         (F.col("dsir_logratio") > 0).alias("selected"),
     )
+
+
+_STORED_DSIR_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _stored_dsir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-session stored DSIR distribution table: corpus
+    counts (doc_id % 5 != 0) written, the delta batch's counts APPENDED
+    — so the folded statistics equal a single full-corpus pass exactly
+    (integer counts).  Same session/overwrite contract as
+    :func:`_stored_index`."""
+    from feature_store_healthcare_spark.stores import local_path
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STORED_DSIR_MEMO:
+        name = f"fshs_dsirdist_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
+        path = os.path.join(warehouse, name)
+        docs = load_table(spark, sf_dir, "documents")
+        tgt = F.col("lang") == "en"
+        sampling.build_dsir_dist(
+            docs.where(F.col("doc_id") % 5 != 0), "text", tgt, path
+        )
+        sampling.append_dsir_dist(
+            docs.where(F.col("doc_id") % 5 == 0), "text", tgt, path
+        )
+        _STORED_DSIR_MEMO[key] = path
+    return _STORED_DSIR_MEMO[key]
+
+
+@query(
+    "dsir_incremental_stored",
+    f"""
+    WITH {_DSIR_CTES},
+    doc AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             SUM(tf.tf * lr.logratio) AS s
+      FROM tf JOIN lr USING (dim)
+      WHERE tf.doc_id % 5 = 0
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens, ROUND(s / n_tokens, 6) AS dsir_logratio
+    FROM doc
+    """,
+)
+def dsir_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ the STEADY-STATE incremental DSIR form: the distribution
+    statistics live as a stored append-only table (sampling.
+    build_dsir_dist / append_dsir_dist — integer per-batch count rows,
+    folded exactly at read time like the postings stats), and the daily
+    batch is scored by sampling.dsir_score_from_dist — one pass over the
+    DELTA plus a ≤256·batches-row distribution read; the corpus text is
+    never re-read.  The oracle computes the distributions over the FULL
+    corpus in one pass and scores the delta, so the hash match proves
+    build→append→fold→score ≡ the single-pass recompute — the same
+    verification recipe as `dedup_incremental_stored_bands`."""
+    path = _stored_dsir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    return sampling.dsir_score_from_dist(delta, path, "doc_id", "text")
 
 
 @query(

@@ -1514,6 +1514,53 @@ def test_dsir_logratio_weights_separates_target_domain(spark):
     assert "BroadcastExchange" in plan  # lr table broadcasts to the fold
 
 
+def test_dsir_stored_dist_matches_single_pass_and_handles_unseen(spark, tmp_path):
+    """build_dsir_dist + append_dsir_dist + dsir_score_from_dist is
+    bit-identical to the single-pass dsir_logratio_weights over the same
+    corpus (integer statistics fold exactly); scoring WITHOUT appending a
+    batch whose token dim the stored table never saw uses the exact
+    zero-count smoothed fallback instead of dropping the term."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    rows = [
+        (0, "alpha beta gamma alpha", 1),
+        (1, "beta alpha beta gamma", 1),
+        (2, "delta epsilon zeta zeta", 0),
+        (3, "epsilon delta zeta delta", 0),
+        (4, "alpha beta gamma beta", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    tgt = F.col("tgt") == 1
+    path = str(tmp_path / "dsir_dist")
+    corpus, delta = docs.where(F.col("doc_id") < 3), docs.where(F.col("doc_id") >= 3)
+    sampling.build_dsir_dist(corpus, "text", tgt, path)
+    sampling.append_dsir_dist(delta, "text", tgt, path)
+    stored = {
+        r.doc_id: r
+        for r in sampling.dsir_score_from_dist(
+            delta, path, "doc_id", "text"
+        ).collect()
+    }
+    live = {
+        r.doc_id: r
+        for r in sampling.dsir_logratio_weights(docs, "doc_id", "text", tgt)
+        .where(F.col("doc_id") >= 3)
+        .collect()
+    }
+    assert {k: (v.n_tokens, v.dsir_logratio) for k, v in stored.items()} == {
+        k: (v.n_tokens, v.dsir_logratio) for k, v in live.items()
+    }
+    # unseen-dim fallback: a batch with a token the table never saw still
+    # counts every token and yields a finite weight
+    import math
+
+    fresh = spark.createDataFrame(
+        [(9, "omicron omicron upsilon")], "doc_id long, text string"
+    )
+    got = sampling.dsir_score_from_dist(fresh, path, "doc_id", "text").collect()
+    assert got[0].n_tokens == 3 and math.isfinite(got[0].dsir_logratio)
+
+
 def test_bpe_encode_rejects_nonpositive_rules_per_pass(spark):
     # rules_per_pass=0 used to silently apply NO merge rules (char-level
     # tokens, inflated fertility); it must fail loudly instead
