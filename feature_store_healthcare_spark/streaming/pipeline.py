@@ -379,6 +379,44 @@ def streaming_ivf_maintenance(
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
+def streaming_dsir_dist_maintenance(
+    stream: DataFrame,
+    path: str,
+    text_col: str,
+    is_target,
+    prefix_chars: int = 2,
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "dsir_dist_maintenance",
+):
+    """Streaming half of the stored DSIR-distribution lifecycle
+    (round-11): each micro-batch of new documents folds its per-dim
+    token counts into the append-only distribution table through
+    ``sampling.append_dsir_dist`` — one delta-sized pass per batch, the
+    corpus never re-read, and ``sampling.dsir_score_from_dist`` reads
+    the folded statistics (integer counts sum exactly, so the stored
+    distributions equal a single-pass recompute at any batch history —
+    the catalog's `dsir_incremental_stored` oracle proves it).
+
+    An additive count append double-counts on blind replay, so the same
+    (txn_id, batch_id) marker discipline guards it
+    (:func:`_idempotent_foreach_batch`).  Bootstrap with
+    ``sampling.build_dsir_dist`` (OVERWRITE) before starting the stream;
+    ``is_target`` must be the same predicate the bootstrap used — the
+    statistics are meaningless if batches disagree about the target
+    domain.  No ``refresh`` hook: the table is read by PATH."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: sampling.append_dsir_dist(
+            batch_df, text_col, is_target, path, prefix_chars=prefix_chars
+        ),
+    )
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
+
+
 def streaming_incremental_rollup(
     stream: DataFrame,
     state_path: str,

@@ -592,6 +592,63 @@ def test_streaming_postings_maintenance_matches_batch_build(spark, tmp_path):
         for t in ("t_stream", "t_stream__stats", "t_full_s", "t_full_s__stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+def test_streaming_dsir_dist_maintenance_matches_batch_build(spark, tmp_path):
+    """The streaming DSIR-distribution loop (bootstrap build_dsir_dist →
+    per-micro-batch append_dsir_dist via foreachBatch) yields scores
+    bit-identical to the single-pass dsir_logratio_weights over the full
+    corpus, and the (txn_id, batch_id) marker makes replays idempotent
+    (an additive count append would otherwise double-count)."""
+    from feature_store_healthcare_spark.operators import sampling
+
+    base = [(0, "alpha beta gamma alpha", "en"), (1, "beta alpha beta", "en")]
+    b1 = [(2, "delta epsilon zeta", "de"), (3, "epsilon delta zeta", "de")]
+    b2 = [(4, "alpha beta gamma beta", "de")]
+    d = tmp_path / "dsir_docs_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t, "lang": lg})
+                for i, t, lg in rows
+            )
+        )
+    schema = "doc_id int, text string, lang string"
+    path = str(tmp_path / "dsir_dist_s")
+    tgt = F.col("lang") == "en"
+    sampling.build_dsir_dist(
+        spark.createDataFrame(base, schema), "text", tgt, path
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    writer = sp.streaming_dsir_dist_maintenance(
+        stream, path, "text", tgt, txn_id="dsir1"
+    )
+    _run_available_now(writer, tmp_path, "dsir_s")
+
+    full = spark.createDataFrame(base + b1 + b2, schema)
+    streamed = sampling.dsir_score_from_dist(full, path, "doc_id", "text")
+    live = sampling.dsir_logratio_weights(full, "doc_id", "text", tgt)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+
+    # replay with the same txn_id from a fresh checkpoint: every batch
+    # skipped, the folded statistics unchanged
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    writer2 = sp.streaming_dsir_dist_maintenance(
+        stream, path, "text", tgt, txn_id="dsir1"
+    )
+    _run_available_now(writer2, tmp_path, "dsir_s_replay")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # marker scope is required, exactly as for the other index maintainers
+    with pytest.raises(ValueError, match="txn_id"):
+        sp.streaming_dsir_dist_maintenance(stream, path, "text", tgt)
+
+
 def test_streaming_band_maintenance_matches_batch_build(spark, tmp_path):
     """The streaming LSH band-index loop (bootstrap build_band_index →
     per-micro-batch append_band_index via foreachBatch) produces an index

@@ -126,6 +126,10 @@ REHEARSAL = [
     # two tokenize passes + one (doc,dim) shuffle; the distribution
     # tables stay ≤256 rows at any scale
     "dsir_importance_resample",
+    # ... and the stored-distribution incremental twin: the probe is a
+    # delta-sized pass + a ≤256·batches-row distribution read (index
+    # bootstrap amortized like the other stored entries)
+    "dsir_incremental_stored",
 ]
 
 #: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
@@ -630,6 +634,7 @@ AMORTIZED = {
     "embedding_ivf_stored",
     "hybrid_rrf_stored",
     "hybrid_rrf_ivf_stored",
+    "dsir_incremental_stored",
     # NOT amortized: dedup_incremental_stored and band_index_append.
     # Their DISK index bootstrap is amortized anyway (tableExists check,
     # unaffected by clearCache), but their dominant cost — the 200k-doc
