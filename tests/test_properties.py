@@ -701,3 +701,68 @@ def test_source_mix_plan_invariants(spark, toks, fracs, max_epochs):
         # proportionality: alloc/frac == budget (to output rounding)
         assert r.alloc_tokens == pytest.approx(budget * r.target_frac, abs=0.01)
     assert any(abs(r.epochs - max_epochs) < 1e-6 for r in rows)
+
+
+#: random tiny corpora for the DSIR invariants: words from a 6-token
+#: vocabulary (dim collisions likely), 2-6 docs, random target flags
+_dsir_corpus = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        ), min_size=1, max_size=6),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(corpus=_dsir_corpus, nparts=st.sampled_from([1, 3, 7]))
+@SETTINGS
+def test_dsir_weights_invariants(spark, corpus, nparts, tmp_path_factory):
+    """DSIR invariants against randomized corpora: (1) weights are
+    partitioning-invariant (the 6-decimal rounding absorbs float-sum
+    order); (2) the stored build→append→fold→score path is bit-identical
+    to the single-pass form on the same rows (integer statistics fold
+    exactly); (3) every doc gets a finite weight and its exact token
+    count."""
+    import math
+
+    from feature_store_healthcare_spark.operators import sampling
+
+    rows = [
+        (i, " ".join(words), bool(tgt)) for i, (words, tgt) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    tgt = F.col("tgt")
+    base = {
+        r.doc_id: (r.n_tokens, r.dsir_logratio)
+        for r in sampling.dsir_logratio_weights(docs, "doc_id", "text", tgt).collect()
+    }
+    assert set(base) == {r[0] for r in rows}
+    for did, (n_tok, w) in base.items():
+        assert n_tok == len(rows[did][1].split())
+        assert math.isfinite(w)
+    repart = {
+        r.doc_id: (r.n_tokens, r.dsir_logratio)
+        for r in sampling.dsir_logratio_weights(
+            docs.repartition(nparts), "doc_id", "text", tgt
+        ).collect()
+    }
+    assert repart == base
+    # stored twin: split the corpus arbitrarily, build + append, score all
+    path = str(tmp_path_factory.mktemp("dsir_prop") / "dist")
+    cut = len(rows) // 2
+    sampling.build_dsir_dist(
+        docs.where(F.col("doc_id") < cut), "text", tgt, path
+    )
+    sampling.append_dsir_dist(
+        docs.where(F.col("doc_id") >= cut), "text", tgt, path
+    )
+    stored = {
+        r.doc_id: (r.n_tokens, r.dsir_logratio)
+        for r in sampling.dsir_score_from_dist(
+            docs, path, "doc_id", "text"
+        ).collect()
+    }
+    assert stored == base
