@@ -187,6 +187,11 @@ DEEPDOCS = [
     # (collect_list over word occurrences) shuffles corpus tokens; this
     # row is that claim measured
     "bpe_encode_fertility",
+    # round-11: DSIR at 1M docs — the live form's corpus shuffle is the
+    # (doc,dim) tf table (linear in docs); the stored form's probe stays
+    # delta-sized against the folded ≤256-row distributions
+    "dsir_importance_resample",
+    "dsir_incremental_stored",
     # NOT phi_scrub_notes: its notes are synthesized from the customer
     # table, which this documents-only blow-up does not write
 ]
