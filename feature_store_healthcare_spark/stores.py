@@ -73,10 +73,12 @@ class LatestStore:
         return os.path.join(self.path, "_CURRENT")
 
     def _current_version(self) -> int | None:
+        from feature_store_healthcare_spark.tableops import read_pointer
+
+        cur = read_pointer(self._pointer)
         try:
-            with open(self._pointer) as fh:
-                return int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
+            return int(cur) if cur is not None else None
+        except ValueError:
             return None
 
     def _snapshot_dir(self, version: int) -> str:
@@ -121,10 +123,9 @@ class LatestStore:
         old = self._current_version()
         new = (old or 0) + 1
         latest.write.mode("overwrite").parquet(self._snapshot_dir(new))
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(new))
-        os.replace(tmp, self._pointer)  # atomic pointer flip
+        from feature_store_healthcare_spark.tableops import flip_pointer
+
+        flip_pointer(self._pointer, str(new))  # atomic snapshot commit
         # retain the newest keep_versions snapshots (incl. current)
         for stale in self.versions()[: -self.keep_versions]:
             if stale != new:

@@ -254,6 +254,27 @@ def swap_state_dir(
         shutil.rmtree(old)
 
 
+def flip_pointer(pointer_path: str, value: str) -> None:
+    """Atomically repoint a current-version pointer file (write-tmp +
+    ``os.replace``) — the snapshot-isolation primitive behind
+    ``stores.LatestStore``'s versioned merges; a table format's own
+    version pointer (Delta's ``_last_checkpoint`` / Iceberg's metadata
+    pointer swap) replaces it."""
+    tmp = pointer_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(value)
+    os.replace(tmp, pointer_path)  # atomic on POSIX
+
+
+def read_pointer(pointer_path: str) -> str | None:
+    """Current value of a :func:`flip_pointer` file (None if absent)."""
+    try:
+        with open(pointer_path) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Compaction lease (a table format's own commit lock replaces it)
 # ---------------------------------------------------------------------------
