@@ -38,6 +38,8 @@ on the item id, so Spark and an external SQL oracle rank identically.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,7 +75,7 @@ def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 #: :func:`_query_terms` once per leg, and repeated probes of the same
 #: batch — the bench's min-of-N — pay zero Spark jobs after the first).
 #: Bounded LRU: values are tiny Python tuples (Σ query terms).
-_QTERMS_CACHE: dict[tuple, tuple] = {}
+_QTERMS_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _QTERMS_CACHE_MAX = 64
 
 
@@ -96,7 +98,11 @@ def _query_terms(spark, queries: list[tuple[str, str]]):
     Spark jobs on every call after a batch's first."""
     key = tuple(queries)
     cached = _QTERMS_CACHE.get(key)
-    if cached is None:
+    if cached is not None:
+        # true LRU (round-12 ADVICE): a hit refreshes recency, so a hot
+        # query batch is never evicted in favor of cold ones
+        _QTERMS_CACHE.move_to_end(key)
+    else:
         q = spark.createDataFrame(queries, "query_id string, query string")
         rows = q.select(
             "query_id", F.array_distinct(tokens("query")).alias("terms")
@@ -104,7 +110,7 @@ def _query_terms(spark, queries: list[tuple[str, str]]):
         pairs = tuple((r.query_id, t) for r in rows for t in r.terms if t != "")
         cached = (pairs, sorted({t for _, t in pairs}))
         while len(_QTERMS_CACHE) >= _QTERMS_CACHE_MAX:
-            _QTERMS_CACHE.pop(next(iter(_QTERMS_CACHE)))
+            _QTERMS_CACHE.popitem(last=False)  # least-recently-used first
         _QTERMS_CACHE[key] = cached
     pairs, term_set = cached
     qterms = spark.createDataFrame(list(pairs), "query_id string, term string")
