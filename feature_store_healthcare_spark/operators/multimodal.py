@@ -11,11 +11,19 @@ only payload *decoding* needs Python, and runs as Arrow-batched
 ``mapInPandas`` so bytes cross the JVM→Python boundary once per batch, not
 per row.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED:
-``use_fake_decoder=True`` (default) computes deterministic byte-level
-features (real plumbing, fake pixels); ``use_fake_decoder=False`` raises
-``NotImplementedError`` unless Pillow is importable.  The Spark-side shape —
-schema, batch iteration, partitioning — is the production path either way.
+Decode paths (round-12: the real path now EXECUTES in this container):
+``use_fake_decoder=True`` (default, kept for the byte-stat catalog oracle)
+computes deterministic byte-level features without interpreting the payload;
+``use_fake_decoder=False`` decodes real pixels through the built-in
+pure-stdlib+numpy PNG/BMP codecs (operators/codecs.py — no Pillow needed),
+falling back to Pillow only for formats outside that profile.
+:func:`synthesize_image_media` emits REAL encoded PNG/BMP payloads whose
+pixel values are a closed-form function of the row id, so
+:func:`decode_image_pixels` is oracle-checkable end-to-end: Spark decodes
+actual bytes, the SQL oracle computes the same statistics arithmetically —
+any encoder/decoder defect (padding, BGR order, bottom-up flip, filter
+reconstruction) breaks the value hash.  The Spark-side shape — schema,
+batch iteration, partitioning — is identical across all paths.
 
 Scale notes: media payloads dominate row size, so operators that don't need
 ``content`` must prune it (metadata queries never touch the binary column —
@@ -92,6 +100,143 @@ def synthesize_media_table(
     )
 
 
+def synthesize_image_media(
+    docs: DataFrame, id_col: str = "doc_id", sample_mod: int = 7
+) -> DataFrame:
+    """REAL encoded image corpus from the documents table (round-12: the
+    executable counterpart of :func:`synthesize_media_table`'s opaque
+    text-bytes payloads): every kept row becomes an actual PNG or BMP
+    whose pixels are a closed-form function of the row id —
+
+    - ``seed = id % 256``, ``w = id % 32 + 8``, ``h = id % 24 + 8``
+    - pixel ``(y, x, c) = (seed + y + c) % 256`` (constant across x)
+    - container: PNG for even ids (exercises zlib + scanline filters),
+      BMP for odd ids (exercises padding/BGR/bottom-up)
+
+    so a SQL oracle can recompute every pixel statistic arithmetically
+    while Spark derives it by DECODING THE ACTUAL BYTES — a defect
+    anywhere in encode or decode breaks the value hash.  ``sample_mod``
+    keeps 1-in-N docs (deterministic ``id % N == 0``) so the codec work
+    stays bounded at bench SFs.  Encoding runs as the same Arrow-batched
+    ``mapInPandas`` shape as the decode kernels."""
+    ids = docs.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import (
+            encode_bmp,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                seed, w, h = mid % 256, mid % 32 + 8, mid % 24 + 8
+                col = (seed + np.arange(h)[:, None] + np.arange(3)[None, :]) % 256
+                arr = np.broadcast_to(
+                    col[:, None, :].astype(np.uint8), (h, w, 3)
+                )
+                fmt = "png" if mid % 2 == 0 else "bmp"
+                payload = encode_png(arr) if fmt == "png" else encode_bmp(arr)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "content": payload,
+                        "meta": {
+                            "format": fmt,
+                            "width": w,
+                            "height": h,
+                            "channels": 3,
+                            "sample_rate": None,
+                            "duration_s": None,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+PIXEL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("first_pixel", T.IntegerType()),
+        T.StructField("mean_c0", T.DoubleType()),
+        T.StructField("min_pixel", T.IntegerType()),
+        T.StructField("max_pixel", T.IntegerType()),
+        T.StructField("pixel_entropy", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_pixels(media: DataFrame) -> DataFrame:
+    """REAL pixel decode → per-image statistics, built-in codecs only
+    (no Pillow): width/height/first-pixel/channel-0 mean/min/max/value
+    entropy all come from the DECODED array, so the statistics pin the
+    full byte→pixel path — ``first_pixel`` catches a bottom-up-flip
+    defect, ``mean_c0`` catches a BGR↔RGB swap, the dims catch stride/
+    padding errors, and the entropy pins the whole value histogram.
+
+    Float canonicalization matches the engine's conventions: the channel
+    mean floors in exact integer micro-units (integer sums CAN tie at 6
+    decimals, where half-even vs half-away rounding diverges); the
+    entropy rounds to 6 (transcendental sums cannot tie).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_image,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                arr = decode_image(payload)
+                h, w, ch = arr.shape
+                flat = arr.reshape(-1).astype(np.int64)
+                counts = np.bincount(flat, minlength=256)
+                p = counts[counts > 0] / flat.size
+                entropy = round(float(-(p * np.log2(p)).sum()), 6)
+                c0 = arr[:, :, 0].astype(np.int64)
+                mean_c0 = (int(c0.sum()) * 1_000_000 // c0.size) / 1e6
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "fmt": sniff_format(payload),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": h * w,
+                        "first_pixel": int(arr[0, 0, 0]),
+                        "mean_c0": mean_c0,
+                        "min_pixel": int(flat.min()),
+                        "max_pixel": int(flat.max()),
+                        "pixel_entropy": entropy,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_FEATURES_SCHEMA.fields]
+            )
+
+    images = media.where(F.col("kind") == "image")
+    return images.mapInPandas(kernel, schema=PIXEL_FEATURES_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Metadata-only operators — pure JVM, never touch the binary column
 # ---------------------------------------------------------------------------
@@ -162,17 +307,6 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _require_real_decoder() -> None:
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no Pillow
-        raise NotImplementedError(
-            "real image decoding requires Pillow, which is not installed in "
-            "this container; pass use_fake_decoder=True for the deterministic "
-            "byte-level stub"
-        ) from exc
-
-
 def decode_image_features(
     media: DataFrame, use_fake_decoder: bool = True
 ) -> DataFrame:
@@ -181,14 +315,18 @@ def decode_image_features(
     Fake path (default): deterministic byte statistics (length, mean, an
     entropy-ish score) computed with numpy over the raw payload — exercises
     the exact production plumbing (binary column through Arrow into pandas,
-    batched, schema'd) without a codec.  Real path: NotImplementedError
-    until Pillow exists; the kernel body is where ``PIL.Image.open`` goes.
+    batched, schema'd) without interpreting the payload.  Real path
+    (``use_fake_decoder=False``): decodes actual pixels via the built-in
+    PNG/BMP codecs (Pillow only for other formats) and computes the same
+    statistic shapes over the PIXEL array — width/height come from the
+    decoded dimensions, mean/entropy from pixel values, and ``n_bytes``
+    counts the decoded pixel-buffer bytes instead of the payload's.
     """
-    if not use_fake_decoder:
-        _require_real_decoder()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import decode_image
 
         for pdf in batches:
             rows = []
@@ -196,7 +334,13 @@ def decode_image_features(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
                 payload = bytes(content) if content is not None else b""
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                if use_fake_decoder:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    decoded_w = decoded_h = None
+                else:
+                    pixels = decode_image(payload)
+                    decoded_h, decoded_w = pixels.shape[:2]
+                    arr = pixels.reshape(-1)
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size
@@ -221,8 +365,10 @@ def decode_image_features(
                         "n_bytes": arr.size,
                         "mean_byte": mean,
                         "byte_entropy": entropy,
-                        "width": meta.get("width"),
-                        "height": meta.get("height"),
+                        # fake path reports the METADATA dims (payload is
+                        # opaque); real path reports the DECODED dims
+                        "width": meta.get("width") if use_fake_decoder else decoded_w,
+                        "height": meta.get("height") if use_fake_decoder else decoded_h,
                     }
                 )
             yield pd.DataFrame(
@@ -236,11 +382,15 @@ def decode_image_features(
 def resize_images(
     media: DataFrame, width: int, height: int, use_fake_decoder: bool = True
 ) -> DataFrame:
-    """Resize: payload transform is the stub (fake path passes bytes through
-    and rewrites metadata — the shape of the real op); metadata update is
-    real and JVM-side."""
-    if not use_fake_decoder:
-        _require_real_decoder()
+    """Resize image rows to ``width`` × ``height``.
+
+    Fake path (default): passes payload bytes through and rewrites the
+    metadata — the plan shape of the real op with an opaque payload;
+    pure JVM, no Python.  Real path (``use_fake_decoder=False``):
+    decode → deterministic nearest-neighbor resample → re-encode in the
+    SAME container format (PNG stays PNG, BMP stays BMP) through an
+    Arrow-batched ``mapInPandas`` kernel; non-image rows pass through
+    untouched so the output is a full media table either way."""
     new_meta = F.struct(
         F.col("meta.format").alias("format"),
         F.lit(width).alias("width"),
@@ -250,9 +400,44 @@ def resize_images(
         F.col("meta.duration_s").alias("duration_s"),
         F.col("meta.n_frames").alias("n_frames"),
     )
-    return media.withColumn(
-        "meta", F.when(F.col("kind") == "image", new_meta).otherwise(F.col("meta"))
+    if use_fake_decoder:
+        return media.withColumn(
+            "meta",
+            F.when(F.col("kind") == "image", new_meta).otherwise(F.col("meta")),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_image,
+            encode_bmp,
+            encode_png,
+            resize_nearest,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "image" or pdf["content"].iloc[i] is None:
+                    continue
+                payload = bytes(pdf["content"].iloc[i])
+                fmt = sniff_format(payload)
+                pixels = resize_nearest(decode_image(payload), width, height)
+                if pixels.shape[2] == 1:
+                    pixels = pixels[:, :, 0]
+                out.iat[i, out.columns.get_loc("content")] = (
+                    encode_bmp(pixels) if fmt == "bmp" else encode_png(pixels)
+                )
+                meta = pdf["meta"].iloc[i]
+                meta = dict(meta) if isinstance(meta, dict) else {}
+                meta["width"], meta["height"] = width, height
+                out.iat[i, out.columns.get_loc("meta")] = meta
+            yield out
+
+    resized = media.where(F.col("kind") == "image").mapInPandas(
+        kernel, schema=media.schema
     )
+    return resized.unionByName(media.where(F.col("kind") != "image"))
 
 
 def frame_signatures(

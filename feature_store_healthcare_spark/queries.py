@@ -1834,6 +1834,75 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(media, use_fake_decoder=True)
 
 
+@query(
+    "multimodal_real_decode",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             doc_id % 256 AS seed,
+             CAST(doc_id % 32 + 8 AS INT) AS width,
+             CAST(doc_id % 24 + 8 AS INT) AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    yc AS (
+      SELECT i.media_id, i.height, ((i.seed + y.y + c.c) % 256) AS v, y.y, c.c
+      FROM imgs i,
+           (SELECT UNNEST(range(0, 31)) AS y) y,
+           (SELECT UNNEST(range(0, 3)) AS c) c
+      WHERE y.y < i.height
+    ),
+    ext AS (
+      SELECT media_id, MIN(v) AS min_pixel, MAX(v) AS max_pixel
+      FROM yc GROUP BY media_id
+    ),
+    c0 AS (
+      SELECT media_id,
+             CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0 AS mean_c0
+      FROM yc WHERE c = 0 GROUP BY media_id
+    ),
+    cnts AS (
+      SELECT media_id, height, v, COUNT(*) AS cnt FROM yc
+      GROUP BY media_id, height, v
+    ),
+    ent AS (
+      SELECT media_id,
+             ROUND(-SUM((cnt / (3.0 * height)) * log2(cnt / (3.0 * height))), 6)
+               AS pixel_entropy
+      FROM cnts GROUP BY media_id
+    )
+    SELECT i.media_id, i.fmt, i.width, i.height,
+           CAST(i.width * i.height AS BIGINT) AS n_pixels,
+           CAST(i.seed AS INT) AS first_pixel,
+           c0.mean_c0,
+           CAST(e.min_pixel AS INT) AS min_pixel,
+           CAST(e.max_pixel AS INT) AS max_pixel,
+           n.pixel_entropy
+    FROM imgs i
+    JOIN ext e USING (media_id)
+    JOIN c0 USING (media_id)
+    JOIN ent n USING (media_id)
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52, REAL codec path (round-12): every sampled document becomes
+    an ACTUAL encoded PNG (even ids — zlib + scanline filters) or BMP
+    (odd ids — BGR, bottom-up, 4-byte row padding) via the built-in
+    pure-stdlib+numpy codecs (operators/codecs.py), then the decode
+    kernel reads the pixels BACK OUT OF THE BYTES and derives per-image
+    statistics.  Pixel values are a closed-form function of the row id,
+    so the DuckDB oracle recomputes each statistic arithmetically — the
+    hash match proves encode→decode round-trips bit-exactly on real
+    container formats: `first_pixel` pins scanline orientation, `mean_c0`
+    pins channel order, width/height pin stride/padding, the entropy pins
+    the full value histogram.  Unlike `multimodal_image_features` (the
+    byte-stat path over opaque payloads), the payload here is NOT opaque:
+    a defect anywhere in either codec breaks the values."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, sample_mod=7)
+    return multimodal.decode_image_pixels(media)
+
+
 # ---------------------------------------------------------------------------
 # Subquery surface (OP-19 extension): scalar + correlated subqueries, the
 # decorrelation paths Catalyst must handle for oracle parity with any SQL

@@ -96,16 +96,23 @@ def test_decode_image_features_deterministic(media):
     assert a == b
 
 
-def test_real_decoder_is_gated(media):
+def test_real_decoder_gates_unknown_formats_only(media):
+    """Round-12: the real path no longer blanket-raises — built-in PNG/BMP
+    codecs decode without Pillow; only out-of-profile payloads still gate.
+    `synthesize_media_table` payloads are raw text bytes (neither magic),
+    so the real path on THEM must fail at execution with the explicit
+    capability error."""
     try:
         import PIL  # noqa: F401
-        pytest.skip("Pillow unexpectedly present; real path would engage")
+        pytest.skip("Pillow unexpectedly present; unknown formats would decode")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        multimodal.decode_image_features(media, use_fake_decoder=False)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        multimodal.resize_images(media, 64, 64, use_fake_decoder=False)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    out = multimodal.decode_image_features(media, use_fake_decoder=False)
+    with pytest.raises((PythonException, Py4JJavaError), match="neither PNG nor BMP"):
+        out.collect()
 
 
 def test_resize_rewrites_image_meta_only(media):
