@@ -19,6 +19,7 @@ Determinism notes are on each query.  All timestamps are naive UTC
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 from collections.abc import Callable
@@ -125,143 +126,150 @@ _Q20_QTY_CACHE = PlanCache("q20_potential_promotion.qty")
 #:    text quality/LM/packing 3; experiments/PMI/MRR 3; privacy 2;
 #:    multimodal 2; drift/analysis/sampling 4.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # ══ round 12: the ledger-debt rotation ══════════════════════════════
+    # VERDICT r11 #1: 81 of 158 catalog queries had never held a green
+    # driver row while all 50 seats were long-green.  This round executes
+    # 15 rule-2 swaps — every eviction is strictly covered by a contract
+    # that STAYS seated (rationale at each line), every seat is a
+    # never-driver-green entry, and every evicted query remains
+    # check_oracle-verified at sf0.01 AND sf0.1 in the tail (rule 3) and,
+    # where it was benched, in HEADLINE.  The historical ledger keeps the
+    # evicted rows' green history; rotation only changes which 50 the
+    # driver independently re-proves THIS round.
+    #
     # relational core: scan/filter/project/join/agg/window/sort/subquery
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # r12: `q1_pricing_summary`'s scan + multi-aggregate groupBy is
+    # pinned by `q14_promo_revenue` (same lineitem scan shape, harder
+    # conditional aggregation) + the seated cube entry's grouped multi-
+    # aggs; q1 stays in bench HEADLINE + tail.
+    "q14_promo_revenue",
+    # r12: `q3_shipping_priority`'s join→agg→topk pipeline is strictly
+    # contained in `q10_returned_items` (four-table join, filtered fact,
+    # same agg→TakeOrdered tail).
+    "q10_returned_items",
     "record_linkage_best_match",
-    "filter_project_lineitem",
+    # r12: `filter_project_lineitem`'s conjunctive filter + projection is
+    # the weakest relational contract in the window — every seated TPC-H
+    # entry pushes filters and prunes columns; `q19_disjunctive_predicates`
+    # additionally pins OR-of-ANDs pushdown through a join.
+    "q19_disjunctive_predicates",
     "data_quality_expectations",
-    "range_join_recent_clicks",
-    "correlated_subquery_customer_max",
-    "window_rank_orders",
+    # r12: `correlated_subquery_customer_max`'s per-key correlated max is
+    # subsumed by `q17_small_quantity_revenue` (correlated scalar AVG
+    # subquery inside the filter — the harder decorrelation shape).
+    "q17_small_quantity_revenue",
+    # r12: `window_rank_orders`' ranking-window contract moves to
+    # `window_distribution_ranks` (dense_rank + ntile + percent_rank +
+    # cume_dist in one pass); row_number-per-partition stays driver-
+    # checked inside the seated `record_linkage_best_match` oracle.
+    "window_distribution_ranks",
     # feature-store semantics: EAV, PIT, registry, serving, freshness
-    # round 9 (rotation rule 2): `eav_latest_per_key`'s plain argmax
-    # contract is a strict SUBSET of the seated
-    # `eav_latest_tie_fallback` (latest + deterministic ties +
-    # fallback), so its slot goes to `eav_validity_intervals` — the SCD2
-    # interval DERIVATION contract (valid_from/valid_to versioning from
-    # the append-only EAV log) that no seated query pinned; latest-per-
-    # key stays driver-covered via tie_fallback, and eav_latest_per_key
-    # stays check_oracle-verified in the tail + benched in HEADLINE.
-    "eav_validity_intervals",
-    # round 5: the tie-fallback contract takes the as-of slot (as-of
-    # filtering stays driver-covered via pit_training_join's leak-free
-    # bound; eav_asof_lookup remains check_oracle-verified in the tail)
+    # r12: `eav_validity_intervals`' SCD2 interval DERIVATION is exercised
+    # inside `pit_interpolated_lookup`'s bracketing table (the LEAD-based
+    # intervalize feeding prev/next in one containment probe), which adds
+    # the interpolation arithmetic on top.
+    "pit_interpolated_lookup",
     "eav_latest_tie_fallback",
     "pit_training_join",
-    # round 11 (rotation rule 2 + VERDICT #2's stale-red ledger debt:
-    # seven queries' only driver rows were round-1 reds, long since fixed
-    # but never re-proved through the window — this round seats all
-    # seven; every evicted query stays check_oracle-verified in the tail
-    # per rule 3):
-    # - `pit_interval_join` proves the SAME semantics as the always-
-    #   seated `pit_training_join` against the IDENTICAL oracle (it is
-    #   the second physical strategy), so its slot goes to
-    #   `pit_tolerance_join` — the bounded-staleness variant whose
-    #   NULL-past-tolerance contract no seated query pins.
-    "pit_tolerance_join",
-    # - `pit_trailing_window_features` (leak-free trailing rolling
-    #   aggregate at the spine time) takes `tumbling_window_counts`'
-    #   slot from the time family below (see there).
+    # r12: `pit_tolerance_join`'s bounded-staleness contract rides inside
+    # `pit_nearest_observation_join`, where the tolerance IS the join
+    # predicate (mandatory, both directions) — plus the nearest-direction
+    # tie order no seated query pinned.  Backward-leak-freeness stays via
+    # the always-seated `pit_training_join`.
+    "pit_nearest_observation_join",
+    # r12: `range_join_recent_clicks`' bounded range-join shape (time-
+    # window predicate + per-spine argmin) is exactly the plan of
+    # `pit_forward_label_join` (forward tolerance + earliest-after
+    # argmin) — which also pins the label-attachment direction.
+    "pit_forward_label_join",
     "pit_trailing_window_features",
-    # - `training_set_builder` (the end-to-end spine→PIT→trailing-window
-    #   →hash-split pipeline in ONE plan) takes `train_test_split_report`'s
-    #   slot: the split-label arithmetic is re-evaluated verbatim inside
-    #   it (sampling.split_label_sql), plus the composition contract.
     "training_set_builder",
     "resample_daily_ffill",
-    # round 11: `pivot_event_type_stats`' long→wide pivot contract is a
-    # semantics subset of `pit_feature_vector_wide` (the same pivot with
-    # PIT as-of filtering stacked on top), so the wide feature vector —
-    # a round-1 stale-red — takes the pivot slot.
     "pit_feature_vector_wide",
     "null_fill_defaults",
     "freshness_classification",
     "acl_filtered_features",
     "online_offline_consistency",
-    "sha2_feature_ids",
     "target_encoding_loo",
     "cardinality_monitoring",
-    "serving_metrics_rollup",
     "json_extract_events",
     # time semantics: windows, sessions; CDC changelog materialization
-    # round 11: `tumbling_window_counts`' fixed-bucket time windowing is
-    # the weakest contract in the time family (sessionize pins the
-    # harder gap-based windows; the trailing-window entry seated above
-    # pins time-bounded frames); its slot funds the PIT-family expansion.
     "sessionize_events",
     "cdc_apply_changes",
-    # dedup family (exact + near-dup) and curation; the cluster-survivor,
-    # embedding-cosine and incremental variants stay check_oracle-verified
-    # round 11: `dedup_cluster_survivors` composes the seated
-    # `dedup_minhash_lsh` pairs with connected components + survivor
-    # pick; the pair-generation contract stays seated, the composition
-    # rotates to the tail to fund `events_cube_stats` (below).
+    # dedup family (exact + near-dup) and curation
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
+    # r12: `sha2_feature_ids`' deterministic-hash-id contract (sha2 over
+    # canonical concat) is pinned by the seated
+    # `dedup_exact_fingerprint` (same hash family over normalized text,
+    # same hex determinism); its slot funds the INCREMENTAL near-dup
+    # contract — corpus-vs-new-batch LSH pairing without re-pairing the
+    # old corpus, the steady-state production shape.
+    "dedup_incremental_minhash",
     "corpus_curation_pipeline",
-    # round 11: the CUBE/GROUPING-SETS contract (all grouping combos +
-    # GROUPING() disambiguation flags) — a round-1 stale-red no seated
-    # rollup query pins (serving_metrics_rollup pins exact percentiles,
-    # which CUBE does not subsume, so it stays).
     "events_cube_stats",
     # corpus chunking + shuffle-skew diagnostics + iterative graph
-    # (★ round-2 families)
     "rag_chunk_documents",
     "join_key_skew_profile",
     "pagerank_supplier_parts",
     # similarity search + retrieval (lexical, hybrid fusion)
     "embedding_topk_bruteforce",
     "bm25_lexical_topk",
-    "hybrid_rrf_retrieval",
-    # text analysis + LM-based quality + packing (lang-id and per-lang
-    # stats variants stay check_oracle-verified)
-    # round 10 (rotation rule 2): `text_quality_scores`' per-doc quality
-    # arithmetic (length, punct/digit ratios) is re-evaluated inside the
-    # seated `corpus_curation_pipeline`'s quality gates, so its slot goes
-    # to `bpe_encode_fertility` — the BPE train→encode round trip, the
-    # strongest text/LM contract in the catalog (the entry runs the
-    # iterative trainer AND applies the learned merge table; its exact
-    # oracle unrolls both, so a defect in either fails the hash).  It
-    # subsumes `bpe_train_merges` (same trainer call inside), which stays
-    # check_oracle-verified in the tail with its own bit-exact oracle.
-    # Driver-session safe: one bounded (≤1-row) collect per merge round,
-    # no table writes.
+    # r12: `hybrid_rrf_retrieval` rotates out for
+    # `hybrid_rrf_ivf_exhaustive` — the SAME SQL oracle (the pit_interval_
+    # join precedent: second physical strategy, identical contract), but
+    # the seated entry now drives the STORED postings + IVF index path at
+    # nprobe=n_centroids, so the driver row proves
+    # build→store→prune→probe→re-rank ≡ the exact plan.  Documented
+    # rule-3b exception (the build writes the warehouse once per
+    # session, overwrite semantics): the exactness anchor is the
+    # retrieval family's strongest contract and the r11 verdict flagged
+    # it as never driver-proved; a write-failure turns the row red
+    # LOUDLY, which is the correct failure mode.
+    "hybrid_rrf_ivf_exhaustive",
+    # text analysis + LM-based quality + packing
     "bpe_encode_fertility",
-    "doc_perplexity_quality",
+    # r12: `doc_perplexity_quality`'s unigram-LM fold is contained in the
+    # bigram entry's history-conditional fold (`bigram_lm_fluency` is the
+    # catalog's hardest LM contract: vocabulary-sized history table +
+    # per-doc fold); the perplexity arithmetic stays oracle-verified in
+    # the tail and benched.
+    "bigram_lm_fluency",
     "sequence_packing_report",
-    # experiments, association mining, retrieval eval (★ round-2 families)
-    # round 10 (rotation rule 2, documented NON-rotation): the new
-    # supervised fit→score round trip (`logreg_quality_filter`, exact
-    # unrolled GD+scoring oracle) stays in the tail because no seated
-    # contract subsumes it and it subsumes none — `cuped` pins the
-    # decimal-moment covariate technique, PMI association, MRR retrieval
-    # eval; evicting any of them would violate the rule's "strictly
-    # covered" criterion.  Both logreg entries stay check_oracle-verified
-    # at sf0.01 AND sf0.1 (rule 3) and benched in HEADLINE.
+    # experiments, association mining, retrieval eval
     "cuped_experiment_analysis",
     "session_cooccurrence_pmi",
     "retrieval_self_mrr",
     # PHI content governance + retention (operators.privacy)
     "phi_scrub_notes",
     "retention_sweep",
-    # multimodal: the decode kernel path (round 11: `multimodal_media_stats`
-    # is a metadata groupBy over the same typed-media table the seated
-    # `multimodal_image_features` exercises END-TO-END — schema, binary
-    # payloads, mapInPandas kernel, exact oracle — so the stats rollup
-    # rotates to the tail to fund the text-family stale-reds below)
-    "multimodal_image_features",
+    # multimodal: r12 — `multimodal_image_features`' byte-stat plumbing
+    # (schema, Arrow batching, binary transport) is a strict subset of
+    # `multimodal_real_decode`, which runs the SAME mapInPandas shape and
+    # additionally decodes REAL PNG/BMP payloads back to pixels against a
+    # closed-form oracle (round-12 codec work).
+    "multimodal_real_decode",
     # feature analysis / drift / sampling
-    "feature_correlation_matrix",
+    # r12: `feature_correlation_matrix`'s normalized-moment arithmetic is
+    # a fixed projection over the same centered-moment machinery
+    # `embedding_covariance_stats` pins (the r11 mutual-info precedent) —
+    # and the covariance entry is the harder layout: array-typed columns,
+    # single long-form aggregate, mirrored marginal cells.
+    "embedding_covariance_stats",
     "feature_drift_psi",
-    # round 11: `feature_label_mutual_info` (binned MI, a fixed
-    # arithmetic pipeline over the same histogram machinery drift_psi
-    # pins) and `train_test_split_report` (split labels re-proved inside
-    # the seated training_set_builder) rotate out to seat the two text
-    # stale-reds — per-language/source corpus stats and the corpus
-    # quality rollup, the text family's grouped-analysis contracts.
+    # r12: `serving_metrics_rollup`'s exact grouped percentiles stay
+    # driver-checked through `robust_outlier_stats` (grouped
+    # percentile_cont median + MAD — percentile OVER a derived column,
+    # the harder shape); its count/avg/hit-rate arithmetic is pinned by
+    # the seated cube entry's grouped stats.
+    "robust_outlier_stats",
+    # r12: `corpus_rollup`'s hierarchical grouping-set aggregation is
+    # strictly contained in the seated `events_cube_stats` (CUBE combos
+    # ⊃ ROLLUP combos, GROUPING() flags pinned there); its slot funds the
+    # DSIR importance-resampling contract — the r11 flagship sampling op
+    # the verdict named as carrying only local proof.
+    "dsir_importance_resample",
     "text_stats_by_lang_source",
-    "corpus_rollup",
 )
 
 
@@ -271,8 +279,52 @@ def _ordered(names: dict[str, object]) -> list[str]:
     return head + tail
 
 
+#: applicationIds the package zip has already been shipped to
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``feature_store_healthcare_spark`` importable on PYTHON
+    WORKERS regardless of the driver process's cwd (round-12 hardening,
+    found while seating worker-kernel queries in the driver window):
+    cloudpickle serializes module-level functions BY REFERENCE, so every
+    Arrow kernel (minhash signatures, IVF assignment, the image codecs)
+    needs the package on the worker's ``sys.path``.  When the driver
+    runs from the repo root that happens implicitly (the worker daemon's
+    ``sys.path[0]`` is the cwd); from ANY other cwd every such query
+    dies with ``ModuleNotFoundError`` on the worker.  Shipping the
+    package once per application via ``addPyFile`` (the standard PySpark
+    dependency mechanism — workers insert shipped archives into
+    ``sys.path`` per task) removes the cwd assumption.  Idempotent per
+    applicationId; a no-op cost after the first call."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    tmp = tempfile.mkdtemp(prefix="fshs_pkg_")
+    archive = os.path.join(tmp, f"{pkg_dir.name}.zip")
+    with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED_APPS.add(app)
+
+
+def _worker_import_safe(fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {n: _QUERIES[n] for n in _ordered(_QUERIES)}
+    return {n: _worker_import_safe(_QUERIES[n]) for n in _ordered(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1901,6 +1953,69 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_image_media(docs, sample_mod=7)
     return multimodal.decode_image_pixels(media)
+
+
+@query(
+    "multimodal_audio_decode",
+    """
+    WITH clips AS (
+      SELECT doc_id AS media_id,
+             doc_id % 251 AS seed,
+             doc_id % 800 + 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sr
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    vals AS (
+      SELECT c.media_id, c.n, t.t,
+             (c.seed * 31 + t.t * 7) % 4096 - 2048 AS v
+      FROM clips c, (SELECT UNNEST(range(0, 899)) AS t) t
+      WHERE t.t < c.n
+    ),
+    stats AS (
+      SELECT media_id,
+             CAST(SUM(ABS(v)) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0
+               AS mean_abs,
+             CAST(MAX(ABS(v)) AS INT) AS peak
+      FROM vals GROUP BY media_id
+    ),
+    nz AS (
+      SELECT media_id, t, CASE WHEN v > 0 THEN 1 ELSE -1 END AS s
+      FROM vals WHERE v <> 0
+    ),
+    zc AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN s <> prev_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings
+      FROM (SELECT media_id, s,
+                   LAG(s) OVER (PARTITION BY media_id ORDER BY t) AS prev_s
+            FROM nz)
+      WHERE prev_s IS NOT NULL GROUP BY media_id
+    )
+    SELECT c.media_id, CAST(c.sr AS INT) AS sample_rate,
+           CAST(c.n AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS channels,
+           CAST(c.n * 1000 // c.sr AS BIGINT) AS duration_ms,
+           CAST((c.seed * 31) % 4096 - 2048 AS INT) AS first_sample,
+           s.mean_abs, s.peak,
+           COALESCE(z.zero_crossings, 0) AS zero_crossings
+    FROM clips c
+    JOIN stats s USING (media_id)
+    LEFT JOIN zc z USING (media_id)
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52, REAL audio codec path (round 12): every sampled document
+    becomes an ACTUAL 16-bit PCM RIFF/WAV file (operators/codecs.py
+    `encode_wav`) whose samples are a closed-form sawtooth of the row
+    id, then `decode_audio_features` reads the waveform BACK OUT OF THE
+    BYTES — header fields (rate, count, duration) pin the RIFF chunk
+    walk, `first_sample` pins int16 byte order, mean |amplitude| / peak
+    pin the sample values, and the zero-crossing count pins sample
+    ORDER and signedness (any reorder or unsigned misread breaks it).
+    The DuckDB oracle recomputes all of it arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_audio_media(docs, sample_mod=7)
+    return multimodal.decode_audio_features(media)
 
 
 # ---------------------------------------------------------------------------

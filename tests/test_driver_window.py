@@ -65,10 +65,18 @@ def test_every_family_has_driver_window_representative():
     the checked window even if the pin list is reordered or edited."""
     window = set(list(catalog.queries())[:DRIVER_WINDOW])
     families = {
+        # round 12: the ledger-debt rotation replaced the round-1
+        # relational representatives with the never-driver-green TPC-H
+        # tail entries pinning strictly harder shapes (see the rule-2
+        # rationale at each _DRIVER_PRIORITY line)
         "relational-core": {"q1_pricing_summary", "q3_shipping_priority",
                             "filter_project_lineitem", "window_rank_orders",
                             "range_join_recent_clicks",
-                            "correlated_subquery_customer_max"},
+                            "correlated_subquery_customer_max",
+                            "q14_promo_revenue", "q10_returned_items",
+                            "q19_disjunctive_predicates",
+                            "q17_small_quantity_revenue",
+                            "window_distribution_ranks"},
         "eav-pit": {"eav_latest_per_key", "eav_asof_lookup",
                     "pit_training_join", "pit_interval_join"},
         "registry-serving": {"acl_filtered_features", "sha2_feature_ids",
@@ -79,8 +87,10 @@ def test_every_family_has_driver_window_representative():
         "dedup": {"dedup_exact_fingerprint", "dedup_minhash_lsh",
                   "dedup_cluster_survivors"},
         "similarity-retrieval": {"embedding_topk_bruteforce",
-                                 "bm25_lexical_topk", "hybrid_rrf_retrieval"},
-        "text-quality": {"text_quality_scores", "doc_perplexity_quality"},
+                                 "bm25_lexical_topk", "hybrid_rrf_retrieval",
+                                 "hybrid_rrf_ivf_exhaustive"},
+        "text-quality": {"text_quality_scores", "doc_perplexity_quality",
+                         "bigram_lm_fluency"},
         "graph": {"pagerank_supplier_parts"},
         "skew-diagnostics": {"join_key_skew_profile"},
         "chunking-packing": {"rag_chunk_documents", "sequence_packing_report"},
@@ -88,7 +98,8 @@ def test_every_family_has_driver_window_representative():
         "association": {"session_cooccurrence_pmi"},
         "retrieval-eval": {"retrieval_self_mrr"},
         "privacy-retention": {"phi_scrub_notes", "retention_sweep"},
-        "multimodal": {"multimodal_media_stats", "multimodal_image_features"},
+        "multimodal": {"multimodal_media_stats", "multimodal_image_features",
+                       "multimodal_real_decode"},
         "drift-analysis": {"feature_drift_psi", "feature_correlation_matrix",
                            "feature_label_mutual_info"},
         # round 11: training_set_builder materializes the hash-split
