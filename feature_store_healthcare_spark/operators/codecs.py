@@ -12,6 +12,8 @@ formats decodable with nothing beyond ``zlib``/``struct``/``binascii``
   info header, bottom-up BGR scanlines padded to 4 bytes.
 - **PNG**: 8-bit greyscale / RGB / RGBA, all five scanline filters
   (None/Sub/Up/Average/Paeth), single IDAT stream, no interlacing.
+- **WAV**: 16-bit uncompressed PCM, any channel count, RIFF chunk walk
+  (round 12b — the audio kind gets the same real-decode treatment).
 
 These are deliberately *minimal profiles* of each format — enough to
 round-trip the engine's own encoded payloads and any standard-writer
@@ -248,16 +250,78 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF PCM, 16-bit)
+# ---------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an int16 array as a PCM WAV: (N,) → mono, (N, C) →
+    C-channel interleaved.  Canonical 44-byte RIFF/fmt/data layout."""
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"encode_wav expects (N[, C]) int16, got {samples.shape}")
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV to ``((N, channels) int16, sample_rate)``.
+    Walks the RIFF chunk list (so extra chunks like LIST/fact are
+    skipped per the spec); only uncompressed PCM16 is in profile."""
+    if len(payload) < 44 or payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, length = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, ch, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV profile: format={audio_format} bits={bits} "
+            "(only uncompressed PCM16)"
+        )
+    n = len(data) // (ch * 2)
+    arr = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return np.ascontiguousarray(arr), sample_rate
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' from magic bytes, else None."""
+    """'png' / 'bmp' / 'wav' from magic bytes, else None."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == BMP_MAGIC:
         return "bmp"
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+        return "wav"
     return None
 
 

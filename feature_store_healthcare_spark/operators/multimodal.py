@@ -165,6 +165,120 @@ def synthesize_image_media(
     return ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def synthesize_audio_media(
+    docs: DataFrame, id_col: str = "doc_id", sample_mod: int = 7
+) -> DataFrame:
+    """REAL encoded WAV corpus (the audio counterpart of
+    :func:`synthesize_image_media`): every kept row becomes an actual
+    16-bit PCM RIFF file whose samples are a closed-form function of the
+    row id —
+
+    - ``seed = id % 251``, ``n = id % 800 + 100`` samples, mono
+    - ``sample_rate = 8000`` for even ids, ``16000`` for odd
+    - sample ``t = (seed·31 + t·7) % 4096 − 2048`` (int16-safe)
+
+    so a SQL oracle can recompute every waveform statistic while Spark
+    decodes the actual RIFF bytes."""
+    ids = docs.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                seed, n = mid % 251, mid % 800 + 100
+                sr = 8000 if mid % 2 == 0 else 16000
+                samples = ((seed * 31 + np.arange(n) * 7) % 4096 - 2048).astype(
+                    np.int16
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "audio",
+                        "content": encode_wav(samples, sr),
+                        "meta": {
+                            "format": "wav",
+                            "width": None,
+                            "height": None,
+                            "channels": 1,
+                            "sample_rate": sr,
+                            "duration_s": n / sr,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL waveform decode → per-clip statistics via the built-in WAV
+    codec: sample count / rate / duration from the RIFF headers,
+    first-sample (byte-order pin), mean |amplitude| (exact integer
+    micro-unit floor), peak, and zero-crossing count (sign-change pin —
+    catches any sample-order or signedness defect) from the decoded
+    int16 array."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, sr = decode_wav(bytes(content))
+                n, ch = samples.shape
+                mono = samples[:, 0].astype(np.int64)
+                absum = int(np.abs(mono).sum())
+                sign = np.sign(mono)
+                nz = sign != 0
+                zc = int((np.diff(sign[nz]) != 0).sum())
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "channels": ch,
+                        "duration_ms": n * 1000 // sr,
+                        "first_sample": int(mono[0]),
+                        "mean_abs": (absum * 1_000_000 // n) / 1e6,
+                        "peak": int(np.abs(mono).max()),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    auds = media.where(F.col("kind") == "audio")
+    return auds.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 PIXEL_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

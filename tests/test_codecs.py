@@ -19,8 +19,10 @@ from feature_store_healthcare_spark.operators.codecs import (
     decode_bmp,
     decode_image,
     decode_png,
+    decode_wav,
     encode_bmp,
     encode_png,
+    encode_wav,
     resize_nearest,
     sniff_format,
 )
@@ -117,6 +119,58 @@ class TestPng:
         payload[24] = 16  # IHDR bit depth byte → 16-bit
         with pytest.raises(ValueError, match="bit depth 16"):
             decode_png(bytes(payload))
+
+
+class TestWav:
+    @pytest.mark.parametrize("shape", [(100,), (257, 1), (64, 2)])
+    def test_round_trip(self, shape):
+        a = RNG.randint(-32768, 32768, shape, dtype=np.int16)
+        dec, sr = decode_wav(encode_wav(a, 16000))
+        exp = a[:, None] if a.ndim == 1 else a
+        assert sr == 16000 and np.array_equal(dec, exp)
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        import struct
+
+        p = encode_wav(np.arange(5, dtype=np.int16), 8000)
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        p2 = p[:36] + extra + p[36:]
+        p2 = b"RIFF" + struct.pack("<I", len(p2) - 8) + p2[8:]
+        dec, sr = decode_wav(p2)
+        assert sr == 8000 and np.array_equal(dec[:, 0], np.arange(5))
+
+    def test_rejects_out_of_profile(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"OggS" + b"\x00" * 60)
+        import struct
+
+        p = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+        struct.pack_into("<H", p, 34, 8)  # claim 8-bit samples
+        with pytest.raises(ValueError, match="bits=8"):
+            decode_wav(bytes(p))
+
+    def test_sniff(self):
+        assert sniff_format(encode_wav(np.zeros(3, np.int16), 8000)) == "wav"
+
+
+class TestSparkAudioRealPath:
+    def test_decode_matches_closed_form(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        media = multimodal.synthesize_audio_media(docs, sample_mod=7)
+        rows = multimodal.decode_audio_features(media).collect()
+        assert rows
+        for r in rows:
+            mid = r.media_id
+            seed, n = mid % 251, mid % 800 + 100
+            sr = 8000 if mid % 2 == 0 else 16000
+            v = (seed * 31 + np.arange(n) * 7) % 4096 - 2048
+            assert (r.sample_rate, r.n_samples, r.channels) == (sr, n, 1)
+            assert r.duration_ms == n * 1000 // sr
+            assert r.first_sample == v[0]
+            assert r.peak == int(np.abs(v).max())
+            assert r.mean_abs == (int(np.abs(v).sum()) * 1_000_000 // n) / 1e6
+            s = np.sign(v)[np.sign(v) != 0]
+            assert r.zero_crossings == int((np.diff(s) != 0).sum())
 
 
 class TestDispatch:
