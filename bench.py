@@ -47,6 +47,11 @@ HEADLINE = [
     "text_quality_scores",
     "embedding_topk_bruteforce",
     "multimodal_image_features",
+    # round-12: the REAL codec paths — encode→store→decode through the
+    # built-in PNG/BMP (images) and PCM WAV (audio) codecs; tracks the
+    # mapInPandas encode+decode round-trip cost at SF
+    "multimodal_real_decode",
+    "multimodal_audio_decode",
     "q6_revenue_forecast",
     "q10_returned_items",
     "corpus_curation_pipeline",

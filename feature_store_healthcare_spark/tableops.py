@@ -13,6 +13,13 @@ This module owns ALL marker/lease/swap file I/O.  Operators and the
 streaming maintainers call the interface; nothing else in the package
 opens a marker or lease file.
 
+The mapping below is EXECUTABLE, not just documented (round 12):
+:mod:`tableops_delta` and :mod:`tableops_iceberg` implement this same
+surface as native transactions (signature parity pinned by
+tests/test_tableops_delta.py and tests/test_tableops_iceberg.py; both
+carry env-gated integration suites that run wherever the respective
+runtime is installed).
+
 MERGE-shaped interface → table-format mapping:
 
 =====================  ====================================================

@@ -1469,7 +1469,15 @@ def test_source_mix_plan_single_corpus_scan(spark):
         )
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "FileScan" not in plan and "Range" not in plan
+    # round 12: the joined frame is PlanCache-persisted (was
+    # localCheckpointed), so the cached child's lineage — including its
+    # corpus Range scan — now PRINTS inside each InMemoryRelation even
+    # though only the cache is read.  The no-second-scan property is:
+    # both consumers (global MIN + final projection) are
+    # InMemoryTableScans, and every corpus scan in the text belongs to a
+    # cached relation (a live re-scan would make Range outnumber them).
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Range (") <= plan.count("InMemoryRelation")
     assert "BroadcastNestedLoopJoin" in plan  # 1-row budget, built broadcast
 
 
@@ -1505,13 +1513,25 @@ def test_dsir_logratio_weights_separates_target_domain(spark):
     # negative — the ORDERING above is the scale-independent contract)
     # length normalization: doubling a doc leaves its weight unchanged
     assert abs(got[5].dsir_logratio - got[0].dsir_logratio) <= 1e-6
-    # plan: tf shuffle + per-doc fold only; distributions broadcast back
+    # plan: tf shuffle + per-doc fold only; distributions broadcast back.
+    # round 12: the dist table is PlanCache-persisted (was
+    # localCheckpointed), so its dim-keyed agg exchanges now PRINT inside
+    # the InMemoryRelation children (executed once, at materialization) —
+    # the scale property is that CORPUS-sized shuffles (keyed on the doc
+    # id) stay at ≤2 and both dist consumers read the cache.
     plan = w._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
-    corpus_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
-    assert corpus_exchanges <= 4, plan[:2000]  # 2 corpus + <=2 tiny dim aggs
-    assert "BroadcastExchange" in plan  # lr table broadcasts to the fold
+    # AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    # plan; count only the executed (final) section
+    final = plan.split("== Initial Plan ==")[0]
+    corpus_exchanges = len(_re.findall(r"Exchange hashpartitioning\(doc_id", final))
+    assert corpus_exchanges <= 2, final[:2000]  # (doc,dim) tf + per-doc fold
+    # ≥1: AQE may print the tots side's finished 1-row stage collapsed,
+    # so only the lr consumer's cached read is guaranteed visible; the
+    # single-materialization lifecycle itself is test_caching's pin
+    assert final.count("InMemoryTableScan") >= 1
+    assert "BroadcastExchange" in final  # lr table broadcasts to the fold
 
 
 def test_dsir_stored_dist_matches_single_pass_and_handles_unseen(spark, tmp_path):

@@ -1,0 +1,98 @@
+"""The Iceberg binding of the tableops seam (tableops_iceberg.py).
+
+Same two-layer structure as tests/test_tableops_delta.py: parity pins
+that run in THIS container (signature surface, shared newer-guard, the
+exact MERGE statement), plus an env-gated integration suite that needs a
+Spark session with the Iceberg runtime + a configured catalog — gated on
+``FSHS_ICEBERG_CATALOG`` naming that catalog (absent here; run anywhere
+with ``spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-...``
+and a hadoop catalog to pin the mapping as executable).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+
+import pytest
+
+from feature_store_healthcare_spark import tableops, tableops_delta, tableops_iceberg
+
+ICEBERG_CATALOG = os.environ.get("FSHS_ICEBERG_CATALOG")
+
+
+class TestSeamParity:
+    @pytest.mark.parametrize("name", ["upsert", "merge_fold", "append"])
+    def test_signatures_match_plain_and_delta(self, name):
+        plain = inspect.signature(getattr(tableops, name))
+        ice = inspect.signature(getattr(tableops_iceberg, name))
+        assert list(plain.parameters) == list(ice.parameters), name
+        delta = inspect.signature(getattr(tableops_delta, name))
+        assert list(delta.parameters) == list(ice.parameters), name
+
+    def test_idempotent_discipline_matches_delta(self):
+        ice = inspect.signature(tableops_iceberg.append_idempotent)
+        delta = inspect.signature(tableops_delta.append_idempotent)
+        assert list(ice.parameters) == list(delta.parameters)
+
+    def test_newer_guard_is_shared(self):
+        # one guard, three engines: the Iceberg MERGE reuses the Delta
+        # builder verbatim, so the three implementations cannot drift on
+        # which row wins
+        assert tableops_iceberg.newer_condition is tableops_delta.newer_condition
+
+    def test_merge_into_sql(self):
+        got = tableops_iceberg.merge_into_sql(
+            "cat.db.state", "batch_v", ["k1", "k2"], "ts", ["seq"]
+        )
+        assert got == (
+            "MERGE INTO cat.db.state s USING batch_v b "
+            "ON b.`k1` <=> s.`k1` AND b.`k2` <=> s.`k2` "
+            "WHEN MATCHED AND ((b.`ts` > s.`ts`)"
+            " OR (b.`ts` <=> s.`ts` AND b.`seq` > s.`seq`)) "
+            "THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def test_module_imports_without_iceberg(self):
+        assert tableops_iceberg.upsert is not None
+
+
+@pytest.mark.skipif(
+    not ICEBERG_CATALOG,
+    reason="FSHS_ICEBERG_CATALOG not set (no Iceberg runtime in this container)",
+)
+class TestIcebergIntegration:
+    """Executes the mapping against real Iceberg tables (env-gated)."""
+
+    @pytest.fixture(scope="class")
+    def ident(self, spark):
+        import uuid
+
+        name = f"{ICEBERG_CATALOG}.default.fshs_it_{uuid.uuid4().hex[:8]}"
+        yield name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_upsert_newer_wins_and_replays_are_noops(self, spark, ident):
+        b1 = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b")], "k int, ts int, v string"
+        )
+        tableops_iceberg.upsert(b1, ident, ["k"], "ts")
+        newer = spark.createDataFrame([(1, 20, "a2")], "k int, ts int, v string")
+        stale = spark.createDataFrame([(2, 5, "STALE")], "k int, ts int, v string")
+        tableops_iceberg.upsert(newer, ident, ["k"], "ts")
+        tableops_iceberg.upsert(stale, ident, ["k"], "ts")
+        tableops_iceberg.upsert(newer, ident, ["k"], "ts")  # replay
+        got = {r.k: (r.ts, r.v) for r in spark.read.table(ident).collect()}
+        assert got == {1: (20, "a2"), 2: (10, "b")}
+
+    def test_append_idempotent_skips_replayed_txn(self, spark, ident):
+        table = ident + "_idem"
+        b = spark.createDataFrame([(1,), (2,)], "k int")
+        try:
+            tableops_iceberg.append_idempotent(b, table, "stream-a", 0)
+            tableops_iceberg.append_idempotent(b, table, "stream-a", 0)  # replay
+            tableops_iceberg.append_idempotent(b, table, "stream-a", 1)
+            assert spark.read.table(table).count() == 4
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
