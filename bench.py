@@ -52,6 +52,7 @@ HEADLINE = [
     # mapInPandas encode+decode round-trip cost at SF
     "multimodal_real_decode",
     "multimodal_audio_decode",
+    "multimodal_video_decode",
     "q6_revenue_forecast",
     "q10_returned_items",
     "corpus_curation_pipeline",

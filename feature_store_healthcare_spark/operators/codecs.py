@@ -14,6 +14,10 @@ formats decodable with nothing beyond ``zlib``/``struct``/``binascii``
   (None/Sub/Up/Average/Paeth), single IDAT stream, no interlacing.
 - **WAV**: 16-bit uncompressed PCM, any channel count, RIFF chunk walk
   (round 12b — the audio kind gets the same real-decode treatment).
+- **Y4M (YUV4MPEG2)**: uncompressed video — plain-text stream header
+  (W/H/frame-rate/C420jpeg params) + per-frame ``FRAME\\n`` markers over
+  raw planar YUV 4:2:0 or 4:4:4 (round 12c — the video kind completes
+  the set; https://wiki.multimedia.cx/index.php/YUV4MPEG2).
 
 These are deliberately *minimal profiles* of each format — enough to
 round-trip the engine's own encoded payloads and any standard-writer
@@ -310,18 +314,100 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# Y4M / YUV4MPEG2 (uncompressed planar video)
+# ---------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+#: colourspace tag → (plane-size divisors relative to luma) for the two
+#: profiles we support: 4:2:0 (chroma quarter-size) and 4:4:4 (full-size)
+_Y4M_CHROMA = {"420jpeg": 4, "420": 4, "444": 1}
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), chroma: str = "420jpeg"
+) -> bytes:
+    """Encode a (T, H, W) uint8 LUMA volume as a Y4M stream with flat
+    128-valued (neutral-grey) chroma planes.  The engine's per-frame
+    statistics are luma-only, so synthesized fixtures carry their signal
+    in Y; the chroma planes still round-trip byte-exactly.  4:2:0
+    requires even W and H (chroma is quarter-size)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError(f"encode_y4m expects (T, H, W) uint8 luma, got {frames.shape}")
+    t, h, w = frames.shape
+    div = _Y4M_CHROMA[chroma]
+    if div == 4 and (h % 2 or w % 2):
+        raise ValueError(f"4:2:0 needs even dims, got {w}x{h}")
+    chroma_plane = np.full((h * w) // div, 128, dtype=np.uint8).tobytes()
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    parts = [header]
+    for i in range(t):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+        parts.append(chroma_plane)
+        parts.append(chroma_plane)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a Y4M stream to ``((T, H, W) uint8 luma, (fps_num, fps_den))``
+    — chroma planes are parsed (stream position must walk them) but only
+    luma is returned, matching the engine's per-frame statistics.
+    Per-frame parameter strings after ``FRAME`` are tolerated."""
+    if not payload.startswith(Y4M_MAGIC + b" "):
+        raise ValueError("not a Y4M payload (missing YUV4MPEG2 magic)")
+    nl = payload.index(b"\n")
+    params = payload[len(Y4M_MAGIC) + 1 : nl].decode("ascii").split()
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"
+    for p in params:
+        if p[0] == "W":
+            w = int(p[1:])
+        elif p[0] == "H":
+            h = int(p[1:])
+        elif p[0] == "F":
+            num, den = p[1:].split(":")
+            fps = (int(num), int(den))
+        elif p[0] == "C":
+            chroma = p[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported Y4M colourspace C{chroma} (only 420/444)")
+    luma_size = w * h
+    frame_size = luma_size + 2 * (luma_size // _Y4M_CHROMA[chroma])
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params tolerated
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        luma = np.frombuffer(payload, dtype=np.uint8, count=luma_size, offset=pos)
+        frames.append(luma.reshape(h, w))
+        pos += frame_size
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), fps
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' / 'wav' from magic bytes, else None."""
+    """'png' / 'bmp' / 'wav' / 'y4m' from magic bytes, else None."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == BMP_MAGIC:
         return "bmp"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == Y4M_MAGIC:
+        return "y4m"
     return None
 
 

@@ -279,6 +279,122 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     return auds.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def synthesize_video_media(
+    docs: DataFrame, id_col: str = "doc_id", sample_mod: int = 7
+) -> DataFrame:
+    """REAL encoded video corpus (Y4M/YUV4MPEG2 — uncompressed planar
+    frames, the video counterpart of :func:`synthesize_image_media`):
+
+    - ``seed = id % 199``, ``T = id % 12 + 2`` frames
+    - even dims ``w = (id % 16 + 4)·2``, ``h = (id % 10 + 3)·2`` (4:2:0)
+    - luma ``(t, y, x) = (seed + 7t + y) % 256`` (constant across x)
+    - frame rate 25:1 for even ids, 30:1 for odd
+
+    so the SQL oracle recomputes every per-clip statistic while Spark
+    walks the actual FRAME markers and planes."""
+    ids = docs.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                seed, t = mid % 199, mid % 12 + 2
+                w, h = (mid % 16 + 4) * 2, (mid % 10 + 3) * 2
+                fps = (25, 1) if mid % 2 == 0 else (30, 1)
+                col = (
+                    seed + 7 * np.arange(t)[:, None] + np.arange(h)[None, :]
+                ) % 256
+                frames = np.broadcast_to(
+                    col[:, :, None].astype(np.uint8), (t, h, w)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "video",
+                        "content": encode_y4m(frames, fps=fps),
+                        "meta": {
+                            "format": "y4m",
+                            "width": w,
+                            "height": h,
+                            "channels": 1,
+                            "sample_rate": None,
+                            "duration_s": t * fps[1] / fps[0],
+                            "n_frames": t,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("first_luma", T.IntegerType()),
+        T.StructField("last_luma", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("max_luma", T.IntegerType()),
+    ]
+)
+
+
+def decode_video_features(media: DataFrame) -> DataFrame:
+    """REAL video decode → per-clip statistics via the built-in Y4M
+    codec: frame count pins the FRAME-marker walk, width/height pin the
+    plane sizes, ``first_luma``/``last_luma`` (pixel (0,0) of the first
+    and last frame) pin FRAME ORDER, mean/max luma pin the plane
+    contents.  Mean floors in exact integer micro-units (engine
+    convention)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frames, fps = decode_y4m(bytes(content))
+                t, h, w = frames.shape
+                flat = frames.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames": t,
+                        "fps_num": fps[0],
+                        "fps_den": fps[1],
+                        "first_luma": int(frames[0, 0, 0]),
+                        "last_luma": int(frames[-1, 0, 0]),
+                        "mean_luma": (int(flat.sum()) * 1_000_000 // flat.size)
+                        / 1e6,
+                        "max_luma": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    vids = media.where(F.col("kind") == "video")
+    return vids.mapInPandas(kernel, schema=VIDEO_FEATURES_SCHEMA)
+
+
 PIXEL_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -2018,6 +2018,57 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_features(media)
 
 
+@query(
+    "multimodal_video_decode",
+    """
+    WITH clips AS (
+      SELECT doc_id AS media_id,
+             doc_id % 199 AS seed,
+             CAST(doc_id % 12 + 2 AS INT) AS t,
+             CAST((doc_id % 16 + 4) * 2 AS INT) AS w,
+             CAST((doc_id % 10 + 3) * 2 AS INT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 25 ELSE 30 END AS fps_num
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    vals AS (
+      SELECT c.media_id, (c.seed + 7 * f.f + y.y) % 256 AS v
+      FROM clips c,
+           (SELECT UNNEST(range(0, 13)) AS f) f,
+           (SELECT UNNEST(range(0, 24)) AS y) y
+      WHERE f.f < c.t AND y.y < c.h
+    ),
+    stats AS (
+      SELECT media_id,
+             CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0
+               AS mean_luma,
+             CAST(MAX(v) AS INT) AS max_luma
+      FROM vals GROUP BY media_id
+    )
+    SELECT c.media_id, c.w AS width, c.h AS height, c.t AS n_frames,
+           CAST(c.fps_num AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+           CAST(c.seed % 256 AS INT) AS first_luma,
+           CAST((c.seed + 7 * (c.t - 1)) % 256 AS INT) AS last_luma,
+           s.mean_luma, s.max_luma
+    FROM clips c JOIN stats s USING (media_id)
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52, REAL video codec path (round 12): every sampled document
+    becomes an ACTUAL Y4M/YUV4MPEG2 stream (operators/codecs.py
+    `encode_y4m` — text header + FRAME markers + raw planar 4:2:0) whose
+    luma planes are a closed-form function of the row id, then
+    `decode_video_features` walks the REAL frame markers and planes back
+    out of the bytes.  Frame count pins the marker walk (a stride bug
+    desyncs it), width/height pin plane sizes, first/last-frame luma pin
+    FRAME ORDER, mean/max pin the plane contents; the DuckDB oracle
+    recomputes all of it arithmetically.  Together with
+    `multimodal_real_decode` (PNG/BMP) and `multimodal_audio_decode`
+    (WAV) every media kind now has an executed real-codec path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_video_media(docs, sample_mod=7)
+    return multimodal.decode_video_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Subquery surface (OP-19 extension): scalar + correlated subqueries, the
 # decorrelation paths Catalyst must handle for oracle parity with any SQL

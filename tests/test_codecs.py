@@ -173,6 +173,68 @@ class TestSparkAudioRealPath:
             assert r.zero_crossings == int((np.diff(s) != 0).sum())
 
 
+class TestY4m:
+    @pytest.mark.parametrize(
+        "shape,chroma", [((3, 4, 6), "420jpeg"), ((1, 2, 2), "420"), ((5, 3, 5), "444")]
+    )
+    def test_round_trip(self, shape, chroma):
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        a = RNG.randint(0, 256, shape, dtype=np.uint8)
+        dec, fps = decode_y4m(encode_y4m(a, fps=(30, 1), chroma=chroma))
+        assert fps == (30, 1) and np.array_equal(dec, a)
+
+    def test_frame_order_preserved(self):
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        a = np.stack([np.full((2, 2), i, np.uint8) for i in (9, 5, 7)])
+        dec, _ = decode_y4m(encode_y4m(a))
+        assert [int(f[0, 0]) for f in dec] == [9, 5, 7]
+
+    def test_rejects_out_of_profile(self):
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        with pytest.raises(ValueError, match="magic"):
+            decode_y4m(b"RIFF" + b"\x00" * 40)
+        with pytest.raises(ValueError, match="even dims"):
+            encode_y4m(np.zeros((1, 3, 3), np.uint8))
+        good = encode_y4m(np.zeros((2, 2, 2), np.uint8))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m(good[:-1])
+
+    def test_sniff(self):
+        from feature_store_healthcare_spark.operators.codecs import encode_y4m
+
+        assert sniff_format(encode_y4m(np.zeros((1, 2, 2), np.uint8))) == "y4m"
+
+
+class TestSparkVideoRealPath:
+    def test_decode_matches_closed_form(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        media = multimodal.synthesize_video_media(docs, sample_mod=7)
+        rows = multimodal.decode_video_features(media).collect()
+        assert rows
+        for r in rows:
+            mid = r.media_id
+            seed, t = mid % 199, mid % 12 + 2
+            w, h = (mid % 16 + 4) * 2, (mid % 10 + 3) * 2
+            v = (seed + 7 * np.arange(t)[:, None] + np.arange(h)[None, :]) % 256
+            assert (r.width, r.height, r.n_frames) == (w, h, t)
+            assert r.fps_num == (25 if mid % 2 == 0 else 30) and r.fps_den == 1
+            assert r.first_luma == seed and r.last_luma == (seed + 7 * (t - 1)) % 256
+            assert r.max_luma == int(v.max())
+            assert r.mean_luma == (int(v.sum()) * 1_000_000 // v.size) / 1e6
+
+
 class TestDispatch:
     def test_sniff(self):
         arr = np.zeros((2, 2, 3), np.uint8)
