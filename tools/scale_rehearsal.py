@@ -109,6 +109,13 @@ REHEARSAL = [
     "hybrid_rrf_stored",
     "hybrid_rrf_ivf_stored",
     "multimodal_image_features",
+    # round-12: the REAL codec paths at ×20 docs — encode+decode are
+    # per-row Arrow kernels with NO shuffle (synthesize → decode chains
+    # two mapInPandas inside one stage), so the ratio should track the
+    # document count linearly and shuffle volume should stay ~zero
+    "multimodal_real_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
     "phi_scrub_notes",
     "zorder_write_lineitem",
     # round-9 VERDICT #6: the iterative BPE trainer's 100 TB claim — loop
