@@ -2069,6 +2069,73 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_video_features(media)
 
 
+@query(
+    "multimodal_resize_pipeline",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             doc_id % 256 AS seed,
+             doc_id % 32 + 8 AS w,
+             doc_id % 24 + 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    yc AS (
+      -- nearest-neighbor at (16, 12): output row y2 samples source row
+      -- y2*h//12; the source is constant across x, so x drops out
+      SELECT i.media_id, ((i.seed + (y.y2 * i.h // 12) + c.c) % 256) AS v,
+             y.y2, c.c
+      FROM imgs i,
+           (SELECT UNNEST(range(0, 12)) AS y2) y,
+           (SELECT UNNEST([0, 1, 2])   AS c)  c
+    ),
+    ext AS (
+      SELECT media_id, MIN(v) AS min_pixel, MAX(v) AS max_pixel
+      FROM yc GROUP BY media_id
+    ),
+    c0 AS (
+      SELECT media_id,
+             CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0 AS mean_c0
+      FROM yc WHERE c = 0 GROUP BY media_id
+    ),
+    cnts AS (
+      SELECT media_id, v, COUNT(*) AS cnt FROM yc GROUP BY media_id, v
+    ),
+    ent AS (
+      SELECT media_id,
+             ROUND(-SUM((cnt / 36.0) * log2(cnt / 36.0)), 6) AS pixel_entropy
+      FROM cnts GROUP BY media_id
+    )
+    SELECT i.media_id, i.fmt,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(192 AS BIGINT) AS n_pixels,
+           CAST(i.seed AS INT) AS first_pixel,
+           c0.mean_c0,
+           CAST(e.min_pixel AS INT) AS min_pixel,
+           CAST(e.max_pixel AS INT) AS max_pixel,
+           n.pixel_entropy
+    FROM imgs i
+    JOIN ext e USING (media_id)
+    JOIN c0 USING (media_id)
+    JOIN ent n USING (media_id)
+    """,
+)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52 resize, oracle-pinned end-to-end (round 12): synthesize real
+    PNG/BMP payloads → decode → nearest-neighbor resample to 16×12 →
+    RE-ENCODE in the same container → decode AGAIN and derive pixel
+    statistics.  Two full codec round trips plus the resampler in one
+    chain; the DuckDB oracle recomputes the resampled gradient in closed
+    form (output row ``y2`` samples source row ``y2·h//12``), so an
+    off-by-one in the index arithmetic, a re-encode defect, or a format
+    swap breaks the hash.  The container format is preserved through the
+    resize (`fmt` comes from re-sniffing the resized payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, sample_mod=7)
+    resized = multimodal.resize_images(media, 16, 12, use_fake_decoder=False)
+    return multimodal.decode_image_pixels(resized)
+
+
 # ---------------------------------------------------------------------------
 # Subquery surface (OP-19 extension): scalar + correlated subqueries, the
 # decorrelation paths Catalyst must handle for oracle parity with any SQL
