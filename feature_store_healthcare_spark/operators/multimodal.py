@@ -395,6 +395,74 @@ def decode_video_features(media: DataFrame) -> DataFrame:
     return vids.mapInPandas(kernel, schema=VIDEO_FEATURES_SCHEMA)
 
 
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("first_value", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("max_value", T.IntegerType()),
+    ]
+)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """Unified REAL-decode statistics over a mixed media table — ONE
+    Arrow kernel dispatching on the sniffed container: PNG/BMP → pixel
+    values, WAV → |amplitude| of channel 0, Y4M → luma values.  The
+    per-kind decoders stay the richer surfaces; this is the row shape an
+    INCREMENTAL maintainer appends per micro-batch (every kind in one
+    pass, one output table — see
+    ``streaming.pipeline.streaming_media_stats_maintenance``).
+    ``n_units`` counts decoded values, ``first_value`` pins
+    orientation/byte order, the mean floors in integer micro-units."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from feature_store_healthcare_spark.operators.codecs import (
+            decode_image,
+            decode_wav,
+            decode_y4m,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                payload = bytes(content) if content is not None else b""
+                fmt = sniff_format(payload)
+                if fmt == "wav":
+                    samples, _ = decode_wav(payload)
+                    vals = np.abs(samples[:, 0].astype(np.int64))
+                elif fmt == "y4m":
+                    frames, _ = decode_y4m(payload)
+                    vals = frames.reshape(-1).astype(np.int64)
+                else:
+                    vals = decode_image(payload).reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "fmt": fmt,
+                        "n_units": int(vals.size),
+                        "first_value": int(vals[0]),
+                        "mean_value": (int(vals.sum()) * 1_000_000 // vals.size)
+                        / 1e6,
+                        "max_value": int(vals.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(kernel, schema=MEDIA_STATS_SCHEMA)
+
+
 PIXEL_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -417,6 +417,39 @@ def streaming_dsir_dist_maintenance(
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
+def streaming_media_stats_maintenance(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "media_stats_maintenance",
+):
+    """Incremental REAL-decode media statistics (round 12): each
+    micro-batch of media rows (``multimodal.MEDIA_SCHEMA`` shape) runs
+    through the unified codec kernel
+    (``multimodal.decode_media_stats`` — PNG/BMP pixels, WAV samples,
+    Y4M luma, one Arrow pass for all kinds) and the per-item stat rows
+    APPEND to the parquet table at ``path`` — decode cost is paid once
+    per item at ingest, every later consumer reads the tiny stats table
+    instead of re-decoding payloads.
+
+    A blind replay would duplicate stat rows, so the same
+    (txn_id, batch_id) marker discipline as the index maintainers
+    guards the append (:func:`_idempotent_foreach_batch`).  The stats
+    table is read by PATH (no catalog refresh hook needed)."""
+    from feature_store_healthcare_spark import tableops
+    from feature_store_healthcare_spark.operators import multimodal
+
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: tableops.append(
+            multimodal.decode_media_stats(batch_df), path
+        ),
+    )
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
+
+
 def streaming_incremental_rollup(
     stream: DataFrame,
     state_path: str,

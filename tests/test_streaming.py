@@ -1011,3 +1011,55 @@ def test_torn_marker_reads_as_missing(tmp_path):
     p = str(tmp_path / "marker.json")
     open(p, "w").close()  # torn: exists but empty
     assert sp._read_batch_marker(p) is None
+
+
+def test_streaming_media_stats_maintenance_matches_batch_decode(spark, tmp_path):
+    """The incremental media-stats loop (per-micro-batch REAL codec
+    decode → append via foreachBatch) accumulates a stats table equal to
+    the one-shot unified decode over the full corpus — all three media
+    kinds (PNG/BMP, WAV, Y4M) in the same stream — and the
+    (txn_id, batch_id) marker makes replays idempotent (a blind replay
+    would duplicate stat rows)."""
+    from feature_store_healthcare_spark.operators import multimodal
+
+    def media_batch(ids):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return (
+            multimodal.synthesize_image_media(docs, sample_mod=1)
+            .unionByName(multimodal.synthesize_audio_media(docs, sample_mod=1))
+            .unionByName(multimodal.synthesize_video_media(docs, sample_mod=1))
+        )
+
+    src = tmp_path / "media_in"
+    media_batch([0, 1, 2]).write.parquet(str(src / "b1"))
+    media_batch([3, 4]).write.parquet(str(src / "b2"))
+
+    path = str(tmp_path / "media_stats")
+    stream = (
+        spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    writer = sp.streaming_media_stats_maintenance(stream, path, txn_id="media1")
+    _run_available_now(writer, tmp_path, "media_s")
+
+    streamed = sorted(map(tuple, spark.read.parquet(path).collect()))
+    batch = sorted(
+        map(tuple, multimodal.decode_media_stats(media_batch(range(5))).collect())
+    )
+    assert streamed == batch and len(streamed) == 15  # 5 ids x 3 kinds
+
+    # every kind really decoded through its own codec
+    fmts = {r[2] for r in streamed}
+    assert fmts == {"png", "bmp", "wav", "y4m"}
+
+    # replay from a fresh checkpoint with the same txn_id: all batches
+    # skipped, no duplicate stat rows
+    writer2 = sp.streaming_media_stats_maintenance(stream, path, txn_id="media1")
+    _run_available_now(writer2, tmp_path, "media_s_replay")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == streamed
+
+    # marker scope required, exactly as for the other maintainers
+    with pytest.raises(ValueError, match="txn_id"):
+        sp.streaming_media_stats_maintenance(stream, path)
