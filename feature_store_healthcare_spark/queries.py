@@ -4796,6 +4796,36 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STORED_INDEX_MEMO: dict[tuple[str, str, str], str] = {}
 
 
+#: applicationId → per-process fallback warehouse directory
+_FALLBACK_WAREHOUSE: dict[str, str] = {}
+
+
+def _writable_warehouse(spark: SparkSession) -> str:
+    """The session's warehouse dir if writable, else ONE per-application
+    temp directory (round 12: stored-index queries now hold driver-window
+    seats, and the driver session's warehouse derives from ITS cwd — an
+    unwritable cwd must not turn a correctness row red for an
+    environmental reason).  Every stored-index builder AND every
+    path-derived reader resolves through here, so the fallback keeps
+    warehouse/table derivation consistent; the build→store→probe code
+    path is identical either way, only the location moves."""
+    from feature_store_healthcare_spark.stores import local_path
+
+    warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
+    try:
+        os.makedirs(warehouse, exist_ok=True)
+        if os.access(warehouse, os.W_OK):
+            return warehouse
+    except OSError:
+        pass
+    app = spark.sparkContext.applicationId
+    if app not in _FALLBACK_WAREHOUSE:
+        import tempfile
+
+        _FALLBACK_WAREHOUSE[app] = tempfile.mkdtemp(prefix="fshs_warehouse_")
+    return _FALLBACK_WAREHOUSE[app]
+
+
 def _stored_index(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     """Build-once-per-session stored index; returns the catalog table name.
     ``build(table, path)`` runs with OVERWRITE semantics on first use in a
@@ -4806,8 +4836,7 @@ def _stored_index(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _STORED_INDEX_MEMO:
         table = f"fshs_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
-        build(table, os.path.join(warehouse, table))
+        build(table, os.path.join(_writable_warehouse(spark), table))
         _STORED_INDEX_MEMO[key] = table
     return _STORED_INDEX_MEMO[key]
 
@@ -4878,8 +4907,7 @@ def _stored_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 16):
     key = (spark.sparkContext.applicationId, sf_dir, n_centroids)
     if key not in _STORED_IVF_MEMO:
         name = f"fshs_ivf{n_centroids}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
-        path = os.path.join(warehouse, name)
+        path = os.path.join(_writable_warehouse(spark), name)
         emb = load_table(spark, sf_dir, "embeddings")
         cents = similarity.build_ivf_index(emb, path, n_centroids=n_centroids)
         _STORED_IVF_MEMO[key] = (path, cents)
@@ -6030,8 +6058,7 @@ def _stored_dsir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STORED_DSIR_MEMO:
         name = f"fshs_dsirdist_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
-        path = os.path.join(warehouse, name)
+        path = os.path.join(_writable_warehouse(spark), name)
         docs = load_table(spark, sf_dir, "documents")
         tgt = F.col("lang") == "en"
         sampling.build_dsir_dist(
@@ -6205,9 +6232,9 @@ def dedup_incremental_stored_bands(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     table = _stored_index(spark, sf_dir, "bands", build)
-    from feature_store_healthcare_spark.stores import local_path, read_table
+    from feature_store_healthcare_spark.stores import read_table
 
-    warehouse = local_path(spark.conf.get("spark.sql.warehouse.dir"))
+    warehouse = _writable_warehouse(spark)
     return dedup.minhash_lsh_pairs_cross(
         new, None, "doc_id", "text", n=3, num_hashes=16, bands=4,
         portable=True, corpus_bands=read_table(spark, table),
