@@ -2136,6 +2136,101 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_pixels(resized)
 
 
+@query(
+    "multimodal_unified_stats",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 7 = 0),
+    img AS (
+      SELECT media_id, 'image' AS kind,
+             CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+             media_id % 256 AS seed,
+             media_id % 32 + 8 AS w, media_id % 24 + 8 AS h
+      FROM ids
+    ),
+    img_v AS (
+      SELECT i.media_id, ((i.seed + y.y + c.c) % 256) AS v, i.w
+      FROM img i,
+           (SELECT UNNEST(range(0, 31)) AS y) y,
+           (SELECT UNNEST([0, 1, 2]) AS c) c
+      WHERE y.y < i.h
+    ),
+    img_s AS (
+      SELECT i.media_id, i.kind, i.fmt,
+             CAST(i.w * i.h * 3 AS BIGINT) AS n_units,
+             CAST(i.seed AS INT) AS first_value,
+             CAST(SUM(v.v) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0
+               AS mean_value,
+             CAST(MAX(v.v) AS INT) AS max_value
+      FROM img i JOIN img_v v USING (media_id)
+      GROUP BY i.media_id, i.kind, i.fmt, i.w, i.h, i.seed
+    ),
+    aud AS (
+      SELECT media_id, media_id % 251 AS seed, media_id % 800 + 100 AS n
+      FROM ids
+    ),
+    aud_v AS (
+      SELECT a.media_id, ABS((a.seed * 31 + t.t * 7) % 4096 - 2048) AS v
+      FROM aud a, (SELECT UNNEST(range(0, 899)) AS t) t
+      WHERE t.t < a.n
+    ),
+    aud_s AS (
+      SELECT a.media_id, 'audio' AS kind, 'wav' AS fmt,
+             CAST(a.n AS BIGINT) AS n_units,
+             CAST(ABS((a.seed * 31) % 4096 - 2048) AS INT) AS first_value,
+             CAST(SUM(v.v) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0
+               AS mean_value,
+             CAST(MAX(v.v) AS INT) AS max_value
+      FROM aud a JOIN aud_v v USING (media_id)
+      GROUP BY a.media_id, a.n, a.seed
+    ),
+    vid AS (
+      SELECT media_id, media_id % 199 AS seed, media_id % 12 + 2 AS t,
+             (media_id % 16 + 4) * 2 AS w, (media_id % 10 + 3) * 2 AS h
+      FROM ids
+    ),
+    vid_v AS (
+      SELECT v.media_id, ((v.seed + 7 * f.f + y.y) % 256) AS val
+      FROM vid v,
+           (SELECT UNNEST(range(0, 13)) AS f) f,
+           (SELECT UNNEST(range(0, 24)) AS y) y
+      WHERE f.f < v.t AND y.y < v.h
+    ),
+    vid_s AS (
+      SELECT v.media_id, 'video' AS kind, 'y4m' AS fmt,
+             CAST(v.t * v.h * v.w AS BIGINT) AS n_units,
+             CAST(v.seed AS INT) AS first_value,
+             CAST(SUM(x.val) * 1000000 // COUNT(*) AS BIGINT) / 1000000.0
+               AS mean_value,
+             CAST(MAX(x.val) AS INT) AS max_value
+      FROM vid v JOIN vid_v x USING (media_id)
+      GROUP BY v.media_id, v.t, v.h, v.w, v.seed
+    )
+    SELECT media_id, kind, fmt, n_units, first_value, mean_value, max_value
+    FROM img_s
+    UNION ALL SELECT media_id, kind, fmt, n_units, first_value, mean_value,
+                     max_value FROM aud_s
+    UNION ALL SELECT media_id, kind, fmt, n_units, first_value, mean_value,
+                     max_value FROM vid_s
+    """,
+)
+def multimodal_unified_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52 unified kernel, oracle-pinned (round 12): the SAME
+    ``decode_media_stats`` Arrow pass the streaming maintainer applies
+    per micro-batch, run batch over a MIXED corpus — real PNG/BMP, WAV
+    and Y4M payloads in one table, one kernel dispatching on sniffed
+    magic — against a DuckDB oracle that recomputes each kind's
+    statistics in closed form.  Pins the dispatch itself: routing a WAV
+    through the image decoder (or any cross-kind confusion) breaks the
+    hash, not just a per-kind defect."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        multimodal.synthesize_image_media(docs, sample_mod=7)
+        .unionByName(multimodal.synthesize_audio_media(docs, sample_mod=7))
+        .unionByName(multimodal.synthesize_video_media(docs, sample_mod=7))
+    )
+    return multimodal.decode_media_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # Subquery surface (OP-19 extension): scalar + correlated subqueries, the
 # decorrelation paths Catalyst must handle for oracle parity with any SQL
