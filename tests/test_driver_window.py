@@ -110,3 +110,45 @@ def test_every_family_has_driver_window_representative():
     }
     uncovered = {fam for fam, members in families.items() if not members & window}
     assert not uncovered, f"families with no driver-window representative: {uncovered}"
+
+
+def test_worker_import_zip_is_complete_and_memoized(tmp_path):
+    """ensure_worker_imports ships a zip from which the package is
+    importable (zipimport), covering every module — cloudpickle
+    references module functions by name, so a missing submodule would
+    fail only at task time on a worker."""
+    import pathlib
+    import zipfile
+
+    import feature_store_healthcare_spark as pkg
+
+    pkg_dir = pathlib.Path(pkg.__file__).resolve().parent
+
+    class _FakeSC:
+        applicationId = "test-app-zip"
+
+        def __init__(self):
+            self.added = []
+
+        def addPyFile(self, path):
+            self.added.append(path)
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    fake = _FakeSpark()
+    catalog._SHIPPED_APPS.discard("test-app-zip")
+    catalog.ensure_worker_imports(fake)
+    assert len(fake.sparkContext.added) == 1
+    archive = fake.sparkContext.added[0]
+    with zipfile.ZipFile(archive) as zf:
+        names = set(zf.namelist())
+    on_disk = {
+        str(p.relative_to(pkg_dir.parent))
+        for p in pkg_dir.rglob("*.py")
+    }
+    assert on_disk <= names  # every module shipped
+    # memoized per applicationId: second call adds nothing
+    catalog.ensure_worker_imports(fake)
+    assert len(fake.sparkContext.added) == 1
+    catalog._SHIPPED_APPS.discard("test-app-zip")
