@@ -2231,6 +2231,72 @@ def multimodal_unified_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_stats(media)
 
 
+@query(
+    "multimodal_real_frame_dedup",
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             doc_id % 199 AS seed,
+             doc_id % 12 + 2 AS t,
+             (doc_id % 16 + 4) * 2 AS w,
+             (doc_id % 10 + 3) * 2 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    frames AS (
+      -- frame content is fully determined by (w, h, v0) where v0 is the
+      -- frame's first luma value: row y holds (v0 + y) % 256 across w
+      SELECT v.media_id, f.f AS frame_idx, v.w, v.h,
+             (v.seed + 7 * f.f) % 256 AS v0
+      FROM vids v, (SELECT UNNEST(range(0, 13)) AS f) f
+      WHERE f.f < v.t
+    ),
+    g AS (
+      SELECT w, h, v0,
+             COUNT(*) AS n_frames,
+             COUNT(DISTINCT media_id) AS n_media,
+             MIN(media_id * 100 + frame_idx) AS keeper_key
+      FROM frames GROUP BY w, h, v0
+      HAVING COUNT(*) > 1
+    )
+    SELECT CAST(keeper_key // 100 AS BIGINT) AS keeper_media_id,
+           CAST(keeper_key % 100 AS INT) AS keeper_frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_media AS BIGINT) AS n_media
+    FROM g
+    """,
+)
+def multimodal_real_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-52 × OP-48 on REAL decoded frames (round 12; the executed-codec
+    counterpart of `multimodal_frame_dedup`'s payload-slice stub):
+    decode every Y4M stream, md5 each frame's luma plane, group
+    cross-video duplicate frames, keep the lexicographically smallest
+    (media_id, frame_idx) survivor.  The oracle never sees the hash — it
+    groups by the closed-form content identity (w, h, first-luma), which
+    is bijective with the decoded plane bytes — so the hash match proves
+    Spark's BYTE-LEVEL frame grouping equals content-identity grouping:
+    any decode defect splits or merges a group and breaks the values.
+    Plan: one narrow decode kernel → one partial-aggregatable groupBy on
+    the hash-uniform signature (the exact-dedup shuffle shape at frame
+    granularity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vids = multimodal.synthesize_video_media(docs, sample_mod=7)
+    sigs = multimodal.real_frame_signatures(vids)
+    keeper = F.min(
+        F.col("media_id") * 100 + F.col("frame_idx")
+    ).alias("keeper_key")
+    out = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+        keeper,
+    )
+    return out.where(F.col("n_frames") > 1).select(
+        F.expr("keeper_key div 100").cast("bigint").alias("keeper_media_id"),
+        (F.col("keeper_key") % 100).cast("int").alias("keeper_frame_idx"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("n_media").cast("bigint").alias("n_media"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery surface (OP-19 extension): scalar + correlated subqueries, the
 # decorrelation paths Catalyst must handle for oracle parity with any SQL
