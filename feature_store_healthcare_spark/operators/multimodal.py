@@ -280,7 +280,10 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_video_media(
-    docs: DataFrame, id_col: str = "doc_id", sample_mod: int = 7
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sample_mod: int = 7,
+    content_mod: int | None = None,
 ) -> DataFrame:
     """REAL encoded video corpus (Y4M/YUV4MPEG2 — uncompressed planar
     frames, the video counterpart of :func:`synthesize_image_media`):
@@ -291,7 +294,12 @@ def synthesize_video_media(
     - frame rate 25:1 for even ids, 30:1 for odd
 
     so the SQL oracle recomputes every per-clip statistic while Spark
-    walks the actual FRAME markers and planes."""
+    walks the actual FRAME markers and planes.  ``content_mod`` makes
+    frame CONTENT derive from ``id % content_mod`` while ``media_id``
+    stays the full id — distinct videos with byte-identical content by
+    construction, the corpus shape the frame-dedup entry needs (the
+    default keeps every id's content unique-ish and the per-clip
+    oracles' closed forms unchanged)."""
     ids = docs.where(F.col(id_col) % sample_mod == 0).select(
         F.col(id_col).cast("long").alias("media_id")
     )
@@ -305,9 +313,10 @@ def synthesize_video_media(
             rows = []
             for media_id in pdf["media_id"]:
                 mid = int(media_id)
-                seed, t = mid % 199, mid % 12 + 2
-                w, h = (mid % 16 + 4) * 2, (mid % 10 + 3) * 2
-                fps = (25, 1) if mid % 2 == 0 else (30, 1)
+                cid = mid % content_mod if content_mod else mid
+                seed, t = cid % 199, cid % 12 + 2
+                w, h = (cid % 16 + 4) * 2, (cid % 10 + 3) * 2
+                fps = (25, 1) if cid % 2 == 0 else (30, 1)
                 col = (
                     seed + 7 * np.arange(t)[:, None] + np.arange(h)[None, :]
                 ) % 256

@@ -2235,11 +2235,14 @@ def multimodal_unified_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_real_frame_dedup",
     """
     WITH vids AS (
+      -- content derives from doc_id % 35 (content_mod): distinct videos
+      -- with byte-identical frame content by construction, media_id
+      -- stays the full id
       SELECT doc_id AS media_id,
-             doc_id % 199 AS seed,
-             doc_id % 12 + 2 AS t,
-             (doc_id % 16 + 4) * 2 AS w,
-             (doc_id % 10 + 3) * 2 AS h
+             (doc_id % 35) % 199 AS seed,
+             (doc_id % 35) % 12 + 2 AS t,
+             ((doc_id % 35) % 16 + 4) * 2 AS w,
+             ((doc_id % 35) % 10 + 3) * 2 AS h
       FROM documents WHERE doc_id % 7 = 0
     ),
     frames AS (
@@ -2279,7 +2282,7 @@ def multimodal_real_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash-uniform signature (the exact-dedup shuffle shape at frame
     granularity)."""
     docs = load_table(spark, sf_dir, "documents")
-    vids = multimodal.synthesize_video_media(docs, sample_mod=7)
+    vids = multimodal.synthesize_video_media(docs, sample_mod=7, content_mod=35)
     sigs = multimodal.real_frame_signatures(vids)
     keeper = F.min(
         F.col("media_id") * 100 + F.col("frame_idx")

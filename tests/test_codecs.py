@@ -316,3 +316,27 @@ class TestSparkRealPath:
             # nearest-neighbor of a constant-across-x gradient stays a
             # function of the SOURCE row index: spot-check pixel (0, 0, 0)
             assert arr[0, 0, 0] == r.media_id % 256
+
+
+class TestRealFrameSignatures:
+    def test_collisions_match_content_identity(self, spark):
+        """Two decoded frames share an md5 signature iff their closed-form
+        content identity (w, h, first-luma) matches — the grouping the
+        multimodal_real_frame_dedup oracle recomputes."""
+        docs = spark.createDataFrame([(i,) for i in range(0, 700, 7)], "doc_id long")
+        vids = multimodal.synthesize_video_media(docs, sample_mod=1, content_mod=35)
+        sigs = multimodal.real_frame_signatures(vids).collect()
+        assert sigs
+        by_sig, by_key = {}, {}
+        for r in sigs:
+            cid = r.media_id % 35
+            seed, w, h = cid % 199, (cid % 16 + 4) * 2, (cid % 10 + 3) * 2
+            key = (w, h, (seed + 7 * r.frame_idx) % 256)
+            by_sig.setdefault(r.sig, set()).add((r.media_id, r.frame_idx))
+            by_key.setdefault(key, set()).add((r.media_id, r.frame_idx))
+        assert sorted(map(sorted, by_sig.values())) == sorted(
+            map(sorted, by_key.values())
+        )
+        # there ARE cross-video collisions in this corpus (the dedup
+        # query is not vacuously empty)
+        assert any(len(v) > 1 for v in by_sig.values())
