@@ -105,169 +105,186 @@ _Q20_QTY_CACHE = PlanCache("q20_potential_promotion.qty")
 #:    local gate runs all catalog entries, so rotation never un-verifies
 #:    anything; it only changes which 50 the driver independently
 #:    re-proves.
-#: 3b. Queries that WRITE catalog tables (the round-7 stored-index twins:
-#:    bm25/perplexity/bigram_stored_postings, hybrid_rrf_stored,
-#:    dedup_incremental_stored_bands; round-8's hybrid_rrf_ivf_stored)
-#:    stay OUT of the driver window deliberately: the driver's
-#:    session makes no warehouse-writability promise, and a failed index
-#:    build would turn a green row red for an environmental reason.  They
-#:    are verified by the local gate (same oracles as their live twins,
-#:    so the hash match proves build→store→probe ≡ single-pass — except
-#:    hybrid_rrf_ivf_stored, whose IVF half is approximate by design and
-#:    carries a recall@10 regression pin instead), measured in bench +
-#:    the rehearsals, and plan-pinned in test_plans.
-#: 4. Family → slots map: relational core 8 (q1, q3, linkage, filter/
-#:    project, expectations, range join, correlated subquery, window);
-#:    EAV/PIT/feature-store 14 (validity-intervals, tie-fallback — which
-#:    subsumes plain latest-per-key, PIT join+interval,
-#:    resample, pivot, null-fill, freshness, ACL, consistency, sha2 ids,
-#:    target-enc, cardinality, serving rollup) + json; time/session/CDC 3;
-#:    dedup+curation 4; chunking/skew/graph 3; similarity+retrieval 3;
-#:    text quality/LM/packing 3; experiments/PMI/MRR 3; privacy 2;
-#:    multimodal 2; drift/analysis/sampling 4.
+#: 3b. Queries that WRITE catalog tables (the stored-index twins) were
+#:    kept OUT of the window through round 11 because the driver session
+#:    makes no warehouse-writability promise.  Round 12 seated one
+#:    (`hybrid_rrf_ivf_exhaustive`) as a deliberate exception and it went
+#:    green — the driver session DOES write — so round 13 seats the rest
+#:    of the stored retrieval family (the r12 verdict's #1 ask): a failed
+#:    index build turns the row red LOUDLY, which is the failure mode we
+#:    want for the engine's production retrieval shapes.  Their live
+#:    single-pass twins stay tail-green under the same oracles (rule 3).
+#: 4. Family → slots map (r13): relational core 12 (linkage,
+#:    expectations, window + TPC-H hard shapes q2/q7/q8/q9/q10/q14/q17/
+#:    q19/q21); EAV/PIT/feature-store 11 (tie-fallback, PIT join +
+#:    interval + directions, trailing windows, pivot, freshness, ACL,
+#:    consistency, target-enc) + json; time/session/CDC 2;
+#:    dedup 3; chunking/graph/profile 3; similarity+retrieval 5 (IVF
+#:    exactness anchor + the 4 stored twins); text/LM/packing 3 +
+#:    bpe-train; privacy 1; multimodal 3; drift/analysis/sampling 5.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ══ round 12: the ledger-debt rotation ══════════════════════════════
-    # VERDICT r11 #1: 81 of 158 catalog queries had never held a green
-    # driver row while all 50 seats were long-green.  This round executes
-    # 15 rule-2 swaps — every eviction is strictly covered by a contract
-    # that STAYS seated (rationale at each line), every seat is a
-    # never-driver-green entry, and every evicted query remains
-    # check_oracle-verified at sf0.01 AND sf0.1 in the tail (rule 3) and,
-    # where it was benched, in HEADLINE.  The historical ledger keeps the
-    # evicted rows' green history; rotation only changes which 50 the
-    # driver independently re-proves THIS round.
+    # ══ round 13: rotation cycle 2 ═══════════════════════════════════════
+    # VERDICT r12 #1: 72 of 164 catalog queries still never-driver-green;
+    # priority list named explicitly (stored retrieval family, real-codec
+    # audio/video twins, bpe_train_merges, dedup_minhash_lsh_shuffled,
+    # column_profile_stats, feature_drift_ks, TPC-H q2/q7/q8/q9/q21).
+    # This round executes 15 rule-2 swaps — every eviction strictly
+    # covered by a contract that STAYS seated (rationale at each line),
+    # every seat a never-driver-green entry, every evicted query still
+    # check_oracle-green at sf0.01 AND sf0.1 in the tail (rule 3).
+    # r12 rationales are preserved in git history (commit ee6ca6e^).
     #
-    # relational core: scan/filter/project/join/agg/window/sort/subquery
-    # r12: `q1_pricing_summary`'s scan + multi-aggregate groupBy is
-    # pinned by `q14_promo_revenue` (same lineitem scan shape, harder
-    # conditional aggregation) + the seated cube entry's grouped multi-
-    # aggs; q1 stays in bench HEADLINE + tail.
+    # relational core: scan/filter/project/join/agg/window/sort/subquery.
+    # The five TPC-H seats are the hardest remaining shapes: q2 (correlated
+    # min-cost subquery re-joining a 4-dim chain), q7 (symmetric cross-
+    # nation pair predicate), q8 (two-nation market share over an 8-table
+    # join), q9 (profit decomposition, LIKE-filtered part), q21 (EXISTS +
+    # NOT EXISTS anti-semi stack).
     "q14_promo_revenue",
-    # r12: `q3_shipping_priority`'s join→agg→topk pipeline is strictly
-    # contained in `q10_returned_items` (four-table join, filtered fact,
-    # same agg→TakeOrdered tail).
     "q10_returned_items",
     "record_linkage_best_match",
-    # r12: `filter_project_lineitem`'s conjunctive filter + projection is
-    # the weakest relational contract in the window — every seated TPC-H
-    # entry pushes filters and prunes columns; `q19_disjunctive_predicates`
-    # additionally pins OR-of-ANDs pushdown through a join.
     "q19_disjunctive_predicates",
     "data_quality_expectations",
-    # r12: `correlated_subquery_customer_max`'s per-key correlated max is
-    # subsumed by `q17_small_quantity_revenue` (correlated scalar AVG
-    # subquery inside the filter — the harder decorrelation shape).
     "q17_small_quantity_revenue",
-    # r12: `window_rank_orders`' ranking-window contract moves to
-    # `window_distribution_ranks` (dense_rank + ntile + percent_rank +
-    # cume_dist in one pass); row_number-per-partition stays driver-
-    # checked inside the seated `record_linkage_best_match` oracle.
     "window_distribution_ranks",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
     # feature-store semantics: EAV, PIT, registry, serving, freshness
-    # r12: `eav_validity_intervals`' SCD2 interval DERIVATION is exercised
-    # inside `pit_interpolated_lookup`'s bracketing table (the LEAD-based
-    # intervalize feeding prev/next in one containment probe), which adds
-    # the interpolation arithmetic on top.
     "pit_interpolated_lookup",
     "eav_latest_tie_fallback",
     "pit_training_join",
-    # r12: `pit_tolerance_join`'s bounded-staleness contract rides inside
-    # `pit_nearest_observation_join`, where the tolerance IS the join
-    # predicate (mandatory, both directions) — plus the nearest-direction
-    # tie order no seated query pinned.  Backward-leak-freeness stays via
-    # the always-seated `pit_training_join`.
     "pit_nearest_observation_join",
-    # r12: `range_join_recent_clicks`' bounded range-join shape (time-
-    # window predicate + per-spine argmin) is exactly the plan of
-    # `pit_forward_label_join` (forward tolerance + earliest-after
-    # argmin) — which also pins the label-attachment direction.
     "pit_forward_label_join",
     "pit_trailing_window_features",
-    "training_set_builder",
-    "resample_daily_ffill",
+    # r13: `training_set_builder` rotates out — it is a pure composition
+    # of three contracts that each stay driver-checked: point_in_time_join
+    # (`pit_training_join`), trailing_window_agg
+    # (`pit_trailing_window_features`), and the md5-range split tag
+    # (`target_encoding_loo`'s fold assignment uses the same
+    # deterministic md5-hex-range CASE).  Stays tail-green + benched.
+    # r13: `resample_daily_ffill` rotates out — calendar-spine LOCF is a
+    # backward as-of lookup over a generated grid (the exact semantics of
+    # the always-seated `pit_training_join`), and the bracket machinery
+    # is pinned HARDER by the seated `pit_interpolated_lookup`
+    # (intervalize + interpolation ⊃ carry-forward).
+    # r13: `null_fill_defaults` rotates out — its plan is latest_per_key
+    # + tiebreak (seated `eav_latest_tie_fallback`) left-joined to a
+    # spine with the SAME freshness CASE as the seated
+    # `freshness_classification`; the COALESCE default is the only novel
+    # cell and every drift/profile grid in the window pins COALESCE(x,0).
     "pit_feature_vector_wide",
-    "null_fill_defaults",
     "freshness_classification",
     "acl_filtered_features",
     "online_offline_consistency",
     "target_encoding_loo",
-    "cardinality_monitoring",
+    # r13: `cardinality_monitoring` rotates out — grouped exact-distinct
+    # monitoring is contained in the incoming `column_profile_stats`
+    # (per-column row/null/DISTINCT/minmax, the wider ANALYZE contract);
+    # grouped count aggregation stays pinned by the seated cube entry.
     "json_extract_events",
     # time semantics: windows, sessions; CDC changelog materialization
     "sessionize_events",
     "cdc_apply_changes",
-    # dedup family (exact + near-dup) and curation
+    # dedup family (exact + near-dup)
     "dedup_exact_fingerprint",
-    "dedup_minhash_lsh",
-    # r12: `sha2_feature_ids`' deterministic-hash-id contract (sha2 over
-    # canonical concat) is pinned by the seated
-    # `dedup_exact_fingerprint` (same hash family over normalized text,
-    # same hex determinism); its slot funds the INCREMENTAL near-dup
-    # contract — corpus-vs-new-batch LSH pairing without re-pairing the
-    # old corpus, the steady-state production shape.
+    # r13: `dedup_minhash_lsh` → `dedup_minhash_lsh_shuffled`: SAME oracle
+    # (two physical strategies, one semantic — the pit_interval_join
+    # precedent), but the seated entry now drives the shuffled band-key
+    # equi-join, the ONLY strategy that survives when the band table is
+    # #docs × bands ≈ billions of rows.  The broadcast variant stays
+    # tail-green under the identical oracle.
+    "dedup_minhash_lsh_shuffled",
     "dedup_incremental_minhash",
-    "corpus_curation_pipeline",
+    # r13: `corpus_curation_pipeline` rotates out — a composition of
+    # quality gates (seated `text_stats_by_lang_source`: same
+    # token_count/punct_ratio/digit_ratio projections) and exact dedup
+    # keep-min (seated `dedup_exact_fingerprint`: same md5(normalize)
+    # fingerprint + min-keeper).  Stays tail-green + benched.
     "events_cube_stats",
-    # corpus chunking + shuffle-skew diagnostics + iterative graph
+    # corpus chunking + profiling + iterative graph
     "rag_chunk_documents",
-    "join_key_skew_profile",
+    # r13: `join_key_skew_profile` rotates out — the operators.profile
+    # family slot moves to `column_profile_stats` (the wider per-column
+    # profiling contract from the same module); skew-profile's
+    # count→top-k tail is pinned by the seated `q10_returned_items`
+    # (agg→TakeOrdered) and its entropy normalization by the seated
+    # drift entry's distribution arithmetic.
+    "column_profile_stats",
     "pagerank_supplier_parts",
-    # similarity search + retrieval (lexical, hybrid fusion)
-    "embedding_topk_bruteforce",
-    "bm25_lexical_topk",
-    # r12: `hybrid_rrf_retrieval` rotates out for
-    # `hybrid_rrf_ivf_exhaustive` — the SAME SQL oracle (the pit_interval_
-    # join precedent: second physical strategy, identical contract), but
-    # the seated entry now drives the STORED postings + IVF index path at
-    # nprobe=n_centroids, so the driver row proves
-    # build→store→prune→probe→re-rank ≡ the exact plan.  Documented
-    # rule-3b exception (the build writes the warehouse once per
-    # session, overwrite semantics): the exactness anchor is the
-    # retrieval family's strongest contract and the r11 verdict flagged
-    # it as never driver-proved; a write-failure turns the row red
-    # LOUDLY, which is the correct failure mode.
+    # similarity search + retrieval.  r13 seats the STORED retrieval
+    # family (verdict #1 priority): each has the SAME oracle as its live
+    # twin, so a green row proves build→store→probe ≡ single-pass — the
+    # production shape at 100 TB where indexes amortize across queries.
+    # Rule-3b exception extended from r12's seated IVF anchor (driver
+    # session writes the warehouse; build failure reds the row loudly).
+    # r13: `embedding_topk_bruteforce` rotates out — its exact-cosine
+    # top-k contract rides INSIDE the seated `hybrid_rrf_ivf_exhaustive`
+    # (dense half at nprobe=n_centroids ≡ exhaustive cosine over the same
+    # embeddings, same oracle arithmetic) which additionally pins fusion
+    # + the stored-index path.
     "hybrid_rrf_ivf_exhaustive",
+    # r13: `bm25_lexical_topk` (live) → `bm25_stored_postings`: identical
+    # oracle; the stored entry runs the live scoring arithmetic PLUS
+    # the persisted-postings build/read path.
+    "bm25_stored_postings",
+    # r13: `hybrid_rrf_stored` seats the stored exact-fusion twin (same
+    # oracle as the r11-evicted live `hybrid_rrf_retrieval`).
+    "hybrid_rrf_stored",
+    "perplexity_stored_postings",
+    # r13: `bigram_lm_fluency` (live) → `bigram_lm_stored_postings`:
+    # identical oracle; the stored entry adds the persisted bigram/unigram
+    # count tables the production scorer reads.
+    "bigram_lm_stored_postings",
     # text analysis + LM-based quality + packing
     "bpe_encode_fertility",
-    # r12: `doc_perplexity_quality`'s unigram-LM fold is contained in the
-    # bigram entry's history-conditional fold (`bigram_lm_fluency` is the
-    # catalog's hardest LM contract: vocabulary-sized history table +
-    # per-doc fold); the perplexity arithmetic stays oracle-verified in
-    # the tail and benched.
-    "bigram_lm_fluency",
+    # r13: `bpe_train_merges` seats the TRAINER behind the seated encode
+    # entry (verdict priority): 6 rounds of pair-count→argmax→merge vs an
+    # unrolled 6-stage SQL oracle — the iterative-agg contract no other
+    # seated query pins.
+    "bpe_train_merges",
     "sequence_packing_report",
-    # experiments, association mining, retrieval eval
-    "cuped_experiment_analysis",
-    "session_cooccurrence_pmi",
-    "retrieval_self_mrr",
-    # PHI content governance + retention (operators.privacy)
+    # r13: `cuped_experiment_analysis` rotates out — its covariance/
+    # variance adjustment arithmetic (theta = cov/var over centered
+    # moments) is pinned by the seated `embedding_covariance_stats`
+    # (the r12 correlation-matrix precedent); grouped means are pinned
+    # window-wide.
+    # r13: `session_cooccurrence_pmi` rotates out — its sessionization IS
+    # the seated `sessionize_events` operator (same resample.sessionize
+    # call), and the log joint/marginal count-ratio algebra is pinned by
+    # the incoming `bigram_lm_stored_postings` (conditional log-prob over
+    # pair + marginal counts) and the seated `dsir_importance_resample`
+    # (log-ratio of smoothed distributions).
+    # r13: `retrieval_self_mrr` rotates out — its ranking windows are
+    # pinned by the seated `window_distribution_ranks` and the underlying
+    # retrieval scoring by the now-4-strong seated stored retrieval
+    # family; the reciprocal-of-argmin projection is scalar arithmetic.
+    # PHI content governance (operators.privacy)
     "phi_scrub_notes",
-    "retention_sweep",
-    # multimodal: r12 — `multimodal_image_features`' byte-stat plumbing
-    # (schema, Arrow batching, binary transport) is a strict subset of
-    # `multimodal_real_decode`, which runs the SAME mapInPandas shape and
-    # additionally decodes REAL PNG/BMP payloads back to pixels against a
-    # closed-form oracle (round-12 codec work).
+    # r13: `retention_sweep` rotates out — its age-vs-cutoff two-class
+    # CASE counts are a strict subset of the seated
+    # `freshness_classification` (three-class age CASE over the same
+    # max(ts)-anchored arithmetic); the DELETE-selection filter semantics
+    # are pinned by the seated ACL gate.
+    # multimodal: r13 seats the real WAV + Y4M codec twins (verdict
+    # priority: fresh r12 code should be driver-visible first) beside the
+    # seated PNG/BMP entry — same mapInPandas kernel-chain shape, audio
+    # adds PCM sample statistics, video adds frame extraction.
     "multimodal_real_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
     # feature analysis / drift / sampling
-    # r12: `feature_correlation_matrix`'s normalized-moment arithmetic is
-    # a fixed projection over the same centered-moment machinery
-    # `embedding_covariance_stats` pins (the r11 mutual-info precedent) —
-    # and the covariance entry is the harder layout: array-typed columns,
-    # single long-form aggregate, mirrored marginal cells.
     "embedding_covariance_stats",
-    "feature_drift_psi",
-    # r12: `serving_metrics_rollup`'s exact grouped percentiles stay
-    # driver-checked through `robust_outlier_stats` (grouped
-    # percentile_cont median + MAD — percentile OVER a derived column,
-    # the harder shape); its count/avg/hit-rate arithmetic is pinned by
-    # the seated cube entry's grouped stats.
+    # r13: `feature_drift_psi` → `feature_drift_ks`: the KS entry reuses
+    # PSI's exact bin-grid scaffolding (same operators.drift module, same
+    # smoothed-count grid CTEs) and ADDS per-key cumulative-distribution
+    # windows — the harder contract; PSI's log-ratio-of-smoothed-shares
+    # algebra stays pinned by the seated `dsir_importance_resample` and
+    # the PSI row stays tail-green.
+    "feature_drift_ks",
     "robust_outlier_stats",
-    # r12: `corpus_rollup`'s hierarchical grouping-set aggregation is
-    # strictly contained in the seated `events_cube_stats` (CUBE combos
-    # ⊃ ROLLUP combos, GROUPING() flags pinned there); its slot funds the
-    # DSIR importance-resampling contract — the r11 flagship sampling op
-    # the verdict named as carrying only local proof.
     "dsir_importance_resample",
     "text_stats_by_lang_source",
 )

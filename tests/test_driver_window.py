@@ -90,23 +90,40 @@ def test_every_family_has_driver_window_representative():
                                  "bm25_lexical_topk", "hybrid_rrf_retrieval",
                                  "hybrid_rrf_ivf_exhaustive"},
         "text-quality": {"text_quality_scores", "doc_perplexity_quality",
-                         "bigram_lm_fluency"},
+                         "bigram_lm_fluency", "perplexity_stored_postings",
+                         "text_stats_by_lang_source"},
         "graph": {"pagerank_supplier_parts"},
-        "skew-diagnostics": {"join_key_skew_profile"},
+        # round 13: the second rotation cycle coarsened four single-member
+        # families along the same lines as the rule-2 evictions — each
+        # merged family's machinery is pinned by a seated member of the
+        # merged set (rationales at the _DRIVER_PRIORITY lines):
+        # skew-diagnostics → profiling (both are operators.profile);
+        # experiments joins the covariance family (CUPED's theta=cov/var
+        # IS the centered-moment machinery); association + retrieval-eval
+        # fold into the LM/retrieval families whose log-count-ratio and
+        # ranking arithmetic they reuse.
+        "profiling": {"join_key_skew_profile", "column_profile_stats"},
         "chunking-packing": {"rag_chunk_documents", "sequence_packing_report"},
-        "experiments": {"cuped_experiment_analysis"},
-        "association": {"session_cooccurrence_pmi"},
-        "retrieval-eval": {"retrieval_self_mrr"},
+        "experiments-covariance": {"cuped_experiment_analysis",
+                                   "embedding_covariance_stats"},
+        "association-lm": {"session_cooccurrence_pmi", "bigram_lm_fluency",
+                           "bigram_lm_stored_postings"},
+        "retrieval-eval": {"retrieval_self_mrr", "bm25_stored_postings",
+                           "hybrid_rrf_stored"},
         "privacy-retention": {"phi_scrub_notes", "retention_sweep"},
         "multimodal": {"multimodal_media_stats", "multimodal_image_features",
-                       "multimodal_real_decode"},
-        "drift-analysis": {"feature_drift_psi", "feature_correlation_matrix",
+                       "multimodal_real_decode", "multimodal_audio_decode",
+                       "multimodal_video_decode"},
+        "drift-analysis": {"feature_drift_psi", "feature_drift_ks",
+                           "feature_correlation_matrix",
                            "feature_label_mutual_info"},
         # round 11: training_set_builder materializes the hash-split
-        # labels verbatim (sampling.split_label_sql), so it carries the
-        # family's driver representation while the standalone report
-        # rotates through the tail
-        "sampling-splits": {"train_test_split_report", "training_set_builder"},
+        # labels verbatim (sampling.split_label_sql); round 13 rotated it
+        # out for the seated dsir_importance_resample, the sampling
+        # family's flagship (hash_split's md5-range CASE is pinned by the
+        # seated target_encoding_loo fold assignment)
+        "sampling-splits": {"train_test_split_report", "training_set_builder",
+                            "dsir_importance_resample"},
     }
     uncovered = {fam for fam, members in families.items() if not members & window}
     assert not uncovered, f"families with no driver-window representative: {uncovered}"
@@ -152,3 +169,65 @@ def test_worker_import_zip_is_complete_and_memoized(tmp_path):
     catalog.ensure_worker_imports(fake)
     assert len(fake.sparkContext.added) == 1
     catalog._SHIPPED_APPS.discard("test-app-zip")
+
+
+def test_stays_green_canary_assertion(tmp_path):
+    """The rotation's stays-green canary (round-12 verdict ask #2) must be
+    an ASSERTION, not a report: any query green in round N-1 that re-reds
+    in round N exits 1; rotation churn (green rows leaving the window)
+    never does."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    old = tmp_path / "CORRECTNESS_old.json"
+    new = tmp_path / "CORRECTNESS_new.json"
+    tool = Path(__file__).resolve().parent.parent / "tools" / "window_debt.py"
+
+    def run(old_doc, new_doc):
+        old.write_text(_json.dumps(old_doc))
+        new.write_text(_json.dumps(new_doc))
+        return subprocess.run(
+            [_sys.executable, str(tool), "--assert-no-regression",
+             str(old), str(new)],
+            capture_output=True, text=True,
+        )
+
+    # 1. synthetic regression: green -> red must exit 1 and name the query
+    r = run({"q_a": green, "q_b": green}, {"q_a": green, "q_b": red})
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "REGRESSION q_b" in r.stdout
+
+    # 2. rotation churn: a green row ABSENT from the new round is info-only
+    r = run({"q_a": green, "q_b": green}, {"q_a": green, "q_new": green})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "rotated out" in r.stdout
+
+    # 3. a red row that was already red never regresses
+    r = run({"q_a": red}, {"q_a": red})
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_stays_green_canary_on_committed_ledger():
+    """The real ledger must satisfy the canary across the last committed
+    round transition — the command COVERAGE.md documents."""
+    import subprocess
+    import sys as _sys
+
+    repo = Path(__file__).resolve().parent.parent
+    rounds = sorted(
+        int(p.stem.split("_r")[1]) for p in repo.glob("CORRECTNESS_r*.json")
+    )
+    if len(rounds) < 2:
+        return
+    tool = repo / "tools" / "window_debt.py"
+    r = subprocess.run(
+        [_sys.executable, str(tool), "--assert-no-regression",
+         f"r{rounds[-2]}", f"r{rounds[-1]}"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
