@@ -1,0 +1,113 @@
+"""Bench contamination detectors (round-12 VERDICT ask #4 + ADVICE #1).
+
+Drives the PRODUCTION detector functions in bench.py with a synthetic
+CPU burst — a load source that starts and subsides INSIDE one sentinel
+segment, the exact scenario the bracket detector is blind to by
+construction — and asserts the floor-relative guard catches it, retries
+through it, and keeps the flag up when the load never subsides.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def test_sentinel_blind_to_intra_segment_burst_floor_guard_catches():
+    """The documented blindness: a burst contained between two sentinel
+    samples leaves both brackets clean (no sentinel flag) while the
+    queries measured during it run hot — only the floor-relative guard
+    sees that."""
+    # segment 0 holds q_a/q_b; both bracket samples (cal[0], cal[1]) are
+    # idle-clean because the burst started after cal[0] and ended before
+    # cal[1]
+    cal = [0.3, 0.3, 0.3]
+    seg_of = {"q_a": 0, "q_b": 0, "q_c": 1}
+    base = min(sorted(cal)[len(cal) // 2], 0.45)
+    assert bench.contaminated_segments(cal, seg_of, base) == set()
+
+    floors = {"q_a": 1.0, "q_b": 2.0, "q_c": 1.0}
+    timings = {"q_a": 3.1, "q_b": 2.2, "q_c": 1.0}  # burst hit q_a hard
+    assert bench.over_floor(timings, floors) == {"q_a"}
+
+
+def test_floor_retry_recovers_when_burst_subsides():
+    """Synthetic load through the production retry path: the first two
+    re-timings still run under the burst, the third lands clean — the
+    flag must clear and the timing must settle on the clean sample."""
+    burst = iter([3.0, 2.9, 1.0])  # load subsides on the 3rd retry
+
+    def retime(name: str) -> float:
+        return next(burst)
+
+    timings = {"q_hot": 3.2}
+    flagged = bench.floor_retry_pass(timings, {"q_hot": 1.0}, retime)
+    assert flagged == set()
+    assert timings["q_hot"] == 1.0
+
+
+def test_floor_retry_keeps_flag_under_persistent_load_or_regression():
+    """A burst that never subsides (or a genuine plan regression) must
+    stay machine-readable after the bounded retries — an upper-bound
+    claim, never silently swallowed."""
+    calls = []
+
+    def retime(name: str) -> float:
+        calls.append(name)
+        return 3.0
+
+    timings = {"q_hot": 3.2, "q_ok": 0.9}
+    flagged = bench.floor_retry_pass(timings, {"q_hot": 1.0, "q_ok": 1.0}, retime)
+    assert flagged == {"q_hot"}
+    assert len(calls) == bench._CONTAM_RETRIES  # bounded
+    assert timings["q_ok"] == 0.9  # clean queries never re-timed
+
+
+def test_idle_ceiling_clamped_against_loaded_startup():
+    """r12 ADVICE #1: a host already loaded at bench start inflates every
+    startup sample; the ceiling must not follow them up unboundedly,
+    or whole-run contamination becomes unflaggable."""
+    idle = bench._CAL_IDLE_SEC
+    # clean startup: best sample under the pinned bound keeps the bound
+    assert bench.idle_ceiling_from([0.2, 0.3, 0.25]) == idle
+    # moderately slower hardware: auto-adjusts to the best sample
+    assert bench.idle_ceiling_from([0.9, 1.1, 0.8]) == 0.8
+    # fully loaded startup: clamped to the small multiple, NOT 5.0
+    assert (
+        bench.idle_ceiling_from([5.0, 4.8, 5.2])
+        == bench._CAL_CEIL_CLAMP * idle
+    )
+    # one clean scheduling slot among loaded samples wins (min-of-N)
+    assert bench.idle_ceiling_from([5.0, 0.3, 5.2]) == idle
+
+
+def test_whole_run_contamination_flaggable_with_clamped_ceiling():
+    """The scenario the clamp exists for: every sentinel sample inflated
+    together (r10: loadavg ~10 for the entire run).  With the old
+    one-sample ceiling the cut tracked the load and nothing flagged;
+    with the clamp, samples beyond _CONTAM_RATIO × clamp × idle flag."""
+    cal = [3.0, 3.1, 2.9, 3.0]  # whole run under heavy load
+    seg_of = {"q_a": 0, "q_b": 1, "q_c": 2}
+    ceiling = bench.idle_ceiling_from(cal[:3])  # loaded startup too
+    base = min(sorted(cal)[len(cal) // 2], ceiling)
+    flagged = bench.contaminated_segments(cal, seg_of, base)
+    assert flagged == {"q_a", "q_b", "q_c"}
+
+
+def test_load_floor_record_reads_committed_bench_local():
+    """bench.py must read per-query floors from the committed
+    BENCH_LOCAL.json (the single authoritative floor record BASELINE.md
+    points to) and only at the matching SF."""
+    path = Path(bench.__file__).resolve().parent / "BENCH_LOCAL.json"
+    rec = json.loads(path.read_text())
+    floors = bench.load_floor_record(rec["sf"])
+    assert floors == rec["queries"]
+    assert len(floors) > 50
+    # sf mismatch → no floors → the guard stands down rather than
+    # comparing apples to oranges
+    assert bench.load_floor_record("0.000001-nonexistent") == {}
