@@ -462,7 +462,7 @@ MEDIA_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_media_stats(media: DataFrame) -> DataFrame:
+def decode_media_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Unified REAL-decode statistics over a mixed media table — ONE
     Arrow kernel dispatching on the sniffed container: PNG/BMP → pixel
     values, WAV → |amplitude| of channel 0, Y4M → luma values.  The
@@ -471,7 +471,23 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     pass, one output table — see
     ``streaming.pipeline.streaming_media_stats_maintenance``).
     ``n_units`` counts decoded values, ``first_value`` pins
-    orientation/byte order, the mean floors in integer micro-units."""
+    orientation/byte order, the mean floors in integer micro-units.
+
+    ``on_error`` (r12 ADVICE #2) decides what a null / truncated /
+    out-of-profile payload does:
+
+    - ``"raise"`` (default, the batch/oracle-parity path): the decode
+      exception propagates — corrupt input in a curated batch table is
+      a bug to surface, not data.
+    - ``"null"``: the row survives as ``fmt='error'`` with ``n_units=0``
+      and null value stats — the STREAMING posture, where one poison
+      payload must not fail the micro-batch before its idempotency
+      marker is written (availableNow retries would replay the same
+      batch forever).
+    - ``"skip"``: the row is dropped silently.
+    """
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(f"on_error must be raise|null|skip, got {on_error!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -488,16 +504,35 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
             for media_id, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
-                payload = bytes(content) if content is not None else b""
-                fmt = sniff_format(payload)
-                if fmt == "wav":
-                    samples, _ = decode_wav(payload)
-                    vals = np.abs(samples[:, 0].astype(np.int64))
-                elif fmt == "y4m":
-                    frames, _ = decode_y4m(payload)
-                    vals = frames.reshape(-1).astype(np.int64)
-                else:
-                    vals = decode_image(payload).reshape(-1).astype(np.int64)
+                try:
+                    payload = bytes(content) if content is not None else b""
+                    fmt = sniff_format(payload)
+                    if fmt == "wav":
+                        samples, _ = decode_wav(payload)
+                        vals = np.abs(samples[:, 0].astype(np.int64))
+                    elif fmt == "y4m":
+                        frames, _ = decode_y4m(payload)
+                        vals = frames.reshape(-1).astype(np.int64)
+                    else:
+                        vals = decode_image(payload).reshape(-1).astype(np.int64)
+                    if vals.size == 0:
+                        raise ValueError("decoded payload holds zero units")
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "null":
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "kind": kind,
+                                "fmt": "error",
+                                "n_units": 0,
+                                "first_value": None,
+                                "mean_value": None,
+                                "max_value": None,
+                            }
+                        )
+                    continue
                 rows.append(
                     {
                         "media_id": media_id,

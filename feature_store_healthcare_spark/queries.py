@@ -299,6 +299,41 @@ def _ordered(names: dict[str, object]) -> list[str]:
 #: applicationIds the package zip has already been shipped to
 _SHIPPED_APPS: set[str] = set()
 
+#: one zip per PROCESS, not per application (r12 ADVICE #4: a mkdtemp per
+#: new applicationId leaked temp dirs in a long-lived process cycling
+#: SparkSessions) — keyed by the newest module mtime so an edited package
+#: rebuilds, and registered with atexit so the last zip is removed.
+_PKG_ZIP: dict[str, str] = {}
+
+
+def _package_zip() -> str:
+    """Build (or reuse) the process-wide package archive.  Rebuilds only
+    when a module's mtime moved past the cached build; the stale zip is
+    deleted eagerly and the live one at interpreter exit."""
+    import atexit
+    import pathlib
+    import shutil
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    stamp = str(max(p.stat().st_mtime_ns for p in pkg_dir.rglob("*.py")))
+    if _PKG_ZIP.get("stamp") == stamp:
+        return _PKG_ZIP["path"]
+    if "dir" in _PKG_ZIP:
+        shutil.rmtree(_PKG_ZIP["dir"], ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="fshs_pkg_")
+    if not _PKG_ZIP:  # first build this process: register exit cleanup once
+        atexit.register(
+            lambda: shutil.rmtree(_PKG_ZIP.get("dir", ""), ignore_errors=True)
+        )
+    archive = os.path.join(tmp, f"{pkg_dir.name}.zip")
+    with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    _PKG_ZIP.update({"stamp": stamp, "dir": tmp, "path": archive})
+    return archive
+
 
 def ensure_worker_imports(spark: SparkSession) -> None:
     """Make ``feature_store_healthcare_spark`` importable on PYTHON
@@ -313,21 +348,12 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     package once per application via ``addPyFile`` (the standard PySpark
     dependency mechanism — workers insert shipped archives into
     ``sys.path`` per task) removes the cwd assumption.  Idempotent per
-    applicationId; a no-op cost after the first call."""
+    applicationId; the archive itself is built once per process and
+    reused across applications (r12 ADVICE #4)."""
     app = spark.sparkContext.applicationId
     if app in _SHIPPED_APPS:
         return
-    import pathlib
-    import tempfile
-    import zipfile
-
-    pkg_dir = pathlib.Path(__file__).resolve().parent
-    tmp = tempfile.mkdtemp(prefix="fshs_pkg_")
-    archive = os.path.join(tmp, f"{pkg_dir.name}.zip")
-    with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
-    spark.sparkContext.addPyFile(archive)
+    spark.sparkContext.addPyFile(_package_zip())
     _SHIPPED_APPS.add(app)
 
 

@@ -436,7 +436,15 @@ def streaming_media_stats_maintenance(
     A blind replay would duplicate stat rows, so the same
     (txn_id, batch_id) marker discipline as the index maintainers
     guards the append (:func:`_idempotent_foreach_batch`).  The stats
-    table is read by PATH (no catalog refresh hook needed)."""
+    table is read by PATH (no catalog refresh hook needed).
+
+    Poison-pill posture (r12 ADVICE #2): the decode runs with
+    ``on_error="null"`` — a null / truncated / out-of-profile payload
+    becomes an ``fmt='error'`` row with null stats instead of raising.
+    Without this, one bad payload fails the micro-batch BEFORE its
+    idempotency marker is written and every availableNow retry replays
+    the same poison batch forever; the error rows keep the failure
+    visible (and countable) in the stats table itself."""
     from feature_store_healthcare_spark import tableops
     from feature_store_healthcare_spark.operators import multimodal
 
@@ -444,7 +452,7 @@ def streaming_media_stats_maintenance(
         path,
         txn_id or checkpoint_dir,
         lambda batch_df: tableops.append(
-            multimodal.decode_media_stats(batch_df), path
+            multimodal.decode_media_stats(batch_df, on_error="null"), path
         ),
     )
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)

@@ -47,12 +47,26 @@ def newer_condition(ts_col: str, tiebreak: Iterable[str] = ()) -> str:
     ``s`` (state) aliases: strict lexicographic (ts_col, *tiebreak)
     comparison — exactly the argmax order ``tableops.upsert`` applies via
     ``cdc.latest_change``, so both implementations keep the same row.
-    Pure string construction (unit-testable without Delta)."""
+    Pure string construction (unit-testable without Delta).
+
+    NULL ordering (r12 ADVICE #5): ``cdc.latest_change`` is a
+    ``max(struct(...))`` argmax where NULL sorts LOWEST — a non-NULL
+    value beats NULL at every comparison level.  A bare ``b.c > s.c``
+    is null-unsafe (NULL on either side → no update), which silently
+    diverged when the STATE row held a NULL ts: argmax would replace it,
+    the MERGE would not.  Each level is therefore
+    ``(b.c > s.c) OR (b.c IS NOT NULL AND s.c IS NULL)`` — NULL loses,
+    both-NULL falls through to the next tiebreak level via the
+    null-safe ``<=>`` equality, matching the argmax bit-for-bit."""
     cols = [ts_col, *tiebreak]
     clauses = []
     for i, col in enumerate(cols):
         eqs = [f"b.`{c}` <=> s.`{c}`" for c in cols[:i]]
-        clauses.append(" AND ".join([*eqs, f"b.`{col}` > s.`{col}`"]))
+        gt = (
+            f"(b.`{col}` > s.`{col}` "
+            f"OR (b.`{col}` IS NOT NULL AND s.`{col}` IS NULL))"
+        )
+        clauses.append(" AND ".join([*eqs, gt]))
     return " OR ".join(f"({c})" for c in clauses)
 
 

@@ -143,15 +143,28 @@ def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
 
 
 def _replayed(spark: SparkSession, table: str, txn_id: str, batch_id: int) -> bool:
-    snaps = spark.sql(f"SELECT summary FROM {table}.snapshots").collect()
-    for row in snaps:
-        summary = row.summary or {}
-        if (
-            summary.get("fshs-txn-id") == txn_id
-            and summary.get("fshs-batch-id") == str(batch_id)
-        ):
-            return True
-    return False
+    """Has a snapshot stamped (txn_id, batch_id) already committed?
+
+    The predicate is pushed into SQL with LIMIT 1 (r12 ADVICE #3: the
+    original collected the ENTIRE ``.snapshots`` metadata table to the
+    driver per append — O(total commits) per batch, quadratic over a
+    long-lived stream).  ``summary`` is a MAP column; element lookups
+    filter engine-side, and at most one row ever reaches the driver."""
+    rows = spark.sql(
+        f"""
+        SELECT 1 FROM {table}.snapshots
+        WHERE summary['fshs-txn-id'] = '{_sql_quote(txn_id)}'
+          AND summary['fshs-batch-id'] = '{_sql_quote(str(batch_id))}'
+        LIMIT 1
+        """
+    ).collect()
+    return bool(rows)
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a string literal for embedding in the snapshot-property
+    predicate (txn ids are caller-supplied)."""
+    return s.replace("'", "''")
 
 
 def append_idempotent(

@@ -231,3 +231,39 @@ def test_stays_green_canary_on_committed_ledger():
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_worker_import_zip_reused_across_applications(tmp_path):
+    """r12 ADVICE #4: the package archive is built once per PROCESS and
+    reused across SparkSessions (keyed by module mtime), instead of
+    leaking one mkdtemp per applicationId."""
+    from feature_store_healthcare_spark import queries as catalog
+
+    class _SC:
+        def __init__(self, app):
+            self.applicationId = app
+            self.added = []
+
+        def addPyFile(self, path):
+            self.added.append(path)
+
+    class _Spark:
+        def __init__(self, app):
+            self.sparkContext = _SC(app)
+
+    a, b = _Spark("test-app-reuse-1"), _Spark("test-app-reuse-2")
+    for app in ("test-app-reuse-1", "test-app-reuse-2"):
+        catalog._SHIPPED_APPS.discard(app)
+    try:
+        catalog.ensure_worker_imports(a)
+        catalog.ensure_worker_imports(b)
+        assert a.sparkContext.added == b.sparkContext.added  # same archive
+        # stale-stamp path: a bumped mtime stamp forces a rebuild into a
+        # FRESH dir and eagerly removes the old one
+        old_dir = catalog._PKG_ZIP["dir"]
+        catalog._PKG_ZIP["stamp"] = "stale"
+        fresh = catalog._package_zip()
+        assert fresh != a.sparkContext.added[0] or not Path(old_dir).exists()
+    finally:
+        for app in ("test-app-reuse-1", "test-app-reuse-2"):
+            catalog._SHIPPED_APPS.discard(app)

@@ -1063,3 +1063,49 @@ def test_streaming_media_stats_maintenance_matches_batch_decode(spark, tmp_path)
     # marker scope required, exactly as for the other maintainers
     with pytest.raises(ValueError, match="txn_id"):
         sp.streaming_media_stats_maintenance(stream, path)
+
+
+def test_media_stats_maintenance_survives_poison_payload(spark, tmp_path):
+    """r12 ADVICE #2: one null / garbage payload in a micro-batch must
+    not fail the batch before its idempotency marker is written (an
+    availableNow retry would replay the same poison batch forever).
+    The maintainer decodes with on_error='null', so poison rows land as
+    fmt='error' null-stat rows and the stream completes."""
+    from feature_store_healthcare_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    good = multimodal.synthesize_image_media(docs, sample_mod=1)
+    poison = spark.createDataFrame(
+        [(901, "image", None), (902, "audio", bytearray(b"not-a-container"))],
+        "media_id long, kind string, content binary",
+    ).withColumn(
+        "meta",
+        F.lit(None).cast(multimodal.MEDIA_SCHEMA["meta"].dataType),
+    )
+    src = tmp_path / "poison_in"
+    good.unionByName(poison).write.parquet(str(src / "b1"))
+
+    # batch posture unchanged: the default RAISES on the poison row
+    with pytest.raises(Exception):
+        multimodal.decode_media_stats(
+            spark.read.schema(multimodal.MEDIA_SCHEMA).parquet(str(src / "b1"))
+        ).collect()
+
+    path = str(tmp_path / "poison_stats")
+    stream = (
+        spark.readStream.schema(multimodal.MEDIA_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    writer = sp.streaming_media_stats_maintenance(stream, path, txn_id="poison1")
+    _run_available_now(writer, tmp_path, "media_poison")
+
+    rows = {r["media_id"]: r for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 4  # 2 good + 2 poison, nothing dropped
+    for mid in (901, 902):
+        assert rows[mid]["fmt"] == "error"
+        assert rows[mid]["n_units"] == 0
+        assert rows[mid]["first_value"] is None
+        assert rows[mid]["mean_value"] is None
+    for mid in (0, 1):
+        assert rows[mid]["fmt"] in ("png", "bmp") and rows[mid]["n_units"] > 0

@@ -48,15 +48,69 @@ class TestSeamParity:
         assert {"txn_id", "batch_id"} <= set(sig.parameters)
 
     def test_newer_condition_single_column(self):
-        assert tableops_delta.newer_condition("ts") == "(b.`ts` > s.`ts`)"
+        assert tableops_delta.newer_condition("ts") == (
+            "((b.`ts` > s.`ts` OR (b.`ts` IS NOT NULL AND s.`ts` IS NULL)))"
+        )
 
     def test_newer_condition_lexicographic_tiebreak(self):
         got = tableops_delta.newer_condition("ts", ["seq", "src"])
+        gt = "(b.`{c}` > s.`{c}` OR (b.`{c}` IS NOT NULL AND s.`{c}` IS NULL))"
         assert got == (
-            "(b.`ts` > s.`ts`)"
-            " OR (b.`ts` <=> s.`ts` AND b.`seq` > s.`seq`)"
-            " OR (b.`ts` <=> s.`ts` AND b.`seq` <=> s.`seq` AND b.`src` > s.`src`)"
+            f"({gt.format(c='ts')})"
+            f" OR (b.`ts` <=> s.`ts` AND {gt.format(c='seq')})"
+            f" OR (b.`ts` <=> s.`ts` AND b.`seq` <=> s.`seq` AND {gt.format(c='src')})"
         )
+
+    def test_newer_condition_null_ordering_matches_argmax(self, spark):
+        """r12 ADVICE #5: the generated guard must place NULL lowest at
+        every level, mirroring cdc.latest_change's max(struct) argmax —
+        checked by evaluating the SQL on in-memory rows (no Delta
+        runtime needed: the condition is plain Spark SQL)."""
+        cond = tableops_delta.newer_condition("ts", ["seq"])
+        cases = [
+            # (batch ts, batch seq, state ts, state seq, should_update)
+            (2, 0, 1, 0, True),     # plain newer
+            (1, 0, 2, 0, False),    # plain older
+            (None, 0, 1, 0, False), # NULL batch ts loses to non-NULL state
+            (1, 0, None, 0, True),  # non-NULL batch beats NULL state ts
+            (None, 2, None, 1, True),   # both NULL ts → seq tiebreak
+            (None, 1, None, 1, False),  # full tie → keep state
+            (None, None, None, 1, False),  # NULL seq loses at tie level
+            (None, 1, None, None, True),
+        ]
+        df = spark.createDataFrame(
+            [(i, *c[:4]) for i, c in enumerate(cases)],
+            "id long, b_ts long, b_seq long, s_ts long, s_seq long",
+        )
+        sql_cond = (
+            cond.replace("b.`ts`", "b_ts").replace("s.`ts`", "s_ts")
+            .replace("b.`seq`", "b_seq").replace("s.`seq`", "s_seq")
+        )
+        from pyspark.sql import functions as F
+
+        got = {
+            r["id"]: bool(r["u"])
+            for r in df.select(
+                "id", F.coalesce(F.expr(sql_cond), F.lit(False)).alias("u")
+            ).collect()
+        }
+        want = {i: c[4] for i, c in enumerate(cases)}
+        assert got == want
+        # and the argmax oracle agrees: for each case, latest_per_key
+        # over {state, batch} picks the batch row iff should_update
+        from feature_store_healthcare_spark.operators.pit import latest_per_key
+
+        for i, (bts, bseq, sts, sseq, want_update) in enumerate(cases):
+            pair = spark.createDataFrame(
+                [("state", sts, sseq), ("batch", bts, bseq)],
+                "who string, ts long, seq long",
+            ).withColumn("k", F.lit(1))
+            win = latest_per_key(pair, ["k"], "ts", tiebreak=["seq"]).collect()[0]
+            # ties keep state in the MERGE; argmax breaks full ties on
+            # the residual payload column, so only compare when the
+            # (ts, seq) order is strict
+            if (bts, bseq) != (sts, sseq):
+                assert (win["who"] == "batch") == want_update, (i, win)
 
     def test_module_imports_without_delta(self):
         # the gate must sit on CALLS, not on import

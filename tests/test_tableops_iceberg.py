@@ -45,17 +45,45 @@ class TestSeamParity:
         got = tableops_iceberg.merge_into_sql(
             "cat.db.state", "batch_v", ["k1", "k2"], "ts", ["seq"]
         )
+        gt = "(b.`{c}` > s.`{c}` OR (b.`{c}` IS NOT NULL AND s.`{c}` IS NULL))"
         assert got == (
             "MERGE INTO cat.db.state s USING batch_v b "
             "ON b.`k1` <=> s.`k1` AND b.`k2` <=> s.`k2` "
-            "WHEN MATCHED AND ((b.`ts` > s.`ts`)"
-            " OR (b.`ts` <=> s.`ts` AND b.`seq` > s.`seq`)) "
+            f"WHEN MATCHED AND (({gt.format(c='ts')})"
+            f" OR (b.`ts` <=> s.`ts` AND {gt.format(c='seq')})) "
             "THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
 
     def test_module_imports_without_iceberg(self):
         assert tableops_iceberg.upsert is not None
+
+    def test_replayed_pushes_predicate_and_limit(self):
+        """r12 ADVICE #3: the replay probe must filter the .snapshots
+        metadata table engine-side with LIMIT 1, never collect all
+        snapshot summaries to the driver (O(total commits) per append).
+        Runs without an Iceberg runtime by capturing the SQL text."""
+        issued = []
+
+        class _FakeDF:
+            def collect(self):
+                return []
+
+        class _FakeSpark:
+            def sql(self, q):
+                issued.append(q)
+                return _FakeDF()
+
+        hit = tableops_iceberg._replayed(
+            _FakeSpark(), "cat.db.t", "txn-o'brien", 7
+        )
+        assert hit is False
+        assert len(issued) == 1
+        q = " ".join(issued[0].split())
+        assert "FROM cat.db.t.snapshots" in q
+        assert "summary['fshs-txn-id'] = 'txn-o''brien'" in q  # quoted
+        assert "summary['fshs-batch-id'] = '7'" in q
+        assert q.rstrip().endswith("LIMIT 1")
 
 
 @pytest.mark.skipif(
