@@ -122,6 +122,13 @@ HEADLINE = [
     # build+append; min-of-N reports the amortized delta-only score)
     "dsir_importance_resample",
     "dsir_incremental_stored",
+    # round-13 (VERDICT ask #5): the stored-PCA probe — the catalog's
+    # production shape (expression path, rows-only driver check; its
+    # exactness anchor embedding_pca_exhaustive is oracle-paired).  First
+    # timed run pays the one-time build_pca_index; min-of-N reports the
+    # amortized probe.  The BLAS serve twin is EXTRA
+    # embedding_pca_stored_blas, comparable 1:1 with embedding_pca_topk.
+    "embedding_pca_stored",
 ]
 
 
@@ -231,6 +238,40 @@ def bench_embedding_pca_topk(spark, sf_dir):
     )
 
 
+_PCA_STORED: dict = {}
+
+
+def bench_embedding_pca_stored_blas(spark, sf_dir):
+    """PCA ANN against the DISK index (similarity.build_pca_index) on the
+    BLAS serve kernel (pca_topk_from_index_blas): coarse L2 + exact
+    re-rank fused into one mapInPandas pass over the projected scan — no
+    Gram pass, no eigendecomposition, no corpus re-projection, no coarse
+    pair table (round-12 VERDICT ask #5).  Same 100-query shape as the
+    live `embedding_pca_topk` twin, so the two lines compare 1:1 (sf0.1
+    idle: 3.6 s live-expression → 1.1 s stored-BLAS).  First timed run
+    pays the one-time build; min-of-N reports the amortized probe —
+    the steady-state production cost."""
+    import hashlib
+
+    from feature_store_healthcare_spark.stores import local_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PCA_STORED:
+        wh = local_path(spark.conf.get("spark.sql.warehouse.dir"))
+        path = os.path.join(
+            wh, f"bench_pca_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
+        comps, mean = similarity.build_pca_index(emb, path, pca_dim=32)
+        _PCA_STORED[sf_dir] = (path, comps, mean)
+    path, comps, mean = _PCA_STORED[sf_dir]
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pca_topk_from_index_blas(
+        spark, path, q, k=5, rerank_factor=8, components=comps, mean=mean
+    )
+
+
 EXTRA = {
     "dedup_minhash_lsh_fast": bench_minhash_fast,
     "embedding_topk_blas": bench_embedding_topk_blas,
@@ -238,6 +279,7 @@ EXTRA = {
     "embedding_ivf_topk": bench_embedding_ivf_topk,
     "embedding_ivf_stored": bench_embedding_ivf_stored,
     "embedding_pca_topk": bench_embedding_pca_topk,
+    "embedding_pca_stored_blas": bench_embedding_pca_stored_blas,
 }
 
 
@@ -345,6 +387,23 @@ def over_floor(timings: dict[str, float], floors: dict[str, float]) -> set[str]:
         for name, sec in timings.items()
         if name in floors and floors[name] > 0 and sec > _FLOOR_RATIO * floors[name]
     }
+
+
+def floor_safe_out_path(out_path: str, sf_val) -> str:
+    """Floor-record protection (round 13): BENCH_LOCAL.json is the single
+    authoritative per-query floor record (BASELINE.md), recorded at the
+    driver's bench SF.  A quick iteration run at a DIFFERENT sf must not
+    clobber it — divert those writes to an sf-suffixed sibling.  Refreshing
+    floors at the recorded SF (or writing the first record) stays in place.
+    """
+    try:
+        with open(out_path) as fh:
+            committed_sf = json.load(fh).get("sf")
+    except (OSError, ValueError):
+        committed_sf = None
+    if committed_sf is not None and committed_sf != sf_val:
+        return out_path[: -len(".json")] + f"_sf{sf_val}.json"
+    return out_path
 
 
 def floor_retry_pass(
@@ -512,6 +571,7 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    out_path = floor_safe_out_path(out_path, sf_val)
     try:
         with open(out_path, "w") as fh:
             json.dump(full, fh, indent=1)

@@ -1087,6 +1087,7 @@ def pca_topk(
     components=None,
     mean=None,
     projected_corpus: DataFrame | None = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN with PCA compression: coarse top-(k·rerank_factor)
     candidates by EUCLIDEAN distance in the ``pca_dim`` projection (PCA
@@ -1144,11 +1145,15 @@ def pca_topk(
         F.col(query_id).alias("__qid"),
         F.col("embedding").alias("__qv"),
     ).withColumn("__qn", _norm(F.col("__qv"), dim=dim))
-    scored = candidates.join(F.broadcast(qv), "__qid").withColumn(
-        "cosine",
-        _dot(F.col("__qv"), F.col("embedding"), dim=dim)
-        / (F.col("__qn") * _norm(F.col("embedding"), dim=dim)),
+    cos = _dot(F.col("__qv"), F.col("embedding"), dim=dim) / (
+        F.col("__qn") * _norm(F.col("embedding"), dim=dim)
     )
+    if round_decimals is not None:
+        # round BEFORE ranking so ties break on the corpus id identically
+        # in Spark and an external SQL oracle (the catalog determinism
+        # convention every exact scorer follows)
+        cos = F.round(cos, round_decimals)
+    scored = candidates.join(F.broadcast(qv), "__qid").withColumn("cosine", cos)
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1159,6 +1164,255 @@ def pca_topk(
             "cosine",
             "rank",
         )
+    )
+
+
+def build_pca_index(
+    corpus: DataFrame,
+    path: str,
+    pca_dim: int = 32,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Fit PCA once and persist BOTH halves of the compressed-scan index
+    (round-12 VERDICT ask #5 — ``pca_topk`` refit the covariance pass +
+    eigendecomposition on every call):
+
+    * ``path`` — the projected corpus: one row per vector with
+      ``(__cid, __p array<double>[pca_dim], embedding)``.  Probes scan
+      this instead of re-projecting; the full-dim column rides along so
+      the exact re-rank needs no join back to the raw corpus.
+    * ``path + "__model"`` — the fitted model: ``pca_dim`` component
+      rows + the mean (+ explained variance), a (k+2)-row side file, the
+      same bounded-small-side shape as the IVF ``__centroids`` file.
+
+    Same build→probe lifecycle as :func:`build_ivf_index` /
+    ``retrieval.build_postings_index`` / ``dedup.build_band_index``: the
+    build pays one corpus scan for the Gram statistics and one for the
+    projection write; every later probe pays only the projected scan
+    (:func:`pca_topk_from_index`).  Returns ``(components, mean)``.
+    """
+    comps, var, mean = pca_fit(corpus, emb_col, dim=dim, k=pca_dim)
+    proj = pca_project(corpus, comps, mean, emb_col=emb_col, out_col="__p")
+    proj.select(
+        F.col(corpus_id).alias("__cid"),
+        "__p",
+        F.col(emb_col).alias("embedding"),
+    ).write.mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    rows = [("comp", i, [float(x) for x in comps[i]]) for i in range(len(comps))]
+    rows.append(("mean", 0, [float(x) for x in mean]))
+    rows.append(("var", 0, [float(x) for x in var]))
+    spark.createDataFrame(
+        rows, "part string, idx int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}__model")
+    return comps, mean
+
+
+def load_pca_model(spark, path: str):
+    """Reload a stored PCA index's model half (k+2 rows — bounded collect,
+    like :func:`load_ivf_centroids`).  Returns ``(components[k,d],
+    mean[d])`` as float64 arrays, bit-identical to what
+    :func:`build_pca_index` returned (parquet doubles round-trip exactly)."""
+    rows = spark.read.parquet(f"{path}__model").collect()
+    comps = np.asarray(
+        [r.vec for r in sorted(
+            (r for r in rows if r.part == "comp"), key=lambda r: r.idx
+        )],
+        dtype=np.float64,
+    )
+    mean = np.asarray(
+        next(r.vec for r in rows if r.part == "mean"), dtype=np.float64
+    )
+    return comps, mean
+
+
+def append_pca_index(
+    delta: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Grow a stored PCA index in place: project the delta batch with the
+    index's EXISTING model (fail-fast read — a missing model file means
+    the index was never built, and nothing is written) and append to the
+    projected-corpus parquet — the PCA half of the incremental lifecycle
+    (:func:`append_ivf_index` for lists, ``append_postings_index`` for
+    terms, ``append_band_index`` for bands).
+
+    Like the IVF centroids, the model is the QUANTIZER, not a corpus
+    statistic: projection is per-row deterministic given (components,
+    mean), so an appended index is bit-identical to re-projecting the
+    full corpus with the ORIGINAL model, and every probe matches the
+    from-scratch index exactly (test-pinned).  What an append cannot do
+    is re-fit: a drifting corpus degrades the spectrum the components
+    captured (recall falls at fixed rerank_factor), so rebuild on the
+    cadence recall monitoring dictates — the same retrain-vs-append
+    economics as IVF."""
+    spark = delta.sparkSession
+    comps, mean = load_pca_model(spark, path)
+    proj = pca_project(delta, comps, mean, emb_col=emb_col, out_col="__p")
+    proj.select(
+        F.col(corpus_id).alias("__cid"),
+        "__p",
+        F.col(emb_col).alias("embedding"),
+    ).write.mode("append").parquet(path)
+
+
+def pca_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 8,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    components=None,
+    mean=None,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """:func:`pca_topk` against a stored :func:`build_pca_index` — same
+    results (the projection is the SAME stored (components, mean) on both
+    paths, so coarse distances and tie behavior are identical), but the
+    probe pays ONLY the projected scan: no Gram pass, no
+    eigendecomposition, no corpus re-projection.  At 100 TB the per-batch
+    saving is the two extra corpus scans the live path spends fitting;
+    locally it turns the catalog's #2 bench line (~3.8 s live) into a
+    sub-second probe.
+
+    ``pca_dim`` is read off the stored model (its row count), so probes
+    can't disagree with the index about the projection width.
+
+    Exactness anchor (the ``hybrid_rrf_ivf_exhaustive`` recipe): with
+    ``k·rerank_factor ≥ |corpus|`` the coarse stage keeps every
+    candidate, so the (rounded, id-tiebroken) ranking is definitionally
+    the exact cosine top-k — the oracle-checked catalog entry
+    ``embedding_pca_exhaustive`` runs THIS code path in that
+    configuration; the production ``rerank_factor=8`` configuration's
+    only unverified delta is which candidates the coarse cut drops
+    (recall-pinned vs the exact scorer in tests)."""
+    if components is None or mean is None:
+        components, mean = load_pca_model(spark, path)
+    projected = spark.read.parquet(path)
+    return pca_topk(
+        queries,
+        None,  # corpus unused: model + projection both come from the index
+        k=k,
+        pca_dim=len(components),
+        rerank_factor=rerank_factor,
+        dim=dim,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        components=components,
+        mean=mean,
+        projected_corpus=projected,
+        round_decimals=round_decimals,
+    )
+
+
+def pca_topk_from_index_blas(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    exclude_self: bool = True,
+    components=None,
+    mean=None,
+    max_query_rows: int = 4096,
+) -> DataFrame:
+    """BLAS form of :func:`pca_topk_from_index` — the BENCH/SERVE variant
+    (the :func:`cosine_topk_blas` convention: oracle-checked entries stay
+    on the bit-exact expression path; serving probes take the kernel).
+
+    The bounded query batch is collected and projected DRIVER-side (a
+    |Q|×d matmul — microseconds), then ONE ``mapInPandas`` pass over the
+    stored projected corpus fuses both stages per Arrow batch: coarse
+    squared-L2 against the batch's projections as a single |Q|×b matmul,
+    local top-(k·rerank_factor) per query, and the exact full-dim cosine
+    of just those survivors — so neither the |Q|·|corpus| coarse pair
+    table nor a separate re-rank join ever materializes.  Two windows
+    over the (batches·|Q|·k·rf)-row candidate table then apply the global
+    coarse cut (d2 asc, id) and the final rank (cosine desc, id) — the
+    same two-stage semantics as the expression path, with float64-matmul
+    scores (~1 ulp from the unrolled expression; batch-boundary coarse
+    ties can differ, a recall-grade not correctness-grade delta, pinned
+    in tests).  Measured at sf0.1: 3.4 s (expression plan, codegen-bound)
+    → sub-second; the at-scale win is the matmul kernel replacing a
+    per-pair scalar chain, the local win is skipping that plan's janino
+    compile."""
+    if components is None or mean is None:
+        components, mean = load_pca_model(spark, path)
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    q_rows = (
+        queries.select(query_id, "embedding").limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pca_topk_from_index_blas query side exceeds max_query_rows="
+            f"{max_query_rows}: the kernel broadcasts the query matrix in "
+            "its closure. Pass a smaller batch, raise the bound "
+            "deliberately, or use pca_topk_from_index."
+        )
+    q_ids = np.asarray([r[0] for r in q_rows])
+    q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if len(q_mat) == 0:
+        empty = spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
+        return empty
+    qp = (q_mat - mu) @ comps.T  # |Q| × pca_dim, driver-side
+    qp_sq = (qp * qp).sum(axis=1)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    m = k * rerank_factor
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__cid"].to_numpy()
+            P = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__p"]])
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            d2 = qp_sq[:, None] - 2.0 * (qp @ P.T) + (P * P).sum(axis=1)[None, :]
+            if exclude_self:
+                d2 = np.where(q_ids[:, None] == ids[None, :], np.inf, d2)
+            top = min(m, d2.shape[1])
+            idx = np.argpartition(d2, top - 1, axis=1)[:, :top]
+            # exact full-dim cosine of the local coarse survivors only
+            cos = np.einsum("qd,qmd->qm", qn, Xn[idx])
+            sel_d2 = np.take_along_axis(d2, idx, axis=1)
+            keep = np.isfinite(sel_d2).ravel()
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, top)[keep],
+                    corpus_id: ids[idx].ravel()[keep],
+                    "__d2": sel_d2.ravel()[keep],
+                    "cosine": cos.ravel()[keep],
+                }
+            )
+
+    cand = spark.read.parquet(path).mapInPandas(
+        kernel,
+        schema=f"{query_id} long, {corpus_id} long, __d2 double, cosine double",
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.col("__d2"), F.col(corpus_id))
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        cand.withColumn("__cr", F.row_number().over(w1))
+        .where(F.col("__cr") <= m)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
     )
 
 

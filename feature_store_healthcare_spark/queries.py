@@ -5223,6 +5223,102 @@ def hybrid_rrf_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STORED_PCA_MEMO: dict[tuple, tuple] = {}
+
+
+def _stored_pca(spark: SparkSession, sf_dir: str, pca_dim: int = 32):
+    """Build-once-per-session stored PCA index over the embeddings corpus
+    (similarity.build_pca_index: projected-corpus parquet + (k+2)-row
+    model side file); returns (path, components, mean).  OVERWRITE
+    semantics on first use in a session, sf-scoped path — same contract
+    as :func:`_stored_ivf` (pca_dim in the key for the same reason
+    n_centroids is: a 64-dim request must never be served a memoized
+    32-dim projection)."""
+    key = (spark.sparkContext.applicationId, sf_dir, pca_dim)
+    if key not in _STORED_PCA_MEMO:
+        name = f"fshs_pca{pca_dim}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        path = os.path.join(_writable_warehouse(spark), name)
+        emb = load_table(spark, sf_dir, "embeddings")
+        comps, mean = similarity.build_pca_index(emb, path, pca_dim=pca_dim)
+        _STORED_PCA_MEMO[key] = (path, comps, mean)
+    return _STORED_PCA_MEMO[key]
+
+
+@query("embedding_pca_stored")  # no oracle BY DESIGN: the coarse 32-dim
+# L2 cut at rerank_factor=8 is PCA-approximate, so there is no SQL this
+# configuration is exactly equal to (the eigenvectors exist only in the
+# engine).  Its exactness anchor is `embedding_pca_exhaustive` (registered
+# right below with the exact cosine top-k oracle): the SAME stored-index
+# code path with the coarse cut widened to the whole corpus hash-matches
+# the exact scorer at every SF, so the only unverified delta here is
+# which candidates the coarse cut drops — measured by the recall@5
+# regression pin vs the exact scorer (tests/test_pca.py), the same
+# verification recipe as `hybrid_rrf_ivf_stored`.
+def embedding_pca_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ OP-50 production shape of the PCA-compressed ANN (round-12
+    VERDICT ask #5): the live `pca_topk` refit covariance + eigenvectors
+    and re-projected the corpus EVERY call (~3.8 s, the #2 bench line);
+    this probes the stored index (similarity.build_pca_index /
+    pca_topk_from_index) so a repeat probe pays only the projected scan
+    — coarse top-(k·8) by 32-dim L2 over the stored projections, exact
+    full-dim cosine re-rank of the candidates.  First call in a session
+    pays the one-time build, the bench's min-of-N reports the amortized
+    probe (the steady-state production cost), same lifecycle as the
+    stored postings/IVF/band indexes."""
+    path, comps, mean = _stored_pca(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pca_topk_from_index(
+        spark, path, q, k=10, rerank_factor=8,
+        components=comps, mean=mean, round_decimals=4,
+    )
+
+
+@query(
+    "embedding_pca_exhaustive",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid, {_COSINE_SQL.format(a='qv', b='cv')} AS cosine
+      FROM q CROSS JOIN c WHERE qid <> cid
+    )
+    SELECT qid AS query_id, cid AS vec_id, cosine, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def embedding_pca_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ Exactness anchor for `embedding_pca_stored` (the
+    `hybrid_rrf_ivf_exhaustive` recipe): the IDENTICAL stored-index code
+    path — same build_pca_index artifacts, same load_pca_model read, same
+    pca_topk_from_index plumbing (stored-projection coarse stage, salted
+    top-k cut, full-dim re-rank) — but with the coarse cut widened to the
+    whole corpus (k·rerank_factor ≥ |corpus|): every candidate survives
+    stage 1, so the (4-decimal-rounded, id-tiebroken) ranking is
+    definitionally the exact cosine top-k and the SQL oracle is exact.
+    The hash match proves fit→store→load→project→cut→re-rank ≡ the
+    single-pass exact scorer; a defect anywhere in the stored-PCA
+    machinery (model round-trip, projection append, coarse distance)
+    breaks it.  The rerank_factor=8 production configuration's remaining
+    delta is then ONLY which candidates the coarse cut drops — exactly
+    what the recall@5 pin measures."""
+    path, comps, mean = _stored_pca(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pca_topk_from_index(
+        spark, path, q, k=10, rerank_factor=(n // 10) + 1,
+        components=comps, mean=mean, round_decimals=4,
+    )
+
+
 @query("perplexity_stored_postings", _PERPLEXITY_ORACLE)
 def perplexity_stored_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """★ Unigram-LM perplexity against the STORED postings index

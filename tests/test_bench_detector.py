@@ -111,3 +111,21 @@ def test_load_floor_record_reads_committed_bench_local():
     # sf mismatch → no floors → the guard stands down rather than
     # comparing apples to oranges
     assert bench.load_floor_record("0.000001-nonexistent") == {}
+
+
+def test_floor_record_protected_from_other_sf_runs(tmp_path):
+    """A quick iteration run at a different SF must not clobber the
+    committed sf0.1 floor record — it diverts to an sf-suffixed sibling;
+    same-SF refreshes and first writes stay in place (round 13)."""
+    import json
+
+    from bench import floor_safe_out_path
+
+    p = str(tmp_path / "BENCH_LOCAL.json")
+    assert floor_safe_out_path(p, 0.01) == p  # first write
+    with open(p, "w") as fh:
+        json.dump({"sf": 0.1}, fh)
+    assert floor_safe_out_path(p, 0.01) == str(
+        tmp_path / "BENCH_LOCAL_sf0.01.json"
+    )
+    assert floor_safe_out_path(p, 0.1) == p  # same-SF refresh

@@ -340,3 +340,153 @@ class TestRealFrameSignatures:
         # there ARE cross-video collisions in this corpus (the dedup
         # query is not vacuously empty)
         assert any(len(v) > 1 for v in by_sig.values())
+
+
+class TestForeignWriterConformance:
+    """Round-12 VERDICT ask #6: the codec oracles prove SELF-round-trip;
+    these fixtures are written byte-by-byte IN THE TEST from each format's
+    published layout (RFC 2083 §6 filter formulas, BITMAPINFOHEADER,
+    RIFF/WAVE, the YUV4MPEG2 wiki grammar) by an independent in-test
+    encoder — deliberately choosing layouts our encoders NEVER produce
+    (top-down BMP with a pixel-data gap, per-row mixed PNG filters +
+    split IDAT + ancillary chunks, WAV with odd-length skipped chunks and
+    an 18-byte fmt, Y4M with reordered/extra header params and non-neutral
+    chroma) — so "both sides share the same bug" is ruled out."""
+
+    def test_bmp_topdown_with_pixel_gap(self):
+        import struct
+
+        # 3x2 RGB, known pixels; TOP-DOWN rows (negative biHeight) and an
+        # 8-byte gap between headers and pixel data (bfOffBits = 62) —
+        # our encoder always writes bottom-up with offset 54.
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+             [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+            dtype=np.uint8,
+        )
+        w, h = 3, 2
+        stride = (w * 3 + 3) // 4 * 4  # 12: rows pad to 4-byte multiples
+        rows = b""
+        for y in range(h):  # top-down: row 0 first
+            line = b""
+            for x in range(w):
+                r, g, b = px[y, x]
+                line += bytes([b, g, r])  # BGR per spec
+            rows += line + b"\x00" * (stride - len(line))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 0, 0, 0, 0
+        )
+        header = struct.pack("<2sIHHI", b"BM", 62 + len(rows), 0, 0, 62)
+        payload = header + info + b"\xEE" * 8 + rows  # gap bytes ≠ pixels
+        assert sniff_format(payload) == "bmp"
+        np.testing.assert_array_equal(decode_bmp(payload), px)
+
+    def test_png_mixed_filters_split_idat_ancillary_chunks(self):
+        import binascii
+        import struct
+        import zlib
+
+        # 5x3 RGB with per-row filters 0..4 computed by the RFC 2083 §6
+        # formulas in plain-int Python (independent of codecs' numpy
+        # implementation), zlib level 9, IDAT split mid-stream, tEXt
+        # chunks before and after the IDAT run.
+        h, w, ch = 5, 3, 3
+        px = ((np.arange(h * w * ch) * 37 + 11) % 251).astype(np.uint8)
+        px = px.reshape(h, w, ch)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        stream = b""
+        for y in range(h):
+            f = y  # row y gets filter type y
+            raw = [int(v) for v in px[y].ravel()]
+            prior = [int(v) for v in px[y - 1].ravel()] if y else [0] * (w * ch)
+            out = []
+            for x in range(w * ch):
+                left = raw[x - ch] if x >= ch else 0
+                up = prior[x]
+                up_left = prior[x - ch] if x >= ch else 0
+                pred = {
+                    0: 0,
+                    1: left,
+                    2: up,
+                    3: (left + up) // 2,
+                    4: paeth(left, up, up_left),
+                }[f]
+                out.append((raw[x] - pred) % 256)
+            stream += bytes([f]) + bytes(out)
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", binascii.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        comp = zlib.compress(stream, 9)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"Software\x00not-our-encoder")
+            + chunk(b"IDAT", comp[:7])
+            + chunk(b"IDAT", comp[7:])
+            + chunk(b"tEXt", b"Comment\x00trailing ancillary")
+            + chunk(b"IEND", b"")
+        )
+        assert sniff_format(payload) == "png"
+        np.testing.assert_array_equal(decode_png(payload), px)
+
+    def test_wav_extended_fmt_and_odd_skipped_chunks(self):
+        import struct
+
+        # stereo PCM16 with: a LIST INFO chunk of ODD length (pad byte per
+        # the word-alignment rule), an 18-byte WAVEFORMATEX fmt (cbSize=0
+        # extension — still PCM), a fact chunk, and data NOT last-written
+        # by our 44-byte canonical encoder.
+        samples = [(-32768, 32767), (1000, -1000), (0, 513), (-7, 7)]
+        data = b"".join(struct.pack("<hh", left, right) for left, right in samples)
+        fmt18 = struct.pack("<HHIIHHH", 1, 2, 8000, 8000 * 4, 4, 16, 0)
+        info = b"INFOIART" + struct.pack("<I", 5) + b"spec\x00"  # odd: 5
+        payload_chunks = (
+            b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"  # pad
+            + b"fmt " + struct.pack("<I", len(fmt18)) + fmt18
+            + b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(samples))
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + len(payload_chunks)) + b"WAVE"
+            + payload_chunks
+        )
+        assert sniff_format(payload) == "wav"
+        arr, rate = decode_wav(payload)
+        assert rate == 8000
+        np.testing.assert_array_equal(
+            arr, np.array(samples, dtype=np.int16)
+        )
+
+    def test_y4m_reordered_params_frame_params_nonneutral_chroma(self):
+        from feature_store_healthcare_spark.operators.codecs import decode_y4m
+
+        # C444 stream with header params in a foreign order plus unknown
+        # X/A/I params, per-frame parameter strings after FRAME, and
+        # chroma planes carrying real (non-128) data — our encoder writes
+        # a fixed param order, bare FRAME markers, neutral chroma.
+        w, h = 3, 2
+        luma0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+        luma1 = (luma0 + 100).astype(np.uint8)
+        u = bytes(range(10, 10 + w * h))
+        v = bytes(range(200, 200 + w * h))
+        payload = (
+            b"YUV4MPEG2 C444 Ip F30001:1000 A128:117 Xyscss=444 W3 H2\n"
+            + b"FRAME Xinterlace=progressive\n" + luma0.tobytes() + u + v
+            + b"FRAME\n" + luma1.tobytes() + u + v
+        )
+        assert sniff_format(payload) == "y4m"
+        frames, fps = decode_y4m(payload)
+        assert fps == (30001, 1000)
+        np.testing.assert_array_equal(frames, np.stack([luma0, luma1]))

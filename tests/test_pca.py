@@ -106,6 +106,159 @@ def test_pca_topk_recall_vs_exact(spark):
         assert abs(ex[key] - ap[key]) < 1e-12
 
 
+def test_pca_stored_index_roundtrip(spark, tmp_path):
+    """build_pca_index → load_pca_model round-trips the fitted model
+    bit-exactly (parquet doubles are lossless), and pca_topk_from_index
+    equals the in-session pca_topk with the same model at the SAME
+    production rerank_factor — the store/load/probe plumbing adds no
+    numeric or ordering delta."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pca_idx")
+    comps, mean = similarity.build_pca_index(emb, path, pca_dim=32)
+    lc, lm = similarity.load_pca_model(spark, path)
+    np.testing.assert_array_equal(lc, comps)
+    np.testing.assert_array_equal(lm, mean)
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    live = similarity.pca_topk(
+        q, emb, k=5, pca_dim=32, rerank_factor=8, components=comps, mean=mean
+    ).collect()
+    stored = similarity.pca_topk_from_index(
+        spark, path, q, k=5, rerank_factor=8
+    ).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, live))
+
+
+def test_pca_append_equals_rebuild(spark, tmp_path):
+    """append_pca_index projects the delta with the STORED model, so the
+    grown index is bit-identical to projecting the full corpus with the
+    original model — every probe result matches exactly (the IVF append
+    contract, PCA half)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "pca_grow")
+    comps, mean = similarity.build_pca_index(base, path, pca_dim=32)
+    similarity.append_pca_index(delta, path)
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    grown = similarity.pca_topk_from_index(
+        spark, path, q, k=5, rerank_factor=8
+    ).collect()
+    # full reprojection with the ORIGINAL (base-fitted) model
+    proj = similarity.pca_project(emb, comps, mean, out_col="__p").select(
+        F.col("vec_id").alias("__cid"), "__p", "embedding"
+    )
+    full = similarity.pca_topk(
+        q, emb, k=5, pca_dim=32, rerank_factor=8,
+        components=comps, mean=mean, projected_corpus=proj,
+    ).collect()
+    assert sorted(map(tuple, grown)) == sorted(map(tuple, full))
+
+
+def test_pca_append_missing_index_fails_fast(spark, tmp_path):
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(Exception):
+        similarity.append_pca_index(emb, str(tmp_path / "never_built"))
+
+
+def test_pca_stored_recall_vs_exact(spark, tmp_path):
+    """The catalog `embedding_pca_stored` configuration (stored index,
+    k=10, rerank_factor=8) recall-pinned vs the exact scorer — the same
+    bracket `hybrid_rrf_ivf_stored` carries for its nprobe cut."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pca_recall")
+    similarity.build_pca_index(emb, path, pca_dim=32)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, emb, k=5)
+    approx = similarity.pca_topk_from_index(spark, path, q, k=5, rerank_factor=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert e, "exact result empty"
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"stored PCA-ANN recall {recall:.2f} too low"
+
+
+def test_pca_blas_probe_matches_expression_path(spark, tmp_path):
+    """pca_topk_from_index_blas at an exhaustive coarse cut returns the
+    same (query, candidate) sets and ~1-ulp-equal cosines as the
+    expression path — the cosine_topk_blas equivalence contract, stored-PCA
+    half.  At the production rerank_factor it is recall-pinned instead
+    (batch-boundary coarse ties may differ)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "pca_blas")
+    similarity.build_pca_index(emb, path, pca_dim=32)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rf = (n // 5) + 1  # k·rf ≥ corpus: coarse cut keeps everything
+    expr = similarity.pca_topk_from_index(spark, path, q, k=5, rerank_factor=rf)
+    blas = similarity.pca_topk_from_index_blas(
+        spark, path, q, k=5, rerank_factor=rf
+    )
+    e = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in expr.collect()}
+    b = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in blas.collect()}
+    assert set(e) == set(b) and e
+    for key in e:
+        assert e[key][0] == b[key][0]
+        assert abs(e[key][1] - b[key][1]) < 1e-9
+
+    # production config: recall-pinned vs exact
+    exact = similarity.cosine_topk(q, emb, k=5)
+    approx = similarity.pca_topk_from_index_blas(
+        spark, path, q, k=5, rerank_factor=8
+    )
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_pca_blas_probe_bounds_query_side(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pca_bound")
+    similarity.build_pca_index(emb, path, pca_dim=32)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.pca_topk_from_index_blas(
+            spark, path, q, k=5, max_query_rows=10
+        )
+
+
 def test_pca_topk_reusable_index(spark):
     from pyspark.sql import functions as F
 

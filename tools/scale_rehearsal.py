@@ -137,6 +137,19 @@ REHEARSAL = [
     # delta-sized pass + a ≤256·batches-row distribution read (index
     # bootstrap amortized like the other stored entries)
     "dsir_incremental_stored",
+    # round-13 (VERDICT ask #3): linkage at ×20 customer — the ×20 build
+    # replicates c_name VERBATIM per replica, so every block densifies
+    # ×20 and probes ×20: in-block levenshtein pairs grow ×400, the
+    # worst-case block-skew bracket (cost is Σ|block|·|probes in block|;
+    # the blocking-key width is the caller's dial)
+    "record_linkage_best_match",
+    # round-13 (VERDICT ask #5): stored-PCA probe flat-vs-live at ×50
+    # embeddings — live refits Gram+eigh+projection per call, the stored
+    # probes pay only the projected scan (catalog expression shape and
+    # the BLAS serve twin, 1:1 with embedding_pca_topk's 100-query batch)
+    "embedding_pca_topk",
+    "embedding_pca_stored",
+    "embedding_pca_stored_blas",
 ]
 
 #: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
