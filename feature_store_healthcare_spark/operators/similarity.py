@@ -1145,8 +1145,16 @@ def pca_topk(
         F.col(query_id).alias("__qid"),
         F.col("embedding").alias("__qv"),
     ).withColumn("__qn", _norm(F.col("__qv"), dim=dim))
+    # corpus-side norm: read the build-time __n when the projected corpus
+    # carries one (stored index — same unrolled expression at build, so
+    # values are bit-identical), else compute it here (live path)
+    c_norm = (
+        F.col("__n")
+        if projected_corpus is not None and "__n" in projected_corpus.columns
+        else _norm(F.col("embedding"), dim=dim)
+    )
     cos = _dot(F.col("__qv"), F.col("embedding"), dim=dim) / (
-        F.col("__qn") * _norm(F.col("embedding"), dim=dim)
+        F.col("__qn") * c_norm
     )
     if round_decimals is not None:
         # round BEFORE ranking so ties break on the corpus id identically
@@ -1195,10 +1203,15 @@ def build_pca_index(
     """
     comps, var, mean = pca_fit(corpus, emb_col, dim=dim, k=pca_dim)
     proj = pca_project(corpus, comps, mean, emb_col=emb_col, out_col="__p")
+    # __n: the full-dim L2 norm, precomputed ONCE at build with the same
+    # unrolled expression the probe would use (bit-identical values), so
+    # the re-rank never recomputes norms and the probe plan drops one
+    # dim-term codegen chain
     proj.select(
         F.col(corpus_id).alias("__cid"),
         "__p",
         F.col(emb_col).alias("embedding"),
+        _norm(F.col(emb_col), dim=dim).alias("__n"),
     ).write.mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     rows = [("comp", i, [float(x) for x in comps[i]]) for i in range(len(comps))]
@@ -1252,12 +1265,66 @@ def append_pca_index(
     economics as IVF."""
     spark = delta.sparkSession
     comps, mean = load_pca_model(spark, path)
+    dim = comps.shape[1]
     proj = pca_project(delta, comps, mean, emb_col=emb_col, out_col="__p")
     proj.select(
         F.col(corpus_id).alias("__cid"),
         "__p",
         F.col(emb_col).alias("embedding"),
+        _norm(F.col(emb_col), dim=dim).alias("__n"),
     ).write.mode("append").parquet(path)
+
+
+def compact_pca_index(spark, path: str, new_path: str, n_files: int = 8) -> None:
+    """Rewrite an append-grown PCA index to ``n_files`` files at
+    ``new_path`` (probes open O(n_files) again instead of O(appends))
+    and copy the model side file alongside — the PCA half of the
+    compaction surface every append-grown index here carries
+    (:func:`compact_ivf_index` for lists, ``stores.compact_bucketed``
+    for bucketed tables).  Results unchanged by construction (same rows;
+    probe determinism never depended on file order — the re-rank sorts
+    on (cosine, id)).  Same non-atomic-swap contract and flock-backed
+    single-compactor lease as :func:`compact_ivf_index`, and the same
+    overlap guard: compacting INTO the live path (or its ``__model``
+    sibling, or a nested path either way) would overwrite files the
+    compaction scan is reading."""
+    import os
+
+    from feature_store_healthcare_spark.stores import (
+        acquire_compaction_lease,
+        local_path,
+        release_compaction_lease,
+    )
+
+    a = os.path.abspath(local_path(path))
+    b = os.path.abspath(local_path(new_path))
+    sources = (a, f"{a}__model")
+    targets = (b, f"{b}__model")
+    for s in sources:
+        for t in targets:
+            if t == s or t.startswith(s + os.sep) or s.startswith(t + os.sep):
+                raise ValueError(
+                    f"compact_pca_index new_path={new_path!r} overlaps the "
+                    f"live index at {path!r} ({t} vs {s}) — the overwrite "
+                    "would delete files the compaction scan is reading. "
+                    "Compact to a fresh path and swap."
+                )
+    lease, owner = acquire_compaction_lease(path)
+    try:
+        (
+            spark.read.parquet(path)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(new_path)
+        )
+        (
+            spark.read.parquet(f"{path}__model")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{new_path}__model")
+        )
+    finally:
+        release_compaction_lease(lease, owner)
 
 
 def pca_topk_from_index(
@@ -1399,7 +1466,7 @@ def pca_topk_from_index_blas(
                 }
             )
 
-    cand = spark.read.parquet(path).mapInPandas(
+    cand = spark.read.parquet(path).select("__cid", "__p", "embedding").mapInPandas(
         kernel,
         schema=f"{query_id} long, {corpus_id} long, __d2 double, cosine double",
     )

@@ -259,11 +259,15 @@ def bpe_merge_candidates(
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
 
+    # sort-limit FIRST (TakeOrderedAndProject: per-partition top-k heaps,
+    # no single-partition sort of the full pair table — round 13: the
+    # implementation previously windowed the whole table, contradicting
+    # this cut's design; same vocab_top_coverage pattern), THEN rank the
+    # k survivors.  The total order (cnt desc, pair) is deterministic, so
+    # limit-then-rank equals rank-then-filter exactly.
+    head = counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(top_k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-    )
+    return head.withColumn("rank", F.row_number().over(w))
 
 
 def _merge_pair_fold(syms, a: str, b: str):

@@ -379,6 +379,45 @@ def streaming_ivf_maintenance(
     return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
 
 
+def streaming_pca_maintenance(
+    stream: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    emb_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    txn_id: str | None = None,
+    queryName: str = "pca_maintenance",
+):
+    """Streaming half of the stored PCA ANN-index lifecycle (round 13 —
+    completes the family: postings/band/IVF/DSIR all have one): each
+    micro-batch of new vectors is projected with the index's EXISTING
+    model and appended into the projected-corpus parquet through
+    ``similarity.append_pca_index`` (fail-fast on a never-built index —
+    bootstrap with ``similarity.build_pca_index``).  A blind replay would
+    append duplicate projected rows, so the same (txn_id, batch_id)
+    marker discipline guards it (:func:`_idempotent_foreach_batch`; one
+    ACTIVE writer per index).
+
+    Like the IVF centroids, the model is a quantizer, not a corpus
+    statistic: appends are bit-identical to re-projecting the grown
+    corpus with the original model, but they cannot re-FIT — rebuild
+    with ``build_pca_index`` on the cadence recall monitoring dictates.
+
+    No ``refresh`` hook: the index is probed by PATH
+    (``spark.read.parquet``), which builds a fresh file index per read.
+    """
+    from feature_store_healthcare_spark.operators import similarity
+
+    _append = _idempotent_foreach_batch(
+        path,
+        txn_id or checkpoint_dir,
+        lambda batch_df: similarity.append_pca_index(
+            batch_df, path, corpus_id=corpus_id, emb_col=emb_col
+        ),
+    )
+    return _maintenance_writer(stream, _append, queryName, checkpoint_dir)
+
+
 def streaming_dsir_dist_maintenance(
     stream: DataFrame,
     path: str,

@@ -279,3 +279,66 @@ def test_pca_topk_reusable_index(spark):
         projected_corpus=proj,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pca_compact_preserves_probes_and_guards_overlap(spark, tmp_path):
+    """compact_pca_index rewrites an append-grown index to few files with
+    identical probe results, copies the model sidecar, and refuses to
+    compact into the live path (the overwrite-while-reading guard)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "pca_c")
+    similarity.build_pca_index(base, path, pca_dim=32)
+    for m in (0, 1, 2):  # three appends → many files
+        similarity.append_pca_index(
+            emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 9 == 3 * m)),
+            path,
+        )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = similarity.pca_topk_from_index(spark, path, q, k=5).collect()
+
+    new_path = str(tmp_path / "pca_c2")
+    similarity.compact_pca_index(spark, path, new_path, n_files=2)
+    after = similarity.pca_topk_from_index(spark, new_path, q, k=5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    lc, lm = similarity.load_pca_model(spark, new_path)
+    oc, om = similarity.load_pca_model(spark, path)
+    np.testing.assert_array_equal(lc, oc)
+    np.testing.assert_array_equal(lm, om)
+
+    for bad in (path, path + "__model", path + "/nested"):
+        with pytest.raises(ValueError, match="overlaps the"):
+            similarity.compact_pca_index(spark, path, bad)
+
+
+def test_pca_stored_norm_column_used(spark, tmp_path):
+    """The stored index carries the build-time __n norm column and the
+    probe reads it instead of recomputing (plan should contain no
+    corpus-side POWER/SQRT chain over `embedding` — cheap proxy: results
+    equal the live path bit-exactly, and __n exists in the index)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_healthcare_spark.operators import similarity
+    from feature_store_healthcare_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pca_n")
+    comps, mean = similarity.build_pca_index(emb, path, pca_dim=32)
+    assert "__n" in spark.read.parquet(path).columns
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored = similarity.pca_topk_from_index(
+        spark, path, q, k=5, rerank_factor=8
+    ).collect()
+    live = similarity.pca_topk(
+        q, emb, k=5, pca_dim=32, rerank_factor=8, components=comps, mean=mean
+    ).collect()
+    assert sorted(map(tuple, stored)) == sorted(map(tuple, live))

@@ -799,6 +799,75 @@ def test_streaming_ivf_maintenance_matches_batch_build(spark, tmp_path):
         sp.streaming_ivf_maintenance(stream, path)
 
 
+def test_streaming_pca_maintenance_matches_batch_build(spark, tmp_path):
+    """The streaming PCA-index loop (bootstrap build_pca_index →
+    per-micro-batch append_pca_index via foreachBatch) produces an index
+    whose probes equal a one-shot projection of the full corpus under the
+    SAME stored model, and replays are idempotent (round 13 — the PCA
+    half of the stored-index streaming family)."""
+    import random
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)
+    ]
+    base, b1, b2 = vecs[:16], vecs[16:20], vecs[20:]
+    schema = "vec_id int, embedding array<double>"
+    d = tmp_path / "pca_in"
+    d.mkdir()
+    for name, rows in [("b1.json", b1), ("b2.json", b2)]:
+        (d / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+    path = str(tmp_path / "pca_s")
+    comps, mean = similarity.build_pca_index(
+        spark.createDataFrame(base, schema), path, pca_dim=4, dim=8
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    writer = sp.streaming_pca_maintenance(stream, path, txn_id="ploadA")
+    _run_available_now(writer, tmp_path, "pca_s")
+
+    # one-shot: project the FULL corpus under the ORIGINAL model
+    full_path = str(tmp_path / "pca_full")
+    similarity.pca_project(
+        spark.createDataFrame(vecs, schema), comps, mean, out_col="__p"
+    ).select(
+        F.col("vec_id").alias("__cid"), "__p", "embedding"
+    ).write.mode("overwrite").parquet(full_path)
+    q = spark.createDataFrame(vecs[:3], schema).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    streamed = similarity.pca_topk_from_index(
+        spark, path, q, k=5, rerank_factor=2, dim=8,
+        components=comps, mean=mean,
+    )
+    oneshot = similarity.pca_topk_from_index(
+        spark, full_path, q, k=5, rerank_factor=2, dim=8,
+        components=comps, mean=mean,
+    )
+    assert sorted(streamed.collect(), key=key) == sorted(
+        oneshot.collect(), key=key
+    )
+
+    # replay: fresh checkpoint, same txn_id → nothing re-appended
+    n_before = spark.read.parquet(path).count()
+    writer2 = sp.streaming_pca_maintenance(stream, path, txn_id="ploadA")
+    _run_available_now(writer2, tmp_path, "pca_s_replay")
+    assert spark.read.parquet(path).count() == n_before
+
+    with pytest.raises(ValueError, match="txn_id"):
+        sp.streaming_pca_maintenance(stream, path)
+
+
 def test_marker_path_uses_full_digest(tmp_path):
     """Round-8 ADVICE (low): the marker FILENAME carries the full 128-bit
     md5 of the txn_id.  The earlier 12-char truncation made reads safe
