@@ -406,6 +406,37 @@ def floor_safe_out_path(out_path: str, sf_val) -> str:
     return out_path
 
 
+def merge_floor_record(out_path: str, full: dict) -> dict:
+    """Element-wise MIN-merge this run's per-query timings into the
+    existing same-SF record (round 13).  Two clean back-to-back runs on
+    this host differ ±20% systematically (frequency/thermal state — see
+    BASELINE.md's host-variance note), so "last run wins" would LOOSEN
+    the floors the contamination guard compares against whenever the
+    newer run caught a slower host.  A floor is a floor: it only ratchets
+    down.  Queries new to the record enter at this run's value; dropped
+    queries age out (not carried).  The run metadata (noise block,
+    calibration, per-run rows) is the NEW run's; ``floor_merged`` marks
+    records containing minima from more than one run.  To RESET a floor
+    after an adjudicated, deliberate slowdown: delete its entry (or the
+    file) and re-run.
+    """
+    try:
+        with open(out_path) as fh:
+            old = json.load(fh)
+    except (OSError, ValueError):
+        return full
+    if old.get("sf") != full.get("sf"):
+        return full
+    old_q = old.get("queries", {})
+    merged = dict(full)
+    merged["queries"] = {
+        name: min(sec, old_q[name]) if name in old_q else sec
+        for name, sec in full["queries"].items()
+    }
+    merged["floor_merged"] = True
+    return merged
+
+
 def floor_retry_pass(
     timings: dict[str, float],
     floors: dict[str, float],
@@ -574,7 +605,7 @@ def main() -> None:
     out_path = floor_safe_out_path(out_path, sf_val)
     try:
         with open(out_path, "w") as fh:
-            json.dump(full, fh, indent=1)
+            json.dump(merge_floor_record(out_path, full), fh, indent=1)
             fh.write("\n")
     except OSError as exc:  # a read-only checkout must not fail the bench
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)

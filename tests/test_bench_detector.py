@@ -129,3 +129,26 @@ def test_floor_record_protected_from_other_sf_runs(tmp_path):
         tmp_path / "BENCH_LOCAL_sf0.01.json"
     )
     assert floor_safe_out_path(p, 0.1) == p  # same-SF refresh
+
+
+def test_merge_floor_record_ratchets_down_only(tmp_path):
+    """Floors min-merge across same-SF runs (a slower host must never
+    LOOSEN the record); new queries enter at their first value, dropped
+    ones age out, different-SF or missing records pass through."""
+    import json
+
+    from bench import merge_floor_record
+
+    p = str(tmp_path / "BENCH_LOCAL.json")
+    run = {"sf": 0.1, "queries": {"a": 2.0, "b": 1.0, "new": 5.0}}
+    # no existing record → pass-through (no floor_merged flag)
+    assert merge_floor_record(p, run) == run
+    with open(p, "w") as fh:
+        json.dump({"sf": 0.1, "queries": {"a": 1.5, "b": 3.0, "gone": 9.9}}, fh)
+    m = merge_floor_record(p, run)
+    assert m["queries"] == {"a": 1.5, "b": 1.0, "new": 5.0}
+    assert m["floor_merged"] is True
+    # different SF → pass-through untouched
+    with open(p, "w") as fh:
+        json.dump({"sf": 0.01, "queries": {"a": 0.1}}, fh)
+    assert merge_floor_record(p, run) == run

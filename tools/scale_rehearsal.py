@@ -1094,7 +1094,48 @@ def run_ann_recall_hostile(spark: SparkSession) -> dict:
         f"ann-recall hostile hybrid: {out['hybrid_rrf_ivf_stored']}",
         file=sys.stderr,
     )
+    out["pca_topk_from_index_blas"] = _pca_recall(spark, emb, exact, n, "hostile")
+    print(
+        f"ann-recall hostile pca: {out['pca_topk_from_index_blas']}",
+        file=sys.stderr,
+    )
     return out
+
+
+def _pca_recall(spark, emb, exact, n, tag) -> dict:
+    """Recall@10 + warm probe cost for the stored-PCA serve path
+    (round 13 — the same bracket evidence the IVF entry carries): build
+    the 32-dim projected index once, probe with the BLAS kernel at the
+    production rerank_factor=8, score vs the exact sets."""
+    from feature_store_healthcare_spark.operators import similarity
+
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = os.path.join(REPO, ".scale", f"pca_recall_{tag}")
+    t0 = time.time()
+    comps, mean = similarity.build_pca_index(emb, path, pca_dim=32)
+    build_sec = round(time.time() - t0, 2)
+    times, rows = [], []
+    for _ in range(2):
+        t0 = time.time()
+        rows = similarity.pca_topk_from_index_blas(
+            spark, path, q, k=10, rerank_factor=8,
+            components=comps, mean=mean,
+        ).collect()
+        times.append(time.time() - t0)
+    got = _recall_sets(rows, "query_id", "vec_id")
+    recalls = [len(exact[k_] & got.get(k_, set())) / len(exact[k_]) for k_ in exact]
+    return {
+        "n_vectors": n,
+        "n_queries": len(exact),
+        "pca_dim": 32,
+        "rerank_factor": 8,
+        "recall_at_10_mean": round(sum(recalls) / len(recalls), 3),
+        "recall_at_10_min": round(min(recalls), 3),
+        "warm_probe_sec": round(min(times), 2),
+        "index_build_sec": build_sec,
+    }
 
 
 def run_ann_recall(spark: SparkSession) -> dict:
@@ -1158,6 +1199,11 @@ def run_ann_recall(spark: SparkSession) -> dict:
     )
     print(f"ann-recall hybrid_rrf_ivf_stored: {out['hybrid_rrf_ivf_stored']}",
           file=sys.stderr)
+    out["pca_topk_from_index_blas"] = _pca_recall(spark, emb, exact, n, "x50")
+    print(
+        f"ann-recall pca_topk_from_index_blas: {out['pca_topk_from_index_blas']}",
+        file=sys.stderr,
+    )
     return out
 
 
