@@ -437,6 +437,19 @@ def merge_floor_record(out_path: str, full: dict) -> dict:
     return merged
 
 
+def write_floor_record(out_path: str, full: dict) -> None:
+    """Min-merge ``full`` into the record at ``out_path`` and write it.
+    The merge MUST read the file before ``open(..., "w")`` truncates it —
+    merging after the open sees an empty file and silently degrades to
+    last-run-wins (the exact loosening merge_floor_record exists to
+    prevent); this function owns that ordering so main() can't get it
+    wrong, and the regression test drives this real write path."""
+    merged = merge_floor_record(out_path, full)
+    with open(out_path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+        fh.write("\n")
+
+
 def floor_retry_pass(
     timings: dict[str, float],
     floors: dict[str, float],
@@ -604,9 +617,7 @@ def main() -> None:
     )
     out_path = floor_safe_out_path(out_path, sf_val)
     try:
-        with open(out_path, "w") as fh:
-            json.dump(merge_floor_record(out_path, full), fh, indent=1)
-            fh.write("\n")
+        write_floor_record(out_path, full)
     except OSError as exc:  # a read-only checkout must not fail the bench
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     # SHORT summary line, emitted LAST (round-8 VERDICT #2): the full

@@ -1333,7 +1333,7 @@ def pca_topk_from_index(
     queries: DataFrame,
     k: int = 10,
     rerank_factor: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     components=None,
@@ -1349,8 +1349,12 @@ def pca_topk_from_index(
     locally it turns the catalog's #2 bench line (~3.8 s live) into a
     sub-second probe.
 
-    ``pca_dim`` is read off the stored model (its row count), so probes
-    can't disagree with the index about the projection width.
+    ``pca_dim`` is read off the stored model (its row count) and ``dim``
+    off the model's component width (``dim=None`` default), so probes
+    can't disagree with the index about EITHER dimension; an explicitly
+    passed ``dim`` is validated against the model (a mismatched unroll
+    would index past the vectors and return null-cosine garbage
+    silently).
 
     Exactness anchor (the ``hybrid_rrf_ivf_exhaustive`` recipe): with
     ``k·rerank_factor ≥ |corpus|`` the coarse stage keeps every
@@ -1362,6 +1366,15 @@ def pca_topk_from_index(
     (recall-pinned vs the exact scorer in tests)."""
     if components is None or mean is None:
         components, mean = load_pca_model(spark, path)
+    model_dim = int(np.asarray(components).shape[1])
+    if dim is None:
+        dim = model_dim
+    elif dim != model_dim:
+        raise ValueError(
+            f"pca_topk_from_index dim={dim} does not match the stored "
+            f"model's vector width {model_dim} — the re-rank unroll would "
+            "silently produce null cosines. Omit dim to use the model's."
+        )
     projected = spark.read.parquet(path)
     return pca_topk(
         queries,

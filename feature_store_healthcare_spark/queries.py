@@ -5229,18 +5229,20 @@ _STORED_PCA_MEMO: dict[tuple, tuple] = {}
 def _stored_pca(spark: SparkSession, sf_dir: str, pca_dim: int = 32):
     """Build-once-per-session stored PCA index over the embeddings corpus
     (similarity.build_pca_index: projected-corpus parquet + (k+2)-row
-    model side file); returns (path, components, mean).  OVERWRITE
-    semantics on first use in a session, sf-scoped path — same contract
-    as :func:`_stored_ivf` (pca_dim in the key for the same reason
-    n_centroids is: a 64-dim request must never be served a memoized
-    32-dim projection)."""
+    model side file); returns (path, components, mean, n_vectors).
+    OVERWRITE semantics on first use in a session, sf-scoped path — same
+    contract as :func:`_stored_ivf` (pca_dim in the key for the same
+    reason n_centroids is: a 64-dim request must never be served a
+    memoized 32-dim projection).  ``n_vectors`` is counted ONCE at build
+    (the corpus was just scanned anyway) so the exhaustive anchor can
+    size its rerank pool without paying a corpus count per call."""
     key = (spark.sparkContext.applicationId, sf_dir, pca_dim)
     if key not in _STORED_PCA_MEMO:
         name = f"fshs_pca{pca_dim}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         path = os.path.join(_writable_warehouse(spark), name)
         emb = load_table(spark, sf_dir, "embeddings")
         comps, mean = similarity.build_pca_index(emb, path, pca_dim=pca_dim)
-        _STORED_PCA_MEMO[key] = (path, comps, mean)
+        _STORED_PCA_MEMO[key] = (path, comps, mean, emb.count())
     return _STORED_PCA_MEMO[key]
 
 
@@ -5265,7 +5267,7 @@ def embedding_pca_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays the one-time build, the bench's min-of-N reports the amortized
     probe (the steady-state production cost), same lifecycle as the
     stored postings/IVF/band indexes."""
-    path, comps, mean = _stored_pca(spark, sf_dir)
+    path, comps, mean, _n = _stored_pca(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -5307,9 +5309,8 @@ def embedding_pca_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks it.  The rerank_factor=8 production configuration's remaining
     delta is then ONLY which candidates the coarse cut drops — exactly
     what the recall@5 pin measures."""
-    path, comps, mean = _stored_pca(spark, sf_dir)
+    path, comps, mean, n = _stored_pca(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -152,3 +152,21 @@ def test_merge_floor_record_ratchets_down_only(tmp_path):
     with open(p, "w") as fh:
         json.dump({"sf": 0.01, "queries": {"a": 0.1}}, fh)
     assert merge_floor_record(p, run) == run
+
+
+def test_write_floor_record_merges_before_truncating(tmp_path):
+    """Regression (round-13 review): the merge must read the committed
+    record BEFORE open('w') truncates it — merging after the open sees
+    an empty file and silently degrades to last-run-wins.  This drives
+    the real write path main() uses."""
+    import json
+
+    from bench import write_floor_record
+
+    p = str(tmp_path / "BENCH_LOCAL.json")
+    with open(p, "w") as fh:
+        json.dump({"sf": 0.1, "queries": {"a": 1.0}}, fh)
+    write_floor_record(p, {"sf": 0.1, "queries": {"a": 2.0, "b": 0.5}})
+    rec = json.load(open(p))
+    assert rec["queries"] == {"a": 1.0, "b": 0.5}
+    assert rec["floor_merged"] is True
