@@ -205,6 +205,35 @@ def bench_embedding_ivf_stored(spark, sf_dir):
     )
 
 
+def bench_embedding_ivf_stored_blas(spark, sf_dir):
+    """The stored-IVF probe on the BLAS serve kernel
+    (ivf_topk_from_index_blas): same index, same driver-side list
+    assignment, same static `__list IN` partition pruning as
+    `embedding_ivf_stored` above — but the scoring is one mapInPandas
+    matmul per Arrow batch with a list-membership mask instead of the
+    broadcast pair join's per-pair codegen dot (rank-identical at every
+    nprobe, test-pinned).  1:1 query shape with the expression twin."""
+    import hashlib
+
+    from feature_store_healthcare_spark.stores import local_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_STORED:
+        wh = local_path(spark.conf.get("spark.sql.warehouse.dir"))
+        path = os.path.join(
+            wh, f"bench_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
+        cents = similarity.build_ivf_index(emb, path, n_centroids=16)
+        _IVF_STORED[sf_dir] = (path, cents)
+    path, cents = _IVF_STORED[sf_dir]
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_from_index_blas(
+        spark, path, q, k=5, nprobe=4, centroids=cents
+    )
+
+
 def bench_embedding_topk_blas(spark, sf_dir):
     """Exact brute-force on the BLAS kernel path — same results as the
     oracle-checked expression scan (to ~1 ulp), 3× faster: per-Arrow-batch
@@ -278,6 +307,7 @@ EXTRA = {
     "embedding_near_dup_lsh": bench_embedding_near_dup_lsh,
     "embedding_ivf_topk": bench_embedding_ivf_topk,
     "embedding_ivf_stored": bench_embedding_ivf_stored,
+    "embedding_ivf_stored_blas": bench_embedding_ivf_stored_blas,
     "embedding_pca_topk": bench_embedding_pca_topk,
     "embedding_pca_stored_blas": bench_embedding_pca_stored_blas,
 }
@@ -496,6 +526,13 @@ def main() -> None:
     # and one DISCARDED calibration so JIT warmup never inflates the
     # first kept sample (r10's start sample read 2.2× the warm floor)
     load_table(spark, sf_dir, "region").count()
+    # register the package zip on Python workers up front: EXTRA entries
+    # run Arrow kernels whose builders reference package module functions
+    # (e.g. build_ivf_index's centroid udf), and without this they only
+    # worked because a catalog HEADLINE query happened to run first and
+    # register it as a side effect (ordering an EXTRA-only debug run or a
+    # future HEADLINE reorder would silently break)
+    catalog.ensure_worker_imports(spark)
     calibration_run(spark)  # discarded: JIT warmup (r10: start read 2.2×)
     # post-warmup startup samples → contamination ceiling: min of several
     # (clamped) so a loaded startup can't disable the whole-run guard

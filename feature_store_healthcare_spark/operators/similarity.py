@@ -943,6 +943,111 @@ def ivf_topk_from_index(
     )
 
 
+def ivf_topk_from_index_blas(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_query_rows: int = 4096,
+) -> DataFrame:
+    """BLAS form of :func:`ivf_topk_from_index` — the BENCH/SERVE variant
+    (the :func:`cosine_topk_blas` / :func:`pca_topk_from_index_blas`
+    convention: oracle-checked entries stay on the bit-exact expression
+    path; serving probes take the kernel).
+
+    Identical probe semantics: the bounded query batch is collected, its
+    nprobe nearest lists computed driver-side with the SAME numpy code
+    (``_nearest_lists_np``), and the scan carries the same static
+    ``__list IN (probed)`` partition filter.  The difference is the
+    scoring plan: instead of a broadcast (query × probed-row) pair join
+    evaluating a per-pair unrolled dot in codegen, ONE ``mapInPandas``
+    pass scores each Arrow batch as a |Q|×b matmul against the stored
+    ``__cn`` norms, masks out (query, row) pairs whose list the query
+    did not probe (a |Q|×n_lists membership matrix ships in the
+    closure), and emits only per-batch local top-k — the pair table
+    never materializes.  A final window applies the global cut.  Scores
+    are float64 matmuls, ~1 ulp from the expression path (equality at
+    nprobe=all is test-pinned); ties break by corpus id as everywhere.
+    Measured at the hostile ×50 bracket (100k vectors, 100 queries):
+    warm probe 6.5 s (expression) → sub-second."""
+    cents = centroids if centroids is not None else load_ivf_centroids(spark, path)
+    if nprobe is None:
+        nprobe = auto_nprobe(len(cents))
+    q_rows = (
+        queries.select(query_id, query_vec).limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivf_topk_from_index_blas query side exceeds max_query_rows="
+            f"{max_query_rows}: probe lists and the query matrix are "
+            "driver-side. Pass a smaller batch, raise the bound "
+            "deliberately, or use ivf_topk with a persisted assigned corpus."
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
+    q_ids = np.asarray([r[0] for r in q_rows])
+    q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    lists_per_q = _nearest_lists_np(q_mat, cents, nprobe)
+    probed = sorted({lst for lists in lists_per_q for lst in lists})
+    n_lists = max(c for c, _ in cents) + 1 if cents else 0
+    allowed = np.zeros((len(q_rows), n_lists), dtype=bool)
+    for i, lists in enumerate(lists_per_q):
+        allowed[i, list(lists)] = True
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__cid"].to_numpy()
+            lists = pdf["__list"].to_numpy()
+            cn = pdf["__cn"].to_numpy(dtype=np.float64)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
+            )
+            scores = (qn @ X.T) / cn[None, :]
+            mask = allowed[:, lists]
+            if exclude_self:
+                mask = mask & (q_ids[:, None] != ids[None, :])
+            scores = np.where(mask, scores, -np.inf)
+            top = min(k, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            sel = np.take_along_axis(scores, idx, axis=1).ravel()
+            keep = np.isfinite(sel)
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, top)[keep],
+                    corpus_id: ids[idx].ravel()[keep],
+                    "cosine": sel[keep],
+                }
+            )
+
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("__list").isin(probed) if probed else F.lit(False))
+        .select("__cid", "__cv", "__cn", "__list")
+    )
+    cand = scan.mapInPandas(
+        kernel, schema=f"{query_id} long, {corpus_id} long, cosine double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def int8_quantize(
     df: DataFrame, emb_col: str = "embedding", eps: float = 1e-12
 ) -> DataFrame:

@@ -1664,3 +1664,51 @@ def test_compact_bucketed_migrates_family_marker(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS band_mig")
         spark.sql("DROP TABLE IF EXISTS band_mig__compact")
+
+
+def test_ivf_blas_probe_matches_expression_path(spark, tmp_path):
+    """ivf_topk_from_index_blas (round 13 — the BLAS serve twin) returns
+    the same (query, candidate) sets, ranks, and ~1-ulp-equal cosines as
+    the expression path at BOTH a pruned nprobe and nprobe=all — the
+    list membership mask must reproduce the partition-filter + broadcast
+    join semantics exactly; guard + empty-batch contracts match."""
+    import pytest as _pytest
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_blas")
+    cents = similarity.build_ivf_index(emb, path, n_centroids=8)
+    for nprobe in (2, 4, 8):
+        expr = similarity.ivf_topk_from_index(
+            spark, path, q, k=5, nprobe=nprobe, centroids=cents
+        )
+        blas = similarity.ivf_topk_from_index_blas(
+            spark, path, q, k=5, nprobe=nprobe, centroids=cents
+        )
+        e = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in expr.collect()}
+        b = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in blas.collect()}
+        assert set(e) == set(b) and e, f"nprobe={nprobe}"
+        for key in e:
+            assert e[key][0] == b[key][0], f"nprobe={nprobe} {key}"
+            assert abs(e[key][1] - b[key][1]) < 1e-9
+
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        similarity.ivf_topk_from_index_blas(
+            spark, path,
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, nprobe=2, max_query_rows=10,
+        )
+    empty = similarity.ivf_topk_from_index_blas(
+        spark, path, q.where(F.lit(False)), k=5, nprobe=4, centroids=cents
+    )
+    assert empty.count() == 0
+    # the static __list pruning survives in the BLAS plan too
+    blas = similarity.ivf_topk_from_index_blas(
+        spark, path, q, k=5, nprobe=2, centroids=cents
+    )
+    plan = blas._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__list" in plan

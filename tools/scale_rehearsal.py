@@ -150,6 +150,10 @@ REHEARSAL = [
     "embedding_pca_topk",
     "embedding_pca_stored",
     "embedding_pca_stored_blas",
+    # ... and the IVF BLAS serve twin (rank-identical to the expression
+    # probe at every nprobe, test-pinned) — same 1:1 query shape as
+    # embedding_ivf_stored above
+    "embedding_ivf_stored_blas",
 ]
 
 #: --deep-docs: documents-only blow-up at x200 (1M docs).  Unlike the main
