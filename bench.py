@@ -178,12 +178,11 @@ _PCA_INDEX: dict = {}
 _IVF_STORED: dict = {}
 
 
-def bench_embedding_ivf_stored(spark, sf_dir):
-    """IVF against the DISK index (similarity.build_ivf_index): the probe
-    carries a static __list IN partition filter, so only the probed
-    inverted-list directories are scanned — the ANN twin of the stored
-    postings/band indexes.  First timed run pays the index build;
-    min-of-N reports the amortized partition-pruned probe."""
+def _ivf_stored_index(spark, sf_dir):
+    """Build-once-per-process stored IVF index + the shared 100-query
+    probe batch — ONE definition for both stored-IVF bench twins, so the
+    "same index, 1:1 query shape" contract between them cannot drift
+    (round-13 review: the build/memo/batch block was cloned verbatim)."""
     import hashlib
 
     from feature_store_healthcare_spark.stores import local_path
@@ -200,6 +199,16 @@ def bench_embedding_ivf_stored(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    return path, cents, q
+
+
+def bench_embedding_ivf_stored(spark, sf_dir):
+    """IVF against the DISK index (similarity.build_ivf_index): the probe
+    carries a static __list IN partition filter, so only the probed
+    inverted-list directories are scanned — the ANN twin of the stored
+    postings/band indexes.  First timed run pays the index build;
+    min-of-N reports the amortized partition-pruned probe."""
+    path, cents, q = _ivf_stored_index(spark, sf_dir)
     return similarity.ivf_topk_from_index(
         spark, path, q, k=5, nprobe=4, centroids=cents
     )
@@ -213,22 +222,7 @@ def bench_embedding_ivf_stored_blas(spark, sf_dir):
     matmul per Arrow batch with a list-membership mask instead of the
     broadcast pair join's per-pair codegen dot (rank-identical at every
     nprobe, test-pinned).  1:1 query shape with the expression twin."""
-    import hashlib
-
-    from feature_store_healthcare_spark.stores import local_path
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_STORED:
-        wh = local_path(spark.conf.get("spark.sql.warehouse.dir"))
-        path = os.path.join(
-            wh, f"bench_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        )
-        cents = similarity.build_ivf_index(emb, path, n_centroids=16)
-        _IVF_STORED[sf_dir] = (path, cents)
-    path, cents = _IVF_STORED[sf_dir]
-    q = emb.where(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    path, cents, q = _ivf_stored_index(spark, sf_dir)
     return similarity.ivf_topk_from_index_blas(
         spark, path, q, k=5, nprobe=4, centroids=cents
     )

@@ -973,9 +973,18 @@ def ivf_topk_from_index_blas(
     closure), and emits only per-batch local top-k — the pair table
     never materializes.  A final window applies the global cut.  Scores
     are float64 matmuls, ~1 ulp from the expression path (equality at
-    nprobe=all is test-pinned); ties break by corpus id as everywhere.
-    Measured at the hostile ×50 bracket (100k vectors, 100 queries):
-    warm probe 6.5 s (expression) → sub-second."""
+    nprobe=all is test-pinned); ties break by corpus id as everywhere —
+    including at the per-batch cut (:func:`_local_topk_cols` sorts the
+    batch by id and uses a stable argsort, so boundary-tied rows keep
+    the id-ascending survivors the global window would pick).
+    Degenerate vectors (zero-norm / non-finite) are OUT OF CONTRACT for
+    the serve twins: they yield NaN/±Inf cosines, which numpy and Java
+    order differently through the cut (the kernel's isfinite filter
+    drops most of them; the expression path ranks NaN above all) — keep
+    such vectors out of serve corpora (the build-side ``__cn`` is where
+    to screen).  Measured at the hostile
+    ×50 bracket (100k vectors, 100 queries): warm probe 6.5 s
+    (expression) → ~1.1 s."""
     cents = centroids if centroids is not None else load_ivf_centroids(spark, path)
     if nprobe is None:
         nprobe = auto_nprobe(len(cents))
@@ -989,10 +998,15 @@ def ivf_topk_from_index_blas(
             "driver-side. Pass a smaller batch, raise the bound "
             "deliberately, or use ivf_topk with a persisted assigned corpus."
         )
+    raw_scan = spark.read.parquet(path)
+    out_schema, empty_schema = _blas_out_schemas(
+        queries.schema[query_id].dataType,
+        raw_scan.schema["__cid"].dataType,
+        query_id,
+        corpus_id,
+    )
     if not q_rows:
-        return spark.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
-        )
+        return spark.createDataFrame([], empty_schema)
     q_ids = np.asarray([r[0] for r in q_rows])
     q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1007,19 +1021,20 @@ def ivf_topk_from_index_blas(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["__cid"].to_numpy()
-            lists = pdf["__list"].to_numpy()
-            cn = pdf["__cn"].to_numpy(dtype=np.float64)
+            perm = np.argsort(pdf["__cid"].to_numpy(), kind="stable")
+            ids = pdf["__cid"].to_numpy()[perm]
+            lists = pdf["__list"].to_numpy()[perm]
+            cn = pdf["__cn"].to_numpy(dtype=np.float64)[perm]
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
-            )
+            )[perm]
             scores = (qn @ X.T) / cn[None, :]
             mask = allowed[:, lists]
             if exclude_self:
                 mask = mask & (q_ids[:, None] != ids[None, :])
             scores = np.where(mask, scores, -np.inf)
             top = min(k, scores.shape[1])
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            idx = _local_topk_cols(scores, top)
             sel = np.take_along_axis(scores, idx, axis=1).ravel()
             keep = np.isfinite(sel)
             yield pd.DataFrame(
@@ -1031,13 +1046,11 @@ def ivf_topk_from_index_blas(
             )
 
     scan = (
-        spark.read.parquet(path)
+        raw_scan
         .where(F.col("__list").isin(probed) if probed else F.lit(False))
         .select("__cid", "__cv", "__cn", "__list")
     )
-    cand = scan.mapInPandas(
-        kernel, schema=f"{query_id} long, {corpus_id} long, cosine double"
-    )
+    cand = scan.mapInPandas(kernel, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)
     )
@@ -1497,6 +1510,38 @@ def pca_topk_from_index(
     )
 
 
+def _local_topk_cols(scores: "np.ndarray", top: int) -> "np.ndarray":
+    """Per-row indices of the `top` largest columns of `scores`, ties
+    broken by ascending COLUMN POSITION — callers pre-sort the batch by
+    corpus id, so position order IS id order and the local cut keeps
+    exactly the boundary-tied rows the global (score desc, id asc)
+    window would (argpartition picks an arbitrary tied subset; a stable
+    argsort on the negated scores does not).  O(b log b) per row vs
+    argpartition's O(b) — noise next to the |Q|×b×d matmul that
+    precedes it."""
+    return np.argsort(-scores, axis=1, kind="stable")[:, :top]
+
+
+def _blas_out_schemas(q_type, c_type, query_id: str, corpus_id: str):
+    """(candidate, empty-result) schemas for the BLAS serve kernels,
+    carrying the CALLER'S id types — the expression twins preserve input
+    id types, and a hardcoded `long` would make a string-id probe fail
+    at Arrow conversion (or return a mismatched empty schema)."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    cand = StructType(
+        [
+            StructField(query_id, q_type),
+            StructField(corpus_id, c_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    empty = StructType(
+        list(cand.fields) + [StructField("rank", IntegerType(), False)]
+    )
+    return cand, empty
+
+
 def pca_topk_from_index_blas(
     spark,
     path: str,
@@ -1524,9 +1569,15 @@ def pca_topk_from_index_blas(
     over the (batches·|Q|·k·rf)-row candidate table then apply the global
     coarse cut (d2 asc, id) and the final rank (cosine desc, id) — the
     same two-stage semantics as the expression path, with float64-matmul
-    scores (~1 ulp from the unrolled expression; batch-boundary coarse
-    ties can differ, a recall-grade not correctness-grade delta, pinned
-    in tests).  Measured at sf0.1: 3.4 s (expression plan, codegen-bound)
+    scores (~1 ulp from the unrolled expression — coarse d2 values can
+    differ in the last ulp from the codegen chain, so the coarse CUT can
+    admit a different boundary candidate; exact-tie behavior, though, is
+    deterministic and id-ascending like the global window, via the
+    batch-sorted stable cut).  Degenerate vectors (zero-norm /
+    non-finite) are OUT OF CONTRACT for the serve twins: numpy and Java
+    order NaN differently through the cut, so expression and kernel
+    results can diverge on them — screen at build (``__n`` is where to
+    look).  Measured at sf0.1: 3.4 s (expression plan, codegen-bound)
     → sub-second; the at-scale win is the matmul kernel replacing a
     per-pair scalar chain, the local win is skipping that plan's janino
     compile."""
@@ -1544,13 +1595,24 @@ def pca_topk_from_index_blas(
             "its closure. Pass a smaller batch, raise the bound "
             "deliberately, or use pca_topk_from_index."
         )
+    raw_scan = spark.read.parquet(path)
+    cand_schema, empty_schema = _blas_out_schemas(
+        queries.schema[query_id].dataType,
+        raw_scan.schema["__cid"].dataType,
+        query_id,
+        corpus_id,
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cand_schema = StructType(
+        cand_schema.fields[:2]
+        + [StructField("__d2", DoubleType())]
+        + cand_schema.fields[2:]
+    )
     q_ids = np.asarray([r[0] for r in q_rows])
     q_mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     if len(q_mat) == 0:
-        empty = spark.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
-        )
-        return empty
+        return spark.createDataFrame([], empty_schema)
     qp = (q_mat - mu) @ comps.T  # |Q| × pca_dim, driver-side
     qp_sq = (qp * qp).sum(axis=1)
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1560,17 +1622,20 @@ def pca_topk_from_index_blas(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["__cid"].to_numpy()
-            P = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__p"]])
+            # pre-sort by id: the stable coarse cut below then breaks
+            # exact-d2 ties by ascending id, matching the global window
+            perm = np.argsort(pdf["__cid"].to_numpy(), kind="stable")
+            ids = pdf["__cid"].to_numpy()[perm]
+            P = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__p"]])[perm]
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            )[perm]
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             d2 = qp_sq[:, None] - 2.0 * (qp @ P.T) + (P * P).sum(axis=1)[None, :]
             if exclude_self:
                 d2 = np.where(q_ids[:, None] == ids[None, :], np.inf, d2)
             top = min(m, d2.shape[1])
-            idx = np.argpartition(d2, top - 1, axis=1)[:, :top]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
             # exact full-dim cosine of the local coarse survivors only
             cos = np.einsum("qd,qmd->qm", qn, Xn[idx])
             sel_d2 = np.take_along_axis(d2, idx, axis=1)
@@ -1584,9 +1649,8 @@ def pca_topk_from_index_blas(
                 }
             )
 
-    cand = spark.read.parquet(path).select("__cid", "__p", "embedding").mapInPandas(
-        kernel,
-        schema=f"{query_id} long, {corpus_id} long, __d2 double, cosine double",
+    cand = raw_scan.select("__cid", "__p", "embedding").mapInPandas(
+        kernel, schema=cand_schema
     )
     w1 = Window.partitionBy(query_id).orderBy(F.col("__d2"), F.col(corpus_id))
     w2 = Window.partitionBy(query_id).orderBy(
@@ -1621,7 +1685,11 @@ def cosine_topk_blas(
     Scores are float64 matmuls — same values as the expression path to
     ~1 ulp (BLAS accumulation order differs), so this is the BENCH/SERVE
     variant; the oracle-checked catalog entry stays on the bit-exact
-    expression path.  Ties break by corpus id, like cosine_topk.
+    expression path.  Ties break by corpus id, like cosine_topk —
+    including at the per-batch cut (batch-sorted stable argsort, round
+    13; argpartition previously kept an arbitrary tied subset).
+    Degenerate (zero-norm / non-finite) vectors are out of contract for
+    the serve twins, as on every BLAS path.
 
     The contract is query batch ≪ corpus (the query matrix ships in every
     task's closure); ``max_query_rows`` enforces it — a query side larger
@@ -1651,17 +1719,20 @@ def cosine_topk_blas(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[corpus_id].to_numpy()
+            # pre-sort by id: the stable cut then breaks exact-score
+            # ties by ascending id, matching the global window
+            perm = np.argsort(pdf[corpus_id].to_numpy(), kind="stable")
+            ids = pdf[corpus_id].to_numpy()[perm]
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            )[perm]
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
             scores = q_mat @ xn.T  # |Q| × batch
             if exclude_self:
                 mask = q_ids[:, None] == ids[None, :]
                 scores = np.where(mask, -np.inf, scores)
             top = min(k, scores.shape[1])
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            idx = _local_topk_cols(scores, top)
             out = {
                 query_id: np.repeat(q_ids, top),
                 corpus_id: ids[idx].ravel(),
@@ -1669,8 +1740,14 @@ def cosine_topk_blas(
             }
             yield pd.DataFrame(out)
 
+    cand_schema, _ = _blas_out_schemas(
+        queries.schema[query_id].dataType,
+        corpus.schema[corpus_id].dataType,
+        query_id,
+        corpus_id,
+    )
     cand = corpus.select(corpus_id, "embedding").mapInPandas(
-        kernel, schema=f"{query_id} long, {corpus_id} long, cosine double"
+        kernel, schema=cand_schema
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)

@@ -1712,3 +1712,80 @@ def test_ivf_blas_probe_matches_expression_path(spark, tmp_path):
     )
     plan = blas._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__list" in plan
+
+
+def test_blas_kernels_tie_break_by_id_like_expression(spark, tmp_path):
+    """Round-13 review: with bit-identical duplicate vectors (exact
+    cosine/d2 ties straddling the k-boundary), the BLAS kernels'
+    per-batch cut must keep the id-ascending survivors the global
+    window picks — argpartition kept an arbitrary tied subset.  Pins
+    cosine_topk_blas, ivf_topk_from_index_blas, and
+    pca_topk_from_index_blas against their expression twins on a corpus
+    that is ALL duplicates (24 distinct vectors × 5 copies each)."""
+    import random
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    rng = random.Random(3)
+    bases = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(24)]
+    rows = [
+        (c * 24 + b, bases[b]) for b in range(24) for c in range(5)
+    ]  # ids interleave copies so batches mix tied ids
+    schema = "vec_id long, embedding array<double>"
+    emb = spark.createDataFrame(rows, schema).repartition(7)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact = similarity.cosine_topk(q, emb, k=7, dim=8)
+    blas = similarity.cosine_topk_blas(q, emb, k=7)
+    e = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    b = {(r.query_id, r.rank): r.vec_id for r in blas.collect()}
+    assert e == b and e
+
+    path = str(tmp_path / "tie_ivf")
+    cents = similarity.build_ivf_index(emb, path, n_centroids=4)
+    expr = similarity.ivf_topk_from_index(
+        spark, path, q, k=7, nprobe=4, centroids=cents
+    )
+    ib = similarity.ivf_topk_from_index_blas(
+        spark, path, q, k=7, nprobe=4, centroids=cents
+    )
+    e = {(r.query_id, r.rank): r.vec_id for r in expr.collect()}
+    b = {(r.query_id, r.rank): r.vec_id for r in ib.collect()}
+    assert e == b and e
+
+    ppath = str(tmp_path / "tie_pca")
+    comps, mean = similarity.build_pca_index(emb, ppath, pca_dim=4, dim=8)
+    pexpr = similarity.pca_topk_from_index(
+        spark, ppath, q, k=7, rerank_factor=3, components=comps, mean=mean
+    )
+    pb = similarity.pca_topk_from_index_blas(
+        spark, ppath, q, k=7, rerank_factor=3, components=comps, mean=mean
+    )
+    # coarse d2 differs in the last ulp between numpy and codegen, so the
+    # CUT membership can legitimately differ on near-ties; with 5 exact
+    # copies per vector the boundary ties are exact and the survivor ids
+    # must match rank-for-rank
+    e = {(r.query_id, r.rank): r.vec_id for r in pexpr.collect()}
+    b = {(r.query_id, r.rank): r.vec_id for r in pb.collect()}
+    assert e == b and e
+
+
+def test_cosine_topk_blas_preserves_string_ids(spark):
+    """Round-13 review: the BLAS kernels hardcoded `long` id schemas;
+    they now carry the caller's id types like the expression twins."""
+    from feature_store_healthcare_spark.operators import similarity
+
+    rows = [(f"d{i}", [float(i + j) for j in range(4)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = emb.where(F.col("vec_id") == "d0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk_blas(q, emb, k=3).collect()
+    assert len(got) == 3
+    assert {type(r.vec_id) for r in got} == {str}
+    exact = similarity.cosine_topk(q, emb, k=3, dim=4).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in got} == {
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    }
