@@ -17,6 +17,13 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("fshs-tests", master="local[8]", shuffle_partitions=8)
+    # register the package zip on Python workers: Arrow kernels that
+    # reference package module functions (codecs, multimodal, minhash)
+    # otherwise only import when pytest happens to run from the repo
+    # root (round 13: 9 tests failed from a non-repo cwd)
+    from feature_store_healthcare_spark.queries import ensure_worker_imports
+
+    ensure_worker_imports(s)
     yield s
     s.stop()
 
