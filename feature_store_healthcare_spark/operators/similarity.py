@@ -613,7 +613,12 @@ def auto_nprobe(n_centroids: int) -> int:
     vectors — the IVF worst case) measured recall@10 mean **0.612** with 16
     lists; the measured frontier on the same corpus is 0.612 → 0.843 →
     0.97 at nprobe 4 → 8 → 12 (probe wall 10.0 → 13.2 → 17.1 s at 100k
-    vectors; SCALE_REHEARSAL.json / BASELINE.md).  nprobe = n_centroids/2
+    vectors on the expression path; SCALE_REHEARSAL.json / BASELINE.md).
+    On the round-13 BLAS serve twin the SAME frontier's wall is nearly
+    FLAT (~1.1–1.3 s at every nprobe — the per-batch matmul dominates
+    and extra lists only widen the pruned scan), so high nprobe is
+    close to free at serve time, strengthening this default further.
+    nprobe = n_centroids/2
     lands at the measured ≥0.8 point by DEFAULT even on the hostile
     bracket (friendly/clustered corpora measure 1.0 well below that), at
     ~half-corpus candidate volume.  Operators that know their corpus

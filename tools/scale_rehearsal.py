@@ -1088,6 +1088,10 @@ def run_ann_recall_hostile(spark: SparkSession) -> dict:
         "warm_probe_sec": round(min(times), 2),
         "blas_warm_probe_sec": _ivf_blas_warm(spark, path, q, cents),
         "index_build_sec": build_sec,
+        # the IVF dial measured as a frontier on the BLAS serve twin
+        # (round 13 — symmetric with the PCA rerank_frontier): recall
+        # climbs with probed lists, wall stays matmul-bound
+        "nprobe_frontier": _ivf_nprobe_frontier(spark, path, q, cents, exact),
     }
     print(
         f"ann-recall hostile ivf_topk_from_index: {out['ivf_topk_from_index']}",
@@ -1124,6 +1128,36 @@ def _ivf_blas_warm(spark, path, q, cents) -> float:
         ).collect()
         times.append(_time.time() - t0)
     return round(min(times), 2)
+
+
+def _ivf_nprobe_frontier(spark, path, q, cents, exact) -> list:
+    """recall@10 + warm wall at nprobe 8 and 12 on the BLAS serve twin
+    (nprobe=4 is the headline row above) — tool-emitted like every
+    frontier here, so regeneration reproduces it."""
+    import time as _time
+
+    from feature_store_healthcare_spark.operators import similarity
+
+    frontier = []
+    for nprobe in (8, 12):
+        times, rows = [], []
+        for _ in range(2):
+            t0 = _time.time()
+            rows = similarity.ivf_topk_from_index_blas(
+                spark, path, q, k=10, nprobe=nprobe, centroids=cents
+            ).collect()
+            times.append(_time.time() - t0)
+        got = _recall_sets(rows, "query_id", "vec_id")
+        recalls = [
+            len(exact[k_] & got.get(k_, set())) / len(exact[k_]) for k_ in exact
+        ]
+        frontier.append({
+            "nprobe": nprobe,
+            "recall_at_10_mean": round(sum(recalls) / len(recalls), 3),
+            "recall_at_10_min": round(min(recalls), 3),
+            "warm_probe_sec": round(min(times), 2),
+        })
+    return frontier
 
 
 def _pca_recall(spark, emb, exact, n, tag) -> dict:
