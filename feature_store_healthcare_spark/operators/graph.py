@@ -97,7 +97,9 @@ def pagerank(
             "left",
         )
         .repartition("node")
-        .localCheckpoint(eager=True)
+        # lazy for the same reason as the loop checkpoints below: round
+        # 1's stage construction materializes it — no dedicated job
+        .localCheckpoint(eager=False)
     )
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
     last_ck = None  # the most recent loop checkpoint, released on supersede
@@ -153,12 +155,24 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             # each round reads `ranks` TWICE (contribs + dangling): without
-            # truncation the prior rounds' DAG re-executes 2^k-fold
-            ranks = ranks.localCheckpoint(eager=True)
-            # free the SUPERSEDED checkpoint's blocks now that the new one
-            # is materialized (Dataset.unpersist is a no-op for RDD-level
-            # checkpoint storage — caching.release_local_checkpoint);
-            # `flagged`'s blocks stay: every round still reads it
+            # truncation the prior rounds' DAG re-executes 2^k-fold.
+            # eager=False (r14 opt): under AQE, building the checkpoint's
+            # RDD (toRdd) already materializes every intermediate stage —
+            # the round's contribs shuffle, the dangling broadcast — as
+            # jobs; an eager checkpoint would add one more full job per
+            # round just to write the final projection's blocks, which the
+            # NEXT round's stage construction materializes anyway when it
+            # reads this RDD.  One scheduling round-trip per iteration
+            # instead of two; plans, partitioning and results unchanged
+            # (bit-exact, decimal sums).
+            ranks = ranks.localCheckpoint(eager=False)
+            # free the SUPERSEDED checkpoint's blocks: constructing this
+            # round's stages was its last reader (the lazy final stage
+            # reads only `flagged` + this round's shuffle/broadcast
+            # outputs), so the predecessor is fully consumed by now
+            # (Dataset.unpersist is a no-op for RDD-level checkpoint
+            # storage — caching.release_local_checkpoint); `flagged`'s
+            # blocks stay: every round still reads it
             if last_ck is not None:
                 release_local_checkpoint(last_ck)
             last_ck = ranks

@@ -50,6 +50,20 @@ def release_similarity_caches(blocking: bool = False) -> None:
     _COSINE_GUARD_MEMO.clear()
 
 
+def _col_sql(c: Column) -> str | None:
+    """Best-effort SQL text of a column reference (Spark-4 classic
+    ``ColumnNode.sql`` — internal surface, hence the None fallback).
+    Used to build the unrolled dot/distance expressions as ONE parsed
+    SQL string instead of ~4·dim py4j round trips: constructing the
+    64-term unrolled dot through the Python Column API measured ~1.5 s
+    of pure driver↔JVM chatter PER EXPRESSION (r14 opt round), while the
+    parsed string yields the identical expression tree in ~10 ms."""
+    try:
+        return c._jc.node().sql()
+    except Exception:
+        return None
+
+
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Left-to-right sequential product sum — deterministic accumulation
     order, double precision.
@@ -58,8 +72,20 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     Spark evaluates HOF lambdas interpreted — no codegen).  ``dim=n``:
     statically unrolled n-term sum — same arithmetic in the same order
     (bit-identical result), but a plain expression tree the codegen path
-    can compile.  ~1.5-2× faster on 64-dim brute-force scans."""
+    can compile.  ~1.5-2× faster on 64-dim brute-force scans.  The
+    unrolled tree is built as one parsed SQL string (:func:`_col_sql`):
+    the optimized plan is identical to the Column-API loop (r14
+    plan-diff verified), only the ~4·dim-round-trip construction cost
+    goes away."""
     if dim is not None:
+        sa, sb = _col_sql(a), _col_sql(b)
+        if sa is not None and sb is not None:
+            return F.expr(
+                " + ".join(
+                    f"(CAST({sa}[{i}] AS DOUBLE) * CAST({sb}[{i}] AS DOUBLE))"
+                    for i in range(dim)
+                )
+            )
         total = a[0].cast("double") * b[0].cast("double")
         for i in range(1, dim):
             total = total + a[i].cast("double") * b[i].cast("double")
@@ -1244,10 +1270,14 @@ def pca_topk(
     # stage 1: coarse L2 in PCA space (squared distance; monotone for
     # rank).  Statically unrolled like _dot — the zip_with/aggregate HOF
     # form evaluates interpreted and measured 2× slower on the same plan.
-    qp_c, p_c = F.col("__qp"), F.col("__p")
-    d2 = (qp_c[0] - p_c[0]) * (qp_c[0] - p_c[0])
-    for _i in range(1, int(pca_dim)):
-        d2 = d2 + (qp_c[_i] - p_c[_i]) * (qp_c[_i] - p_c[_i])
+    # Built as one parsed SQL string for the same reason as _dot (the
+    # Column-API loop costs ~6 py4j round trips per term).
+    d2 = F.expr(
+        " + ".join(
+            f"((__qp[{i}] - __p[{i}]) * (__qp[{i}] - __p[{i}]))"
+            for i in range(int(pca_dim))
+        )
+    )
     pairs = (
         F.broadcast(qp)
         .crossJoin(projected_corpus)

@@ -341,7 +341,15 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("cnt", _char_syms("w").alias("syms"))
     )
-    state = words.localCheckpoint(eager=True)
+    # lazy checkpoints (r14 opt): each round's pair-count COLLECT is the
+    # job that materializes (and truncates) the round's re-segmented
+    # vocab state — an eager checkpoint would run one extra full
+    # vocab-table job per round just to write the same blocks the collect
+    # computes anyway.  One job per merge round instead of two; results
+    # bit-identical (integer counts, same fold).
+    state = words.localCheckpoint(eager=False)
+    prev = None  # the checkpoint superseded by `state`, released once
+    # `state` has materialized (the next collect) — its last reader
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -362,6 +370,13 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # the collect just computed every `state` partition → the
+        # previous round's vocab-table checkpoint has no readers left
+        # (Dataset.unpersist never releases RDD-level checkpoint storage
+        # — caching.release_local_checkpoint)
+        if prev is not None:
+            release_local_checkpoint(prev)
+            prev = None
         if not top:
             break  # corpus fully merged before n_merges
         a, b, c = top[0].lhs, top[0].rhs, int(top[0].pair_count)
@@ -371,12 +386,8 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         merged = _merge_pair_fold(F.col("syms"), a, b)
         prev = state
         state = state.select("cnt", merged.alias("syms")).localCheckpoint(
-            eager=True
+            eager=False
         )
-        # free the superseded round's vocab-table checkpoint blocks now
-        # (Dataset.unpersist never releases RDD-level checkpoint storage
-        # — caching.release_local_checkpoint)
-        release_local_checkpoint(prev)
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )

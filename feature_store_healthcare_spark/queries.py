@@ -1391,17 +1391,20 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    scored = similarity.cosine_topk(
-        q, emb, k=5, query_id="query_id", corpus_id="vec_id"
-    )
-    # cosine_topk ranks on raw cosine; re-rank on the rounded value for
+    # rank on the ROUNDED cosine (not cosine_topk's raw value) for
     # cross-engine determinism of the top-k cut.
     qq = q.select(F.col("query_id").alias("__qid"), F.col("embedding").alias("__qv"))
     cc = emb.select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cv"))
     pairs = F.broadcast(qq).crossJoin(cc).where(F.col("__qid") != F.col("__cid"))
+    # dim=64: the unrolled codegen form — bit-identical to the HOF fold
+    # (same products, same left-to-right order; oracle-reverified r14),
+    # built as one parsed SQL string so construction is ~10 ms, not ~1.5 s
+    # of py4j chatter (see similarity._dot)
     scored = pairs.withColumn(
         "cosine",
-        F.round(similarity.cosine_similarity(F.col("__qv"), F.col("__cv")), 4),
+        F.round(
+            similarity.cosine_similarity(F.col("__qv"), F.col("__cv"), dim=64), 4
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (
@@ -4424,9 +4427,13 @@ def _cosine_rank20(emb: DataFrame) -> DataFrame:
         .crossJoin(cc)
         .where(F.concat(F.lit("q"), F.col("__cid").cast("string")) != F.col("__qid"))
     )
+    # dim=64: unrolled codegen form, bit-identical to the HOF fold (r14 —
+    # oracle-reverified; construction is one parsed SQL string)
     cos_scored = pairs.withColumn(
         "cosine",
-        F.round(similarity.cosine_similarity(F.col("__qv"), F.col("__cv")), 4),
+        F.round(
+            similarity.cosine_similarity(F.col("__qv"), F.col("__cv"), dim=64), 4
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (
