@@ -384,22 +384,29 @@ def idle_ceiling_from(samples: list[float]) -> float:
     return max(_CAL_IDLE_SEC, min(measured, _CAL_CEIL_CLAMP * _CAL_IDLE_SEC))
 
 
-def load_floor_record(sf_val) -> dict[str, float]:
+def load_floor_record(sf_val, base: str | None = None) -> dict[str, float]:
     """Per-query floors from the committed BENCH_LOCAL.json next to this
-    script — {} when absent or recorded at a different SF (floors are
-    only comparable at the same data scale)."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
-    try:
-        with open(path) as fh:
-            rec = json.load(fh)
-    except (OSError, ValueError):
-        return {}
-    if rec.get("sf") != sf_val:
-        return {}
-    qmap = rec.get("queries")
-    return dict(qmap) if isinstance(qmap, dict) else {}
+    script — or, when that record was captured at a DIFFERENT SF, from
+    the sf-suffixed sibling that floor_safe_out_path diverts such runs
+    to (r13 ADVICE #2: without the fallback the floor-relative guard was
+    silently inert — n_floors_compared=0 — at every non-primary SF even
+    after the sibling record accumulated floors).  {} when neither record
+    matches ``sf_val`` (floors are only comparable at the same scale).
+    ``base``: record path override for tests."""
+    if base is None:
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+    for path in (base, base[: -len(".json")] + f"_sf{sf_val}.json"):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") == sf_val:
+            qmap = rec.get("queries")
+            return dict(qmap) if isinstance(qmap, dict) else {}
+    return {}
 
 
 def over_floor(timings: dict[str, float], floors: dict[str, float]) -> set[str]:
@@ -457,6 +464,10 @@ def merge_floor_record(out_path: str, full: dict) -> dict:
         name: min(sec, old_q[name]) if name in old_q else sec
         for name, sec in full["queries"].items()
     }
+    # keep the record internally consistent: value == sum(queries) after
+    # the min-merge (r13 ADVICE #3 — keeping the new RUN's headline total
+    # next to min-merged per-query floors made the two disagree)
+    merged["value"] = round(sum(merged["queries"].values()), 3)
     merged["floor_merged"] = True
     return merged
 

@@ -141,17 +141,23 @@ def logistic_regression_fit(
     saturated row cannot emit ±inf; the gradient uses the unclamped
     (rounded) ``p``, matching the textbook ``(p - y)·x`` form.
     """
+    from feature_store_healthcare_spark.caching import release_local_checkpoint
+
     spark = feats.sparkSession
     d = len(feature_cols)
+    # lazy: the FIRST step's aggregate job materializes (and truncates)
+    # the projected feature table — an eager checkpoint plus a dedicated
+    # count() were two extra full-scan jobs per fit (r14 opt); n rides
+    # step 1's aggregate instead.
     state = feats.select(
         *[F.col(c).cast("double").alias(f"__x{j + 1}") for j, c in enumerate(feature_cols)],
         F.col(label_col).cast("double").alias("__y"),
-    ).localCheckpoint(eager=True)
-    n = state.count()
-    if n == 0:
-        raise ValueError("logistic_regression_fit: empty feature table")
+    ).localCheckpoint(eager=False)
     dec = lambda c: F.sum(c.cast("decimal(30,10)")).cast("double")  # noqa: E731
+    if n_iters < 1 and state.count() == 0:  # no step-1 aggregate to ride
+        raise ValueError("logistic_regression_fit: empty feature table")
 
+    n = None  # read off step 1's aggregate
     w = [0.0] * (d + 1)
     rows: list[tuple] = []
     for step in range(1, n_iters + 1):
@@ -171,13 +177,23 @@ def logistic_regression_fit(
                 "__l"
             )
         )
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("__n"))
         g = state.agg(*aggs).collect()[0]
+        if n is None:
+            n = g["__n"]
+            if n == 0:
+                raise ValueError("logistic_regression_fit: empty feature table")
         loss = g["__l"] / n
         w = [w[j] - lr * (g[f"g{j}"] / n) for j in range(d + 1)]
         rows.append(
             (step, _round_half_up(loss, round_to))
             + tuple(_round_half_up(x, round_to) for x in w)
         )
+    # the trajectory is driver-local — the checkpointed feature blocks
+    # have no readers left; free them now (they previously leaked for
+    # the session's lifetime)
+    release_local_checkpoint(state)
     schema = "step int, logloss double, " + ", ".join(
         f"w{j} double" for j in range(d + 1)
     )

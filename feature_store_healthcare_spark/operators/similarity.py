@@ -914,6 +914,12 @@ def ivf_topk_from_index(
     )
 
     cents = centroids if centroids is not None else load_ivf_centroids(spark, path)
+    if not cents:
+        raise ValueError(
+            f"ivf_topk_from_index: no centroids at {path}__centroids — the "
+            "index was never built there, or its centroid side file is "
+            "empty/corrupt. Rebuild with build_ivf_index."
+        )
     if nprobe is None:
         nprobe = auto_nprobe(len(cents))
     dim = len(cents[0][1]) if cents else None
@@ -1017,6 +1023,12 @@ def ivf_topk_from_index_blas(
     ×50 bracket (100k vectors, 100 queries): warm probe 6.5 s
     (expression) → ~1.1 s."""
     cents = centroids if centroids is not None else load_ivf_centroids(spark, path)
+    if not cents:
+        raise ValueError(
+            f"ivf_topk_from_index_blas: no centroids at {path}__centroids — "
+            "the index was never built there, or its centroid side file is "
+            "empty/corrupt. Rebuild with build_ivf_index."
+        )
     if nprobe is None:
         nprobe = auto_nprobe(len(cents))
     q_rows = (

@@ -317,7 +317,19 @@ def _package_zip() -> str:
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    stamp = str(max(p.stat().st_mtime_ns for p in pkg_dir.rglob("*.py")))
+    # stamp = the full sorted (path, size, mtime) listing, not max(mtime):
+    # a DELETED module (or files restored with preserved older mtimes)
+    # leaves max(mtime) unchanged, and the cached zip — still containing
+    # the removed module — would keep shipping to workers (r13 ADVICE #4)
+    stamp = str(
+        hash(
+            tuple(
+                (str(p.relative_to(pkg_dir)), st.st_size, st.st_mtime_ns)
+                for p in sorted(pkg_dir.rglob("*.py"))
+                for st in (p.stat(),)
+            )
+        )
+    )
     if _PKG_ZIP.get("stamp") == stamp:
         return _PKG_ZIP["path"]
     if "dir" in _PKG_ZIP:
@@ -6005,41 +6017,26 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified; the windows here shuffle ~74 rows, the corpus once)."""
     d = 8
     emb = load_table(spark, sf_dir, "embeddings")
-    x = [F.col("embedding")[i].cast("double") for i in range(d)]
+    xs = [f"CAST(embedding[{i}] AS DOUBLE)" for i in range(d)]
     # (i, j, xi*xj) pair terms; (k, -1) AND (-1, k) mirrored sum terms
     # (so both the i- and the j-partition window can see dimension k's
-    # sum); (-1, -1, 1) count
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                (x[i] * x[j]).cast("decimal(30,12)").alias("term"),
-            )
-            for i in range(d)
-            for j in range(i, d)
-        ],
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(-1).alias("j"),
-                x[i].cast("decimal(30,12)").alias("term"),
-            )
-            for i in range(d)
-        ],
-        *[
-            F.struct(
-                F.lit(-1).alias("i"),
-                F.lit(j).alias("j"),
-                x[j].cast("decimal(30,12)").alias("term"),
-            )
-            for j in range(d)
-        ],
-        F.struct(
-            F.lit(-1).alias("i"),
-            F.lit(-1).alias("j"),
-            F.lit(1).cast("decimal(30,12)").alias("term"),
-        ),
+    # sum); (-1, -1, 1) count.  Built as ONE parsed SQL string — the
+    # Column-API loop was ~370 py4j round trips of construction per call
+    # (the similarity._dot finding, r14); the analyzed tree is identical.
+    cell = "named_struct('i', {i}, 'j', {j}, 'term', CAST({t} AS DECIMAL(30,12)))"
+    cells = F.expr(
+        "array("
+        + ", ".join(
+            [
+                cell.format(i=i, j=j, t=f"({xs[i]} * {xs[j]})")
+                for i in range(d)
+                for j in range(i, d)
+            ]
+            + [cell.format(i=i, j=-1, t=xs[i]) for i in range(d)]
+            + [cell.format(i=-1, j=j, t=xs[j]) for j in range(d)]
+            + [cell.format(i=-1, j=-1, t="1")]
+        )
+        + ")"
     )
     sums = (
         emb.select(F.explode(cells).alias("c"))

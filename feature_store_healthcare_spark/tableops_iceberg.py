@@ -163,8 +163,12 @@ def _replayed(spark: SparkSession, table: str, txn_id: str, batch_id: int) -> bo
 
 def _sql_quote(s: str) -> str:
     """Escape a string literal for embedding in the snapshot-property
-    predicate (txn ids are caller-supplied)."""
-    return s.replace("'", "''")
+    predicate (txn ids are caller-supplied).  Backslashes first: Spark
+    SQL string literals process C-style escapes by default, so a value
+    ending in ``\\`` would otherwise escape the closing quote — a parse
+    error per micro-batch, or a wrong predicate whose false-negative
+    ``_replayed`` means a duplicate append (r13 ADVICE #1)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
 
 
 def append_idempotent(

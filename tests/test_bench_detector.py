@@ -113,6 +113,35 @@ def test_load_floor_record_reads_committed_bench_local():
     assert bench.load_floor_record("0.000001-nonexistent") == {}
 
 
+def test_load_floor_record_falls_back_to_sf_sibling(tmp_path):
+    """r13 ADVICE #2: when the committed record was captured at a
+    different SF, the floor guard must read the sf-suffixed sibling that
+    floor_safe_out_path diverts non-primary-SF runs to — otherwise the
+    guard is silently inert (n_floors_compared=0) at that SF."""
+    base = str(tmp_path / "BENCH_LOCAL.json")
+    with open(base, "w") as fh:
+        json.dump({"sf": 0.1, "queries": {"a": 1.0}}, fh)
+    with open(str(tmp_path / "BENCH_LOCAL_sf0.01.json"), "w") as fh:
+        json.dump({"sf": 0.01, "queries": {"a": 0.2, "b": 0.3}}, fh)
+    assert bench.load_floor_record(0.1, base=base) == {"a": 1.0}
+    assert bench.load_floor_record(0.01, base=base) == {"a": 0.2, "b": 0.3}
+    assert bench.load_floor_record(0.001, base=base) == {}
+
+
+def test_merge_floor_record_recomputes_headline_value(tmp_path):
+    """r13 ADVICE #3: after a min-merge the record's top-level value must
+    equal sum(queries) — keeping the new run's headline total next to
+    min-merged floors made the committed record internally inconsistent."""
+    from bench import merge_floor_record
+
+    p = str(tmp_path / "BENCH_LOCAL.json")
+    with open(p, "w") as fh:
+        json.dump({"sf": 0.1, "queries": {"a": 1.5, "b": 3.0}, "value": 4.5}, fh)
+    m = merge_floor_record(p, {"sf": 0.1, "queries": {"a": 2.0, "b": 1.0}, "value": 3.0})
+    assert m["queries"] == {"a": 1.5, "b": 1.0}
+    assert m["value"] == 2.5
+
+
 def test_floor_record_protected_from_other_sf_runs(tmp_path):
     """A quick iteration run at a different SF must not clobber the
     committed sf0.1 floor record — it diverts to an sf-suffixed sibling;

@@ -484,6 +484,12 @@ def test_ivf_stored_index_matches_and_prunes(spark, tmp_path):
     )
     assert empty.columns == stored.columns
     assert empty.count() == 0
+    # empty/corrupt centroid side file: both probes must fail with the
+    # contract message, never an opaque numpy error (r13 ADVICE #5)
+    with _pytest.raises(ValueError, match="no centroids"):
+        similarity.ivf_topk_from_index(spark, path, q, k=5, centroids=[])
+    with _pytest.raises(ValueError, match="no centroids"):
+        similarity.ivf_topk_from_index_blas(spark, path, q, k=5, centroids=[])
 
 
 def test_ivf_auto_nprobe_default(spark, tmp_path):

@@ -58,6 +58,17 @@ class TestSeamParity:
     def test_module_imports_without_iceberg(self):
         assert tableops_iceberg.upsert is not None
 
+    def test_sql_quote_escapes_backslash_and_quote(self):
+        """r13 ADVICE #1: Spark SQL string literals process C-style
+        escapes, so a txn_id ending in a backslash must not swallow the
+        closing quote (parse error per micro-batch, or a false-negative
+        _replayed — a duplicate append)."""
+        q = tableops_iceberg._sql_quote
+        assert q("plain") == "plain"
+        assert q("o'brien") == "o''brien"
+        assert q("path\\") == "path\\\\"
+        assert q("a\\'b") == "a\\\\''b"
+
     def test_replayed_pushes_predicate_and_limit(self):
         """r12 ADVICE #3: the replay probe must filter the .snapshots
         metadata table engine-side with LIMIT 1, never collect all
