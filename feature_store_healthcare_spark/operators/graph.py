@@ -68,13 +68,6 @@ def pagerank(
     default float path).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Loop-invariant partitioning: hash-partition the BIG edge side on the
     # join key ONCE and persist — every round's edge⋈rank join then reuses
@@ -84,15 +77,31 @@ def pagerank(
     # `iterations` full-corpus shuffles (the bucketBy-equivalent for an
     # in-session loop; persist to a bucketed table for cross-job reuse).
     e_deg = e.join(out_deg, "src").repartition("src").persist()
+    e_deg.count()  # materialize now: every derivation below reads the cache
+    # nodes DERIVE from the cached e_deg, not from e: the inner join on
+    # src preserves every edge row, so src∪dst is identical — but reading
+    # e four ways (nodes' union twice, out_deg, e_deg) re-ran the
+    # upstream scan+DISTINCT per consumer (r14 opt: setup was ~4 edge
+    # derivations; now exactly one, the e_deg materialization above).
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
     # dangling FLAG precomputed once (topology is loop-invariant) — the
     # per-round anti-join was pure overhead.  Pre-partition on node so the
     # per-round flagged⋈contribs join reuses this side's layout too
     # (localCheckpoint preserves outputPartitioning via LogicalRDD).
     flagged = (
         nodes.join(
-            out_deg.select(
-                F.col("src").alias("node"), F.lit(True).alias("__has_out")
-            ),
+            # from the CACHED e_deg (src-distinct = the out-degree key
+            # set), not out_deg — whose lineage would re-run the upstream
+            # edge derivation a second time
+            e_deg.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__has_out", F.lit(True)),
             "node",
             "left",
         )

@@ -36,6 +36,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # broadcast-join conversion once actual sizes are known.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default (true).  The r14 optimization
+    # round A/B-ed `false` (the docs' respect-the-advisory-size posture)
+    # across the full bench: NET LOSS at sf0.1 — this engine's hot stages
+    # are compute-dense but byte-light (64-dim scoring folds, shingle
+    # pair generation, per-vocab merge folds), and coalescing them to the
+    # 64 MB advisory serialized real CPU work (embedding_near_dup_lsh
+    # 1.3→2.2 s, dedup_ngram_jaccard 1.5→2.1 s) while byte-heavy stages
+    # were unaffected.  Details in OPTIMIZATION_r14.md.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Runtime row-level filtering for shuffle joins between large tables
     # (fact⋈fact at 100 TB): build a bloom filter from the selective side's
