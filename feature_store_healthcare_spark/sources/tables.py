@@ -94,11 +94,40 @@ def _spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFra
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+#: (abspath, size, mtime_ns) → inferred parquet schema.  Bare-path
+#: parquet reads re-infer the schema from file footers on EVERY
+#: spark.read.parquet call (~170 ms per call measured at sf0.1 — pure
+#: driver-side footer IO; a query calling load_table 2-3× paid ~0.5 s
+#: before reading a byte of data).  The memo key is the file's identity,
+#: so a rewritten/grown path re-infers; the memoized schema IS the
+#: inference result, so the events nanos/micros type branching sees
+#: exactly what a fresh infer would.  Metadata cache only — never rows.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _inferred_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # let spark.read.parquet raise its own error
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes events.ts to timestamp_ntz(µs)."""
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    schema = _inferred_schema(spark, path)
+    df = (
+        spark.read.schema(schema).parquet(path)
+        if schema is not None
+        else spark.read.parquet(path)
+    )
     if name == "events":
         df = _normalize_events_ts(df)
     return _spread(df, spark, path, name)
