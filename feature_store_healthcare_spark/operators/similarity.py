@@ -758,7 +758,21 @@ def build_ivf_index(
         refine_rounds=refine_rounds,
     )
     assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
-    assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
+    # cluster by list BEFORE the partitioned write: writing straight from
+    # the scan's partitioning emits n_scan_partitions × n_lists files
+    # (measured 507 parquet files for a 2k-row index — every probe then
+    # lists and opens nprobe × n_scan_partitions tiny files), the classic
+    # small-files problem (guide §6).  The repartition costs one shuffle
+    # at build time and yields one file per inverted list — exactly the
+    # layout compact_ivf_index restores after appends.  Probe results are
+    # unchanged by construction (same rows; re-rank sorts on (cosine, id),
+    # never file order).
+    (
+        assigned.repartition(F.col("__list"))
+        .write.mode("overwrite")
+        .partitionBy("__list")
+        .parquet(path)
+    )
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in cents],
@@ -805,7 +819,14 @@ def append_ivf_index(
     spark = delta.sparkSession
     cents = load_ivf_centroids(spark, path)
     assigned = ivf_assign(delta, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
-    assigned.write.mode("append").partitionBy("__list").parquet(path)
+    # one file per touched list per append (not one per delta partition
+    # per list) — the same §6 small-files discipline as the build
+    (
+        assigned.repartition(F.col("__list"))
+        .write.mode("append")
+        .partitionBy("__list")
+        .parquet(path)
+    )
 
 
 def compact_ivf_index(spark, path: str, new_path: str) -> None:
