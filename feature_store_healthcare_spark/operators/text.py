@@ -270,6 +270,29 @@ def bpe_merge_candidates(
     return head.withColumn("rank", F.row_number().over(w))
 
 
+def _sql_str(s: str) -> str:
+    """A Spark SQL string literal for ``s`` (backslash escapes — the
+    default, non-escapedStringLiterals parser mode)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair_fold_sql(syms_sql: str, a: str, b: str) -> str:
+    """SQL text of one merge-rule fold over the symbol-array expression
+    ``syms_sql`` — see :func:`_merge_pair_fold`.  Built as text so a
+    chain of rules (``bpe_encode``'s per-pass loop, the trainer's
+    per-round merge) costs one parse instead of dozens of py4j round
+    trips per rule (the similarity._dot finding, r14 opt)."""
+    la, lb = _sql_str(a), _sql_str(b)
+    return (
+        f"aggregate({syms_sql}, cast(array() as array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {la} "
+        f"AND x = {lb} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(concat(element_at(acc, -1), x))) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
 def _merge_pair_fold(syms, a: str, b: str):
     """Apply merge rule ``(a, b) -> a+b`` to a symbol array, greedy
     left-to-right and non-overlapping (``("a","a")`` on ``aaa`` yields
@@ -277,20 +300,28 @@ def _merge_pair_fold(syms, a: str, b: str):
     :func:`bpe_train` (per training round) and :func:`bpe_encode` (per
     rule pass), so the encoder reproduces the trainer's segmentation by
     construction.  No Python UDF: the fold is a codegen'd higher-order
-    function over the symbol array."""
-    return F.aggregate(
-        syms,
-        F.expr("cast(array() as array<string>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.concat(F.element_at(acc, -1), x)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+    function over the symbol array.  ``syms`` may be a Column (its SQL
+    text is recovered) or a SQL string."""
+    if isinstance(syms, str):
+        return F.expr(_merge_pair_fold_sql(syms, a, b))
+    try:
+        syms_sql = syms._jc.node().sql()
+    except Exception:
+        # Column-API fallback (internal ColumnNode surface unavailable)
+        return F.aggregate(
+            syms,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    return F.expr(_merge_pair_fold_sql(syms_sql, a, b))
 
 
 def _char_syms(col) -> "F.Column":
@@ -463,10 +494,12 @@ def bpe_encode(
     seg = doc_words.select("w").distinct().select("w", _char_syms("w").alias("syms"))
     last_ck = None  # superseded pass checkpoints released eagerly
     for start in range(0, len(rules), rules_per_pass):
-        col = F.col("syms")
+        # chain the pass's folds as ONE parsed SQL string (linear text
+        # growth, one py4j call per pass instead of dozens per rule)
+        col_sql = "syms"
         for a, b in rules[start : start + rules_per_pass]:
-            col = _merge_pair_fold(col, a, b)
-        seg = seg.select("w", col.alias("syms"))
+            col_sql = _merge_pair_fold_sql(col_sql, a, b)
+        seg = seg.select("w", F.expr(col_sql).alias("syms"))
         if start + rules_per_pass < len(rules):
             seg = seg.localCheckpoint(eager=True)
             if last_ck is not None:
