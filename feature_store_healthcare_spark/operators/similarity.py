@@ -762,13 +762,15 @@ def build_ivf_index(
     # the scan's partitioning emits n_scan_partitions × n_lists files
     # (measured 507 parquet files for a 2k-row index — every probe then
     # lists and opens nprobe × n_scan_partitions tiny files), the classic
-    # small-files problem (guide §6).  The repartition costs one shuffle
-    # at build time and yields one file per inverted list — exactly the
-    # layout compact_ivf_index restores after appends.  Probe results are
+    # small-files problem.  REBALANCE(__list) (guide §6's coalesce-on-
+    # write tool) shuffles by list AND lets AQE split an oversized list
+    # into advisory-sized chunks — one file per list locally, ~advisory-
+    # sized files per list at 100 TB (a plain repartition(__list) would
+    # emit ONE arbitrarily large file per list there).  Probe results are
     # unchanged by construction (same rows; re-rank sorts on (cosine, id),
     # never file order).
     (
-        assigned.repartition(F.col("__list"))
+        assigned.hint("rebalance", "__list")
         .write.mode("overwrite")
         .partitionBy("__list")
         .parquet(path)
@@ -819,10 +821,10 @@ def append_ivf_index(
     spark = delta.sparkSession
     cents = load_ivf_centroids(spark, path)
     assigned = ivf_assign(delta, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
-    # one file per touched list per append (not one per delta partition
-    # per list) — the same §6 small-files discipline as the build
+    # one right-sized file per touched list per append (not one per delta
+    # partition per list) — the same §6 REBALANCE discipline as the build
     (
-        assigned.repartition(F.col("__list"))
+        assigned.hint("rebalance", "__list")
         .write.mode("append")
         .partitionBy("__list")
         .parquet(path)
@@ -1393,12 +1395,17 @@ def build_pca_index(
     # unrolled expression the probe would use (bit-identical values), so
     # the re-rank never recomputes norms and the probe plan drops one
     # dim-term codegen chain
+    # REBALANCE before the write (guide §6): the projected corpus
+    # otherwise lands as one file per scan partition (32 tiny files at
+    # sf0.1 for 2k rows); AQE sizes output files to the advisory target
+    # — one file locally, ~advisory-sized files at 100 TB.  Probe
+    # results never depend on file count/order.
     proj.select(
         F.col(corpus_id).alias("__cid"),
         "__p",
         F.col(emb_col).alias("embedding"),
         _norm(F.col(emb_col), dim=dim).alias("__n"),
-    ).write.mode("overwrite").parquet(path)
+    ).hint("rebalance").write.mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     rows = [("comp", i, [float(x) for x in comps[i]]) for i in range(len(comps))]
     rows.append(("mean", 0, [float(x) for x in mean]))
