@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_store_healthcare_spark.caching import BoundedMemo
 from feature_store_healthcare_spark.session import configure
 
 TABLE_NAMES = (
@@ -102,7 +103,10 @@ def _spread(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFra
 #: so a rewritten/grown path re-infers; the memoized schema IS the
 #: inference result, so the events nanos/micros type branching sees
 #: exactly what a fresh infer would.  Metadata cache only — never rows.
-_SCHEMA_MEMO: dict[tuple, object] = {}
+#: Bounded (caching.BoundedMemo): an ingest loop re-reading a growing
+#: file mints a new (size, mtime) key per batch; evicted keys simply
+#: re-infer.
+_SCHEMA_MEMO: BoundedMemo = BoundedMemo(maxsize=256)
 
 
 def _inferred_schema(spark: SparkSession, path: str):

@@ -76,6 +76,33 @@ def test_events_ts_matches_pyarrow_ground_truth(spark, sf_dir):
     assert (want_max - want_min).days >= 1
 
 
+def test_schema_memo_matches_inference_and_tracks_file_identity(
+    spark, sf_dir, tmp_path
+):
+    """r14 opt: load_table memoizes parquet schema inference by the
+    file's (path, size, mtime) identity.  The memoized schema must equal
+    a fresh inference, and a REWRITTEN file (new identity) must re-infer
+    — never serve the old schema."""
+    import os
+
+    from feature_store_healthcare_spark.sources import tables as t
+
+    for name in ("lineitem", "events", "embeddings"):
+        path = f"{sf_dir}/{name}.parquet"
+        assert t._inferred_schema(spark, path) == spark.read.parquet(path).schema
+    # rewrite → new identity → re-inferred (schema actually changes)
+    p = str(tmp_path / "x.parquet")
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(p)
+    s1 = t._inferred_schema(spark, p)
+    assert [f.name for f in s1.fields] == ["a"]
+    spark.range(5).select(
+        F.col("id").alias("a"), F.lit("y").alias("b")
+    ).write.mode("overwrite").parquet(p)
+    os.utime(p)  # ensure the directory mtime moves even on coarse clocks
+    s2 = t._inferred_schema(spark, p)
+    assert [f.name for f in s2.fields] == ["a", "b"]
+
+
 def test_register_views_enables_raw_sql(spark, sf_dir):
     from feature_store_healthcare_spark.sources import register_views
 
