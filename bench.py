@@ -4,13 +4,15 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints the full per-query JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1, "noise": {...}}
-followed by a SHORT summary JSON line (same metric/value, no per-query
-map) emitted LAST — the full line outgrew the driver's finite tail
-capture at ~58 queries, so the trailing short line is what guarantees
-the headline number parses (round-8 VERDICT finding #2).  The full JSON
-is ALSO written to BENCH_LOCAL.json next to this script (round-9
-VERDICT #5) and committed each round, so per-query adjudication never
-depends on tail reconstruction.
+then the per-query map again as COMPACT CHUNK lines sized to the
+driver's tail-capture window (round-15, VERDICT #2 — see
+chunked_query_lines), and LAST a SHORT summary JSON line (same
+metric/value, no per-query map): the full line outgrew the driver's
+finite tail capture at ~58 queries, so the trailing short line is what
+guarantees the headline number parses (round-8 VERDICT finding #2).
+The full JSON is ALSO written to BENCH_LOCAL.json next to this script
+(round-9 VERDICT #5) and committed each round, so per-query
+adjudication never depends on tail reconstruction.
 
 Each query executes fully (noop sink — no driver collect cost, no result
 materialization skew); timing covers plan → execute → last task done.
@@ -448,8 +450,20 @@ def merge_floor_record(out_path: str, full: dict) -> dict:
     queries age out (not carried).  The run metadata (noise block,
     calibration, per-run rows) is the NEW run's; ``floor_merged`` marks
     records containing minima from more than one run.  To RESET a floor
-    after an adjudicated, deliberate slowdown: delete its entry (or the
-    file) and re-run.
+    after an adjudicated, deliberate slowdown: set
+    ``$SPARK_GRAFT_RESET_FLOORS=name1,name2`` (or ``all``) on the next
+    run (:func:`reset_floors`), or delete the entry/file by hand.
+
+    Floor lifecycle policy (round-15 VERDICT #10): floors are
+    CONFIG-AGNOSTIC minima at a given SF — the record min-merges runs
+    from any core count, because a floor's job is to be the tightest
+    available lower bound for the over-floor guard, and a
+    different-core-count run can only TIGHTEN it (the guard only flags
+    measurements ABOVE ratio × floor, and sf0.1 entries are
+    fixed-cost-bound, not parallelism-bound — BENCH_r14_c8's median
+    c8/c32 ratio was 0.90).  ``floor_cpus`` records every core count
+    that has contributed a run, so provenance stays auditable without
+    splitting the record.
     """
     try:
         with open(out_path) as fh:
@@ -469,6 +483,12 @@ def merge_floor_record(out_path: str, full: dict) -> dict:
     # next to min-merged per-query floors made the two disagree)
     merged["value"] = round(sum(merged["queries"].values()), 3)
     merged["floor_merged"] = True
+    contributed = set(old.get("floor_cpus", []))
+    for rec in (old, full):
+        if rec.get("cpus") is not None:
+            contributed.add(rec["cpus"])
+    if contributed:
+        merged["floor_cpus"] = sorted(contributed)
     return merged
 
 
@@ -479,10 +499,100 @@ def write_floor_record(out_path: str, full: dict) -> None:
     last-run-wins (the exact loosening merge_floor_record exists to
     prevent); this function owns that ordering so main() can't get it
     wrong, and the regression test drives this real write path."""
+    reset = os.environ.get("SPARK_GRAFT_RESET_FLOORS", "")
+    if reset:
+        try:
+            with open(out_path) as fh:
+                old = json.load(fh)
+        except (OSError, ValueError):
+            old = None
+        if old is not None:
+            with open(out_path, "w") as fh:
+                json.dump(reset_floors(old, reset), fh, indent=1)
+                fh.write("\n")
     merged = merge_floor_record(out_path, full)
     with open(out_path, "w") as fh:
         json.dump(merged, fh, indent=1)
         fh.write("\n")
+
+
+#: The driver's stdout tail capture is 2000 characters (measured:
+#: BENCH_r13/r14 "tail" fields are exactly 2000 chars and start mid-map).
+#: 79 query names alone sum to ~1674 chars, so names + minimal JSON
+#: syntax (2 quotes + colon per entry, 78 commas) is ~2070 chars — the
+#: complete per-query map CANNOT fit in one in-window JSON line even
+#: with zero-width values.  The closest driver-parsable contract
+#: (round-15 VERDICT #2): re-emit the map as self-describing CHUNK
+#: lines, each a complete JSON object well under the window, printed
+#: immediately before the final short line — the last ~2 chunks plus
+#: the headline line always sit whole inside the 2000-char tail, and
+#: the committed BENCH_LOCAL.json remains the lossless record.
+_TAIL_BUDGET = 2000
+_CHUNK_BUDGET = 850
+
+
+def chunked_query_lines(
+    timings: dict[str, float], sf_val, budget: int = _CHUNK_BUDGET
+) -> list[str]:
+    """The per-query map as compact JSON chunk lines: each line is
+    ``{"metric": "headline_queries_per_query", "part": i, "of": n,
+    "queries": {...}, "sf": ...}`` and at most ``budget`` characters
+    (one oversized single entry still gets its own line rather than
+    being dropped).  Names sorted so chunk membership is deterministic.
+    Pure; unit-tested in tests/test_bench_detector.py."""
+
+    def line(part_entries: dict[str, float], i: int, n: int) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_per_query",
+                "part": i,
+                "of": n,
+                "queries": part_entries,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    chunks: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    for name in sorted(timings):
+        cur[name] = timings[name]
+        if len(line(cur, 9, 9)) > budget and len(cur) > 1:
+            cur.pop(name)
+            chunks.append(cur)
+            cur = {name: timings[name]}
+    if cur:
+        chunks.append(cur)
+    n = len(chunks)
+    lines = [line(c, i + 1, n) for i, c in enumerate(chunks)]
+    # shortest lines first: parts are self-describing, so print order is
+    # free — ascending size puts the FULLEST chunks nearest the end of
+    # stdout, maximizing how many whole entries land inside the tail
+    # window (the driver sees the last ~2000 chars only)
+    lines.sort(key=len)
+    return lines
+
+
+def reset_floors(record: dict, names_csv: str) -> dict:
+    """Floor-reset path (round-15 VERDICT #10, r13 ask): drop the named
+    per-query floors (comma-separated; ``all`` clears every one) from a
+    committed floor record before this run's min-merge, so a deliberate,
+    adjudicated slowdown can re-cost without hand-editing JSON.  Driven
+    by ``$SPARK_GRAFT_RESET_FLOORS``; unknown names are ignored (the
+    reset is an operator override, not a validation surface)."""
+    names = {s.strip() for s in names_csv.split(",") if s.strip()}
+    if not names:
+        return record
+    out = dict(record)
+    qmap = dict(out.get("queries", {}))
+    if "all" in names:
+        qmap = {}
+    else:
+        for name in names:
+            qmap.pop(name, None)
+    out["queries"] = qmap
+    out["value"] = round(sum(qmap.values()), 3)
+    return out
 
 
 def floor_retry_pass(
@@ -623,6 +733,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # floor-provenance annotation (merge_floor_record folds this
+        # into floor_cpus): the core count this run measured under
+        "cpus": spark.sparkContext.defaultParallelism,
         # host-noise sentinel (BASELINE.md "Bench noise
         # normalization"): loadavg brackets the run; the fixed
         # calibration job's wall time scales cross-round numbers.
@@ -662,6 +775,13 @@ def main() -> None:
         write_floor_record(out_path, full)
     except OSError as exc:  # a read-only checkout must not fail the bench
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # per-query CHUNK lines (round-15 VERDICT #2): the complete map
+    # cannot fit any single in-window JSON line (names alone ≈ the whole
+    # 2000-char tail budget — see _TAIL_BUDGET), so re-emit it as compact
+    # self-describing chunks right before the final line; the last ~2
+    # chunks plus the headline line always sit whole inside the tail.
+    for chunk_line in chunked_query_lines(timings, sf_val):
+        print(chunk_line)
     # SHORT summary line, emitted LAST (round-8 VERDICT #2): the full
     # per-query line above outgrew the driver's tail capture, so both
     # BENCH_r07/r08 recorded "parsed": null and lost the headline metric.

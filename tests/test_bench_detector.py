@@ -199,3 +199,69 @@ def test_write_floor_record_merges_before_truncating(tmp_path):
     rec = json.load(open(p))
     assert rec["queries"] == {"a": 1.0, "b": 0.5}
     assert rec["floor_merged"] is True
+
+
+def test_chunked_query_lines_fit_budget_and_reassemble():
+    """Round-15 VERDICT #2: the per-query map re-emitted as chunk lines —
+    every line a complete JSON object within the chunk budget, chunks
+    reassembling to the exact map, fullest chunks printed last so the
+    most entries sit whole inside the driver's 2000-char tail window."""
+    timings = {f"query_name_{i:02d}_{'x' * (i % 7)}": round(0.1 * i, 3) for i in range(79)}
+    lines = bench.chunked_query_lines(timings, 0.1)
+    assert all(len(ln) <= bench._CHUNK_BUDGET for ln in lines)
+    got: dict = {}
+    parts = set()
+    for ln in lines:
+        d = json.loads(ln)
+        assert d["metric"] == "headline_queries_per_query"
+        assert d["sf"] == 0.1
+        parts.add((d["part"], d["of"]))
+        got.update(d["queries"])
+    assert got == timings
+    assert {p for p, _ in parts} == set(range(1, len(lines) + 1))
+    # ascending-size print order: the tail window sees the fullest chunks
+    assert [len(ln) for ln in lines] == sorted(len(ln) for ln in lines)
+    # the guaranteed-parse contract: last two chunks + a ~200-char short
+    # line fit the measured 2000-char driver tail window
+    assert sum(len(ln) + 1 for ln in lines[-2:]) + 200 <= bench._TAIL_BUDGET
+
+
+def test_chunked_query_lines_single_oversized_entry_kept():
+    """A single entry longer than the budget still gets its own line —
+    truncation would silently drop a query from the emitted map."""
+    timings = {"q" * 900: 1.0, "small": 0.1}
+    lines = bench.chunked_query_lines(timings, 0.1)
+    got: dict = {}
+    for ln in lines:
+        got.update(json.loads(ln)["queries"])
+    assert got == timings
+
+
+def test_reset_floors_named_and_all():
+    """Round-15 VERDICT #10: the documented floor-reset path drops named
+    entries (or all) and recomputes the headline value; unknown names
+    are ignored."""
+    rec = {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0, "c": 3.0}, "value": 6.0}
+    out = bench.reset_floors(rec, "b, nosuch")
+    assert out["queries"] == {"a": 1.0, "c": 3.0} and out["value"] == 4.0
+    assert rec["queries"] == {"a": 1.0, "b": 2.0, "c": 3.0}  # input untouched
+    assert bench.reset_floors(rec, "all")["queries"] == {}
+    assert bench.reset_floors(rec, " ") is rec
+
+
+def test_merge_floor_record_annotates_contributing_cpus(tmp_path):
+    """Floor lifecycle (round-15 VERDICT #10): floors stay config-agnostic
+    minima, but every contributing core count is recorded in floor_cpus."""
+    p = tmp_path / "BENCH_LOCAL.json"
+    old = {"sf": 0.1, "queries": {"a": 1.0}, "value": 1.0, "cpus": 32}
+    p.write_text(json.dumps(old))
+    new = {"sf": 0.1, "queries": {"a": 0.9}, "value": 0.9, "cpus": 8}
+    merged = bench.merge_floor_record(str(p), new)
+    assert merged["queries"] == {"a": 0.9}
+    assert merged["floor_cpus"] == [8, 32]
+    # a third run folds in, preserving the accumulated set
+    p.write_text(json.dumps(merged))
+    third = {"sf": 0.1, "queries": {"a": 1.1}, "value": 1.1, "cpus": 16}
+    again = bench.merge_floor_record(str(p), third)
+    assert again["queries"] == {"a": 0.9}
+    assert again["floor_cpus"] == [8, 16, 32]
