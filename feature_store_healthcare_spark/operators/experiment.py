@@ -160,13 +160,79 @@ def logistic_regression_fit(
     n = None  # read off step 1's aggregate
     w = [0.0] * (d + 1)
     rows: list[tuple] = []
-    for step in range(1, n_iters + 1):
+    # try/finally (r14 ADVICE #4): the empty-table ValueError below and
+    # any mid-loop failure must release the checkpointed feature blocks
+    # too, not just the success path
+    try:
+        for step in range(1, n_iters + 1):
+            aggs = _logreg_step_aggs(w, d, dec, with_count=n is None)
+            g = state.agg(*aggs).collect()[0]
+            if n is None:
+                n = g["__n"]
+                if n == 0:
+                    raise ValueError("logistic_regression_fit: empty feature table")
+            loss = g["__l"] / n
+            w = [w[j] - lr * (g[f"g{j}"] / n) for j in range(d + 1)]
+            rows.append(
+                (step, _round_half_up(loss, round_to))
+                + tuple(_round_half_up(x, round_to) for x in w)
+            )
+    finally:
+        # the trajectory is driver-local — the checkpointed feature
+        # blocks have no readers left; free them now (they previously
+        # leaked for the session's lifetime — and on error paths until
+        # the r15 finally)
+        release_local_checkpoint(state)
+    schema = "step int, logloss double, " + ", ".join(
+        f"w{j} double" for j in range(d + 1)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _logreg_step_aggs(w: list[float], d: int, dec, with_count: bool) -> list[Column]:
+    """One GD step's aggregate list — gradient per weight, loss, and
+    (step 1 only) the row count.
+
+    Built as ONE parsed SQL string per aggregate (round-15; the
+    similarity._dot mechanism from r14): the Column-API construction
+    cost ~(d+2)·40 py4j round trips PER STEP, pure driver chatter.  The
+    text yields the identical expression tree — double literals carry
+    the ``D`` suffix and ``repr``'s shortest round-trip digits, the z
+    chain keeps the same left-associated operand order — so plans and
+    results are bit-identical (plan-equality pinned in
+    tests/test_experiment.py).  Falls back to the Column loop when a
+    weight is non-finite (no SQL literal form)."""
+    import math
+
+    y = F.col("__y")
+    if all(math.isfinite(x) for x in w):
+        lit = lambda v: repr(float(v)) + "D"  # noqa: E731
+        z = lit(w[0]) + "".join(
+            f" + ({lit(w[j + 1])} * __x{j + 1})" for j in range(d)
+        )
+        p = f"round(1.0D / (1.0D + exp(- ({z}))), 6)"
+        pc = f"least(greatest({p}, {lit(1e-6)}), {lit(1.0 - 1e-6)})"
+        resid = f"({p} - __y)"
+        dec_sql = (
+            lambda c, alias: F.expr(  # noqa: E731
+                f"cast(sum(cast({c} as decimal(30,10))) as double)"
+            ).alias(alias)
+        )
+        aggs = [dec_sql(resid, "g0")]
+        aggs += [
+            dec_sql(f"({resid} * __x{j + 1})", f"g{j + 1}") for j in range(d)
+        ]
+        aggs.append(
+            dec_sql(
+                f"- ((__y * ln({pc})) + ((1.0D - __y) * ln(1.0D - {pc})))", "__l"
+            )
+        )
+    else:
         z = F.lit(w[0])
         for j in range(d):
             z = z + F.lit(w[j + 1]) * F.col(f"__x{j + 1}")
         p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         pc = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0 - 1e-6))
-        y = F.col("__y")
         resid = p - y
         aggs = [dec(resid).alias("g0")]
         aggs += [
@@ -177,27 +243,9 @@ def logistic_regression_fit(
                 "__l"
             )
         )
-        if n is None:
-            aggs.append(F.count(F.lit(1)).alias("__n"))
-        g = state.agg(*aggs).collect()[0]
-        if n is None:
-            n = g["__n"]
-            if n == 0:
-                raise ValueError("logistic_regression_fit: empty feature table")
-        loss = g["__l"] / n
-        w = [w[j] - lr * (g[f"g{j}"] / n) for j in range(d + 1)]
-        rows.append(
-            (step, _round_half_up(loss, round_to))
-            + tuple(_round_half_up(x, round_to) for x in w)
-        )
-    # the trajectory is driver-local — the checkpointed feature blocks
-    # have no readers left; free them now (they previously leaked for
-    # the session's lifetime)
-    release_local_checkpoint(state)
-    schema = "step int, logloss double, " + ", ".join(
-        f"w{j} double" for j in range(d + 1)
-    )
-    return spark.createDataFrame(rows, schema)
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+    return aggs
 
 
 def _round_half_up(x: float, digits: int) -> float:

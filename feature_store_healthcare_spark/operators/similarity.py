@@ -80,9 +80,15 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     if dim is not None:
         sa, sb = _col_sql(a), _col_sql(b)
         if sa is not None and sb is not None:
+            # parenthesize the spliced column text (r14 ADVICE): a
+            # compound expression's .sql() may not self-parenthesize, and
+            # an unwrapped subscript would bind to its last token —
+            # silently wrong scores.  Parens leave the parsed tree (and
+            # plan) identical for the bare references every current call
+            # site passes.
             return F.expr(
                 " + ".join(
-                    f"(CAST({sa}[{i}] AS DOUBLE) * CAST({sb}[{i}] AS DOUBLE))"
+                    f"(CAST(({sa})[{i}] AS DOUBLE) * CAST(({sb})[{i}] AS DOUBLE))"
                     for i in range(dim)
                 )
             )

@@ -271,9 +271,26 @@ def bpe_merge_candidates(
 
 
 def _sql_str(s: str) -> str:
-    """A Spark SQL string literal for ``s`` (backslash escapes — the
-    default, non-escapedStringLiterals parser mode)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """A Spark SQL string literal for ``s``, valid in BOTH parser modes
+    (r14 ADVICE #5): quotes escape by doubling (``''`` — accepted by the
+    lexer whether or not ``spark.sql.parser.escapedStringLiterals`` is
+    set), and backslashes double only in the default mode where ``\\``
+    is an escape character (with escapedStringLiterals=true a backslash
+    is literal and doubling it would corrupt the symbol)."""
+    from pyspark.sql import SparkSession
+
+    escaped_literals = False
+    sess = SparkSession.getActiveSession()
+    if sess is not None:
+        escaped_literals = (
+            sess.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            == "true"
+        )
+    if not escaped_literals:
+        s = s.replace("\\", "\\\\")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _merge_pair_fold_sql(syms_sql: str, a: str, b: str) -> str:

@@ -103,6 +103,41 @@ def test_schema_memo_matches_inference_and_tracks_file_identity(
     assert [f.name for f in s2.fields] == ["a", "b"]
 
 
+def test_schema_memo_detects_in_place_part_file_rewrite(spark, tmp_path):
+    """r15 (r14 ADVICE #3): a directory dataset whose part-file is
+    rewritten IN PLACE under the same name — directory size unchanged,
+    directory mtime pinned back — must still re-infer: the stamp folds
+    in the newest leaf entry's (mtime_ns, name, size)."""
+    import os
+
+    from feature_store_healthcare_spark.sources import tables as t
+
+    p = str(tmp_path / "d.parquet")
+    spark.range(5).select(F.col("id").alias("a")).coalesce(1).write.parquet(p)
+    s1 = t._inferred_schema(spark, p)
+    assert [f.name for f in s1.fields] == ["a"]
+    part = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    dir_stat = os.stat(p)
+    # rewrite the part file under the SAME name with a different schema
+    tmp2 = str(tmp_path / "d2.parquet")
+    spark.range(5).select(
+        F.col("id").alias("a"), F.lit("y").alias("b")
+    ).coalesce(1).write.parquet(tmp2)
+    part2 = next(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp2, part2), os.path.join(p, part))
+    # drop Hadoop's .crc sidecars: the local FS reader would otherwise
+    # fail the swapped bytes against the OLD checksum — a test-harness
+    # artifact (real object stores have no sidecar), not the scenario
+    for f in os.listdir(p):
+        if f.endswith(".crc"):
+            os.remove(os.path.join(p, f))
+    # pin the DIRECTORY stat back to its pre-rewrite identity: only the
+    # leaf entry's own (mtime, size) can reveal the rewrite
+    os.utime(p, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    s2 = t._inferred_schema(spark, p)
+    assert [f.name for f in s2.fields] == ["a", "b"]
+
+
 def test_register_views_enables_raw_sql(spark, sf_dir):
     from feature_store_healthcare_spark.sources import register_views
 
