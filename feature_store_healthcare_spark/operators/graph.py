@@ -78,41 +78,78 @@ def pagerank(
     # in-session loop; persist to a bucketed table for cross-job reuse).
     e_deg = e.join(out_deg, "src").repartition("src").persist()
     e_deg.count()  # materialize now: every derivation below reads the cache
-    # nodes DERIVE from the cached e_deg, not from e: the inner join on
-    # src preserves every edge row, so src∪dst is identical — but reading
-    # e four ways (nodes' union twice, out_deg, e_deg) re-ran the
-    # upstream scan+DISTINCT per consumer (r14 opt: setup was ~4 edge
-    # derivations; now exactly one, the e_deg materialization above).
-    nodes = (
-        e_deg.select(F.col("src").alias("node"))
-        .union(e_deg.select(F.col("dst").alias("node")))
-        .distinct()
+    # node universe + dangling flag in ONE aggregation over the cached
+    # edge table (r15 opt: the r14 setup ran nodes-union-distinct, a
+    # src-distinct, a left join, a repartition and TWO counts — ~5 more
+    # stage-jobs; max(__h) over the src/dst union is the same
+    # (node, __has_out) table, and the src∪dst key set is identical
+    # because the inner deg join preserves every edge row).
+    #
+    # PERSIST (not localCheckpoint): a checkpoint scan reports
+    # UnknownPartitioning on this Spark — measured r15: the flagged side
+    # of EVERY round's join was being re-exchanged (a full node-table
+    # shuffle per round that the r14 comment wrongly believed the
+    # LogicalRDD avoided).  InMemoryTableScan preserves
+    # outputPartitioning (the e_deg mechanism), and the explicit
+    # repartition pins hash(node, shuffle.partitions) — the exact layout
+    # EnsureRequirements demands of the per-round grouped side — so the
+    # loop joins read the cache with NO flagged exchange at all.  The
+    # explicit count sits AFTER the partial-aggregated groupBy (the
+    # shuffle carries ~|nodes| combined rows, never 2·|edges|) and is
+    # deliberately not AQE-coalesced: a coalesced cache layout would
+    # mismatch the rounds' 64-partition grouped exchanges and reinstate
+    # the per-round re-shuffle.  Lifecycle: unpersisted before return —
+    # the LAST loop checkpoint is eager, so the returned plan reads only
+    # its own blocks (unlike the r14 flagged checkpoint, whose blocks
+    # leaked until the JVM collected the RDD).
+    try:
+        n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_shuffle = edges.sparkSession.sparkContext.defaultParallelism
+    flagged = (
+        e_deg.select(F.col("src").alias("node"), F.lit(1).alias("__h"))
+        .union(e_deg.select(F.col("dst").alias("node"), F.lit(0).alias("__h")))
+        .groupBy("node")
+        .agg(F.max("__h").alias("__h"))
+        .select(
+            "node",
+            F.when(F.col("__h") == 1, F.lit(True)).alias("__has_out"),
+        )
+        .repartition(n_shuffle, "node")
         .persist()
     )
-    n = nodes.count()
-    # dangling FLAG precomputed once (topology is loop-invariant) — the
-    # per-round anti-join was pure overhead.  Pre-partition on node so the
-    # per-round flagged⋈contribs join reuses this side's layout too
-    # (localCheckpoint preserves outputPartitioning via LogicalRDD).
-    flagged = (
-        nodes.join(
-            # from the CACHED e_deg (src-distinct = the out-degree key
-            # set), not out_deg — whose lineage would re-run the upstream
-            # edge derivation a second time
-            e_deg.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("__has_out", F.lit(True)),
-            "node",
-            "left",
-        )
-        .repartition("node")
-        # lazy for the same reason as the loop checkpoints below: round
-        # 1's stage construction materializes it — no dedicated job
-        .localCheckpoint(eager=False)
+    # n and the dangling-existence gate off the SAME job that
+    # materializes the flagged cache (count("__has_out") counts the
+    # non-NULL flags = nodes with out-edges)
+    cnt = flagged.agg(
+        F.count(F.lit(1)).alias("n"), F.count("__has_out").alias("n_out")
+    ).collect()[0]
+    n, has_dangling = cnt["n"], cnt["n"] > cnt["n_out"]
+    # lazy checkpoints + immediate predecessor release are only safe when
+    # AQE materializes each round's intermediate stages during plan
+    # construction; with AQE off, construction runs NO jobs, so the
+    # superseded checkpoint would be released while still the sole input
+    # of an uncomputed lineage-truncated RDD (r14 ADVICE #1) — fall back
+    # to eager checkpoints there (one extra job per round, always safe).
+    lazy_ck = (
+        edges.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").lower()
+        == "true"
+    )
+    dsum = (
+        (lambda c: F.sum(c.cast("decimal(38,18)")).cast("double"))
+        if decimal_sums
+        else F.sum
     )
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
     last_ck = None  # the most recent loop checkpoint, released on supersede
     for i in range(iterations):
+        # NOTE (r15, measured): fusing the dangling mass into the
+        # contribs shuffle as sentinel-keyed union rows was built and
+        # interleave-A/B'd here — min-of-6 8.0 s vs 5.9 s for this shape
+        # (every rep slower, +3 jobs): the wider union map and the
+        # second aggregate column cost more than the dedicated
+        # single-row aggregate they replaced.  Rejected; the per-round
+        # win came from the flagged cache layout above instead.
         contribs = (
             e_deg.join(
                 # shuffle-hash: build from the small per-node rank table —
@@ -124,69 +161,69 @@ def pagerank(
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.sum((F.col("rank") / F.col("deg")).cast("decimal(38,18)"))
-                    .cast("double")
-                    if decimal_sums
-                    else F.sum(F.col("rank") / F.col("deg"))
-                ).alias("__in")
-            )
+            .agg(dsum(F.col("rank") / F.col("deg")).alias("__in"))
         )
-        # dangling mass: rank held by nodes with no out-edges this round
-        dangling = (
-            ranks.where(F.col("__has_out").isNull())
-            .agg(
-                F.coalesce(
-                    (
-                        F.sum(F.col("rank").cast("decimal(38,18)")).cast("double")
-                        if decimal_sums
-                        else F.sum("rank")
-                    ),
-                    F.lit(0.0),
-                ).alias("__dm")
+        # shuffle-hash here too: SMJ would re-sort both per-node tables
+        # every round for no benefit (neither side is sorted)
+        joined = flagged.join(contribs.hint("shuffle_hash"), "node", "left")
+        if has_dangling:
+            # dangling mass: rank held by nodes with no out-edges this
+            # round — a single-row aggregate, broadcast into the plan
+            dangling = ranks.where(F.col("__has_out").isNull()).agg(
+                F.coalesce(dsum(F.col("rank")), F.lit(0.0)).alias("__dm")
             )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            dm_col = F.col("__dm")
+        else:
+            # no dangling nodes (precomputed gate): the aggregate would
+            # return COALESCE(NULL, 0.0) every round — the literal is the
+            # same value without the per-round scan-and-aggregate
+            dm_col = F.lit(0.0)
+        ranks = joined.select(
+            "node",
+            "__has_out",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + dm_col / n)
+            ).alias("rank"),
         )
-        ranks = (
-            # shuffle-hash here too: SMJ would re-sort both per-node
-            # tables every round for no benefit (neither side is sorted)
-            flagged.join(contribs.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "__has_out",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n)
-                ).alias("rank"),
-            )
-        )
+        final_round = i + 1 == iterations
         if (i + 1) % checkpoint_every == 0:
             # each round reads `ranks` TWICE (contribs + dangling): without
             # truncation the prior rounds' DAG re-executes 2^k-fold.
             # eager=False (r14 opt): under AQE, building the checkpoint's
             # RDD (toRdd) already materializes every intermediate stage —
-            # the round's contribs shuffle, the dangling broadcast — as
-            # jobs; an eager checkpoint would add one more full job per
+            # the round's contribs shuffle, the dangling broadcast —
+            # as jobs; an eager checkpoint would add one more full job per
             # round just to write the final projection's blocks, which the
             # NEXT round's stage construction materializes anyway when it
             # reads this RDD.  One scheduling round-trip per iteration
             # instead of two; plans, partitioning and results unchanged
-            # (bit-exact, decimal sums).
-            ranks = ranks.localCheckpoint(eager=False)
+            # (bit-exact, decimal sums).  With AQE off: eager=True (see
+            # lazy_ck above).
+            # the LAST round's checkpoint is always EAGER: its one job
+            # writes the final rank blocks, which lets both setup caches
+            # be dropped before returning (the returned plan then reads
+            # only the checkpoint) — one extra job per CALL, not per
+            # round, in exchange for a leak-free lifecycle
+            ranks = ranks.localCheckpoint(eager=final_round or not lazy_ck)
             # free the SUPERSEDED checkpoint's blocks: constructing this
-            # round's stages was its last reader (the lazy final stage
-            # reads only `flagged` + this round's shuffle/broadcast
-            # outputs), so the predecessor is fully consumed by now
-            # (Dataset.unpersist is a no-op for RDD-level checkpoint
-            # storage — caching.release_local_checkpoint); `flagged`'s
-            # blocks stay: every round still reads it
+            # round's stages (lazy mode) or running the eager checkpoint
+            # job was its last reader (the lazy final stage reads only
+            # `flagged` + this round's shuffle/broadcast outputs), so the
+            # predecessor is fully consumed by now (Dataset.unpersist is
+            # a no-op for RDD-level checkpoint storage —
+            # caching.release_local_checkpoint); `flagged`'s blocks stay:
+            # every round still reads it
             if last_ck is not None:
                 release_local_checkpoint(last_ck)
             last_ck = ranks
     e_deg.unpersist()
-    nodes.unpersist()
+    # safe even when no final checkpoint ran (checkpoint_every >
+    # iterations): unpersist only drops blocks — the returned lineage
+    # recomputes, exactly the pre-r15 semantics for that corner
+    flagged.unpersist()
     return ranks.select("node", "rank")
 
 
