@@ -36,12 +36,36 @@ from feature_store_healthcare_spark.caching import (
 #: the corpus-scale upstream per consumer.
 _BASKET_CACHE = PlanCache("cooccurrence_pmi.bi")
 
+#: The PREVIOUS pagerank call's setup caches (e_deg + flagged persists),
+#: released lazily at the next call's entry (or via
+#: :func:`release_graph_caches`) instead of eagerly before return.
+#: Round-15 measured: the eager end-of-call lifecycle (final EAGER
+#: checkpoint so both caches could be unpersisted pre-return) cost
+#: ~0.5–1.0 s per call at sf0.1 — the one extra full-plan job plus the
+#: serialization of the unpersists against the caller's first action —
+#: for a leak the deferred slot bounds at ONE call's setup caches.
+#: persist() caches only (safe to drop any time: lineage recomputes);
+#: the final LAZY checkpoint's blocks are deliberately NOT tracked here —
+#: releasing a truncated-lineage checkpoint that the caller may still
+#: hold would break re-use ("Checkpoint block not found"), so those
+#: blocks are left to the JVM's reference-tracking cleaner.
+_PAGERANK_PREV_CACHES: list[DataFrame] = []
+
 
 def release_graph_caches(blocking: bool = False) -> None:
     """Drop this module's cached operator intermediates now — the eager
     release hook for long-lived sessions (same policy as
     dedup/similarity/retrieval)."""
     _BASKET_CACHE.release(blocking=blocking)
+    _release_pagerank_caches(blocking=blocking)
+
+
+def _release_pagerank_caches(blocking: bool = False) -> None:
+    while _PAGERANK_PREV_CACHES:
+        try:
+            _PAGERANK_PREV_CACHES.pop().unpersist(blocking=blocking)
+        except Exception:
+            pass  # stopped session / already-released JVM handle
 
 
 def pagerank(
@@ -67,6 +91,10 @@ def pagerank(
     and engines (the oracle-checked mode; ~1 ulp different from the
     default float path).
     """
+    # drop the PREVIOUS call's setup caches; blocking so the block
+    # removal cannot race a later caller's storage accounting (the
+    # frames are node/edge caches whose removal is a few ms)
+    _release_pagerank_caches(blocking=True)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Loop-invariant partitioning: hash-partition the BIG edge side on the
@@ -98,10 +126,9 @@ def pagerank(
     # shuffle carries ~|nodes| combined rows, never 2·|edges|) and is
     # deliberately not AQE-coalesced: a coalesced cache layout would
     # mismatch the rounds' 64-partition grouped exchanges and reinstate
-    # the per-round re-shuffle.  Lifecycle: unpersisted before return —
-    # the LAST loop checkpoint is eager, so the returned plan reads only
-    # its own blocks (unlike the r14 flagged checkpoint, whose blocks
-    # leaked until the JVM collected the RDD).
+    # the per-round re-shuffle.  Lifecycle: parked in
+    # _PAGERANK_PREV_CACHES at return and released by the next call or
+    # release_graph_caches (deferred release — see the slot's comment).
     try:
         n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -188,7 +215,6 @@ def pagerank(
                 * (F.coalesce(F.col("__in"), F.lit(0.0)) + dm_col / n)
             ).alias("rank"),
         )
-        final_round = i + 1 == iterations
         if (i + 1) % checkpoint_every == 0:
             # each round reads `ranks` TWICE (contribs + dangling): without
             # truncation the prior rounds' DAG re-executes 2^k-fold.
@@ -202,12 +228,15 @@ def pagerank(
             # instead of two; plans, partitioning and results unchanged
             # (bit-exact, decimal sums).  With AQE off: eager=True (see
             # lazy_ck above).
-            # the LAST round's checkpoint is always EAGER: its one job
-            # writes the final rank blocks, which lets both setup caches
-            # be dropped before returning (the returned plan then reads
-            # only the checkpoint) — one extra job per CALL, not per
-            # round, in exchange for a leak-free lifecycle
-            ranks = ranks.localCheckpoint(eager=final_round or not lazy_ck)
+            # the LAST round's checkpoint stays LAZY too (r15 re-measure):
+            # forcing it eager so the setup caches could be unpersisted
+            # pre-return cost ~0.5–1.0 s per call (one extra full-plan
+            # job serialized against the caller's first action) —
+            # interleaved A/B min-of-6: 3.2–3.7 s lazy+deferred-release
+            # vs 4.1–4.7 s eager+unpersist.  The caller's first action
+            # materializes it instead; the setup caches it still reads
+            # are released at the NEXT call (_PAGERANK_PREV_CACHES).
+            ranks = ranks.localCheckpoint(eager=not lazy_ck)
             # free the SUPERSEDED checkpoint's blocks: constructing this
             # round's stages (lazy mode) or running the eager checkpoint
             # job was its last reader (the lazy final stage reads only
@@ -219,11 +248,14 @@ def pagerank(
             if last_ck is not None:
                 release_local_checkpoint(last_ck)
             last_ck = ranks
-    e_deg.unpersist()
-    # safe even when no final checkpoint ran (checkpoint_every >
-    # iterations): unpersist only drops blocks — the returned lineage
-    # recomputes, exactly the pre-r15 semantics for that corner
-    flagged.unpersist()
+    # deferred release (r15): the returned plan is a LAZY checkpoint that
+    # still reads both setup caches until the caller's first action runs,
+    # so they cannot be unpersisted here without either an extra eager
+    # materialization job (measured ~0.5–1.0 s/call) or a full recompute
+    # on use.  Park them in the module slot; the next pagerank call (or
+    # release_graph_caches) frees them — a bounded one-call leak, the
+    # same deferred-release policy as the module PlanCaches.
+    _PAGERANK_PREV_CACHES.extend([e_deg, flagged])
     return ranks.select("node", "rank")
 
 

@@ -43,11 +43,7 @@ from collections import OrderedDict
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from feature_store_healthcare_spark.caching import (
-    BoundedMemo,
-    PlanCache,
-    data_version,
-)
+from feature_store_healthcare_spark.caching import PlanCache, data_version
 from feature_store_healthcare_spark.operators.dedup import normalize_text
 
 
@@ -255,49 +251,18 @@ def _write_postings_stats(stats: DataFrame, table: str, path: str, mode: str) ->
     )
 
 
-#: (applicationId, table, stats-table data_version) → the folded integer
-#: sufficient-statistics tuple.  Round-15 (VERDICT #5, the
-#: _STORED_IVF_MEMO pattern): every probe of a stored index was paying a
-#: per-call aggregate-plus-broadcast job chain to re-fold a ≤365-row
-#: integer table whose content only changes when the index is appended —
-#: the data_version key (file listing) picks that up, the fold itself is
-#: exact integer addition, and the memoized row rebuilds as a
-#: LocalRelation whose broadcast never schedules a cluster job.
-#: Statistics metadata only — never document rows.
-_STATS_FOLD_MEMO: BoundedMemo = BoundedMemo(64)
-
-
-def release_stats_fold_memo() -> None:
-    """Eager-release hook for the folded-stats memos (tests / long
-    sessions re-pointing a table name at a rebuilt path within one
-    mtime tick)."""
-    _STATS_FOLD_MEMO.clear()
-
-
 def _folded_postings_stats(spark, table: str) -> DataFrame:
     """One folded (n_docs, sum_dl, n_dl) row from the append-only stats
     table: the build wrote row 0 and every append adds its own delta row
     (:func:`append_postings_index`), so the current corpus statistics
     are the integer SUM over all rows — exact, commutative, and safe
-    under concurrent appenders (no read-modify-write anywhere).
-    Memoized by the stats table's file listing (appends add a file, so
-    the fold refreshes exactly when the statistics can have changed) and
-    returned as a LocalRelation — zero cluster jobs on a memo hit."""
+    under concurrent appenders (no read-modify-write anywhere)."""
     from feature_store_healthcare_spark.stores import read_table
 
-    raw = read_table(spark, f"{table}__stats")
-    key = ("post", spark.sparkContext.applicationId, table, data_version(raw))
-    vals = _STATS_FOLD_MEMO.get(key)
-    if vals is None:
-        row = raw.agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_dl").alias("sum_dl"),
-            F.sum("n_dl").alias("n_dl"),
-        ).collect()[0]
-        vals = (row["n_docs"], row["sum_dl"], row["n_dl"])
-        _STATS_FOLD_MEMO[key] = vals
-    return spark.createDataFrame(
-        [vals], "n_docs bigint, sum_dl bigint, n_dl bigint"
+    return read_table(spark, f"{table}__stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+        F.sum("n_dl").alias("n_dl"),
     )
 
 
@@ -633,25 +598,9 @@ def rrf_fuse(
     unioned = contribs[0]
     for c in contribs[1:]:
         unioned = unioned.unionByName(c)
-    # ONE exchange for both keyed steps (r15, guide §2.4): hash on the
-    # query alone — which satisfies the (query, item) grouping's
-    # clustering AND the rank window's partitioning — instead of a
-    # (query, item) aggregate exchange followed by a second full
-    # re-shuffle of the fused table for the window.  The input is
-    # candidate-list-sized by construction (every source is already a
-    # per-query top-k), so forgoing map-side partial aggregation moves
-    # ≤ n_rankings·k rows per query — bounded at any corpus size — and
-    # the per-(query, item) float sum has ≤ n_rankings terms; IEEE
-    # addition is commutative, so the 2-source fusions every catalog
-    # entry runs are bit-identical under any arrival order (oracle
-    # re-verified at sf0.001/0.01/0.1).
-    fused = (
-        unioned.repartition(query_col)
-        .groupBy(query_col, item_col)
-        .agg(
-            F.round(F.sum("__c"), round_to).alias("rrf_score"),
-            F.count(F.lit(1)).alias("n_sources"),
-        )
+    fused = unioned.groupBy(query_col, item_col).agg(
+        F.round(F.sum("__c"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_sources"),
     )
     w = Window.partitionBy(query_col).orderBy(
         F.col("rrf_score").desc(), F.col(item_col)
@@ -886,24 +835,15 @@ def bigram_logprob_from_index(
         .groupBy("w")
         .agg(F.sum("c2").alias("c1"))
     )
-    raw = read_table(spark, f"{table}__stats")
-    key = ("bigram", spark.sparkContext.applicationId, table, data_version(raw))
-    v = _STATS_FOLD_MEMO.get(key)
-    if v is None:
-        stats_row = raw.first()  # 1-row stats read, not a corpus pass
-        if stats_row is None:
-            # never memoized: a corrupt index should keep failing loudly
-            # until it is rebuilt
-            raise ValueError(
-                f"bigram index stats table {table}__stats exists but is "
-                "EMPTY — an interrupted stats overwrite left the index "
-                "corrupt; rebuild via build_bigram_index."
-            )
-        v = stats_row["v"]
-        _STATS_FOLD_MEMO[key] = v
-    # LocalRelation twin of the one-row stats read: its broadcast into
-    # the scoring tail never schedules a cluster job
-    vocab = spark.createDataFrame([(v,)], "v bigint")
+    vocab = read_table(spark, f"{table}__stats")
+    stats_row = vocab.first()  # 1-row stats read, not a corpus pass
+    if stats_row is None:
+        raise ValueError(
+            f"bigram index stats table {table}__stats exists but is EMPTY "
+            "— an interrupted stats overwrite left the index corrupt; "
+            "rebuild via build_bigram_index."
+        )
+    v = stats_row["v"]
     return _bigram_score(
         doc_bi, bi_counts, hist_counts, vocab, id_col, add_k, round_to,
         broadcast_history=v <= _HISTORY_BROADCAST_BUDGET,

@@ -28,11 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from feature_store_healthcare_spark.caching import (
-    BoundedMemo,
-    PlanCache,
-    data_version,
-)
+from feature_store_healthcare_spark.caching import PlanCache, data_version
 
 #: md5-prefix width used for bucket decisions; 8 hex digits = 32 bits of
 #: uniformity, plenty for split fractions while keeping thresholds short.
@@ -453,14 +449,8 @@ def source_mix_plan(
 #: entry instead of a leaked block set per call — `persist` blocks,
 #: unlike localCheckpoint blocks, actually free on release.
 _DSIR_DIST_CACHE = PlanCache("dsir_logratio_weights.dist")
+_DSIR_STORED_DIST_CACHE = PlanCache("dsir_score_from_dist.dist")
 _MIX_PLAN_CACHE = PlanCache("source_mix_plan.joined")
-
-#: (applicationId, path, data_version) → folded DSIR distribution rows
-#: (≤16^prefix_chars integer triples) — replaces the stored-probe's
-#: PlanCache'd fold (r15, the postings-stats memo pattern): the rows are
-#: index statistics, small and exact, so a driver-side LocalRelation
-#: serves every downstream broadcast without cluster jobs.
-_DSIR_DIST_MEMO: BoundedMemo = BoundedMemo(64)
 
 
 def dsir_logratio_weights(
@@ -635,25 +625,12 @@ def dsir_score_from_dist(
     n_dims = 16**prefix_chars
     a, aD = float(alpha), float(alpha) * n_dims
     stored = spark.read.parquet(path)
-    # fold the append-only distribution rows ONCE per (table version) and
-    # serve the ≤16^prefix_chars integer rows as a LocalRelation (r15,
-    # VERDICT #5 — the postings-stats memo pattern): the folded dist, its
-    # totals and the per-dim log ratios then broadcast with no cluster
-    # jobs at all, where the per-call shape ran a persisted-fold scan +
-    # two aggregate/broadcast chains per probe.  Statistics only — the
-    # delta's documents are scored live every call; data_version keying
-    # refreshes after any append a fresh read picks up.
-    key = (spark.sparkContext.applicationId, path, data_version(stored))
-    rows = _DSIR_DIST_MEMO.get(key)
-    if rows is None:
-        rows = [
-            (r["dim"], r["r_ct"], r["t_ct"])
-            for r in stored.groupBy("dim")
-            .agg(F.sum("r_ct").alias("r_ct"), F.sum("t_ct").alias("t_ct"))
-            .collect()
-        ]
-        _DSIR_DIST_MEMO[key] = rows
-    dist = spark.createDataFrame(rows, "dim string, r_ct bigint, t_ct bigint")
+    dist = _DSIR_STORED_DIST_CACHE.get_or_persist(
+        stored.groupBy("dim").agg(
+            F.sum("r_ct").alias("r_ct"), F.sum("t_ct").alias("t_ct")
+        ),
+        version=data_version(stored),
+    )
     tots = dist.agg(F.sum("r_ct").alias("r_tot"), F.sum("t_ct").alias("t_tot"))
     lr = dist.crossJoin(F.broadcast(tots)).select(
         "dim",

@@ -335,7 +335,7 @@ def test_no_bare_persist_outside_plan_cache():
     # the PlanCache implementation itself)
     allowed = {
         "caching.py": 1,          # PlanCache.get_or_persist
-        "operators/graph.py": 2,  # pagerank e_deg + flagged (both unpersisted before return; the eager final checkpoint frees them)
+        "operators/graph.py": 2,  # pagerank e_deg + flagged (deferred release: next call / release_graph_caches)
         "operators/dedup.py": 1,  # CC edge frontier (released in-loop)
     }
     offenders = []
