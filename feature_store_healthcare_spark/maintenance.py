@@ -16,10 +16,13 @@ schedule.  At 100 TB:
 
 from __future__ import annotations
 
+import math
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from feature_store_healthcare_spark.operators.similarity import _col_sql
 
 
 def _utcnow() -> datetime:
@@ -153,26 +156,54 @@ def incremental_agg(
             if hist_lo is None or hist_hi is None or not hist_hi > hist_lo:
                 raise ValueError("hist spec needs hist_lo < hist_hi bounds")
             width = (hist_hi - hist_lo) / hist_bins
-            idx = F.least(
-                F.greatest(
-                    F.floor((v.cast("double") - F.lit(hist_lo)) / F.lit(width)),
-                    F.lit(0),
-                ),
-                F.lit(hist_bins - 1),
-            )
-            counts = F.array(
-                *[
-                    F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"__b{i}")
+            # one parsed SQL string instead of a ~6·bins py4j Column loop
+            # (r15 opt, the similarity._dot / covariance-cells mechanism;
+            # guide §5 driver work): building the 50-cell when-chain
+            # through the Column API measured 0.61 s / ~2.2k py4j
+            # commands PER CALL; the parsed text yields the identical
+            # expression tree in one round trip.  Column fallback kept.
+            vs = _col_sql(v)
+            if vs is not None and all(
+                math.isfinite(x) for x in (hist_lo, hist_hi, width)
+            ):
+                idx_sql = (
+                    f"LEAST(GREATEST(FLOOR((CAST(({vs}) AS DOUBLE) - "
+                    f"{float(hist_lo)!r}D) / {width!r}D), 0), {hist_bins - 1})"
+                )
+                cells = ", ".join(
+                    f"sum(CASE WHEN {idx_sql} = {i} THEN 1 ELSE 0 END)"
                     for i in range(hist_bins)
-                ]
-            )
-            aggs.append(
-                F.struct(
-                    counts.alias("counts"),
-                    F.lit(float(hist_lo)).alias("lo"),
-                    F.lit(float(hist_hi)).alias("hi"),
-                ).alias("state_hist")
-            )
+                )
+                aggs.append(
+                    F.expr(
+                        f"struct(array({cells}) AS counts, "
+                        f"{float(hist_lo)!r}D AS lo, "
+                        f"{float(hist_hi)!r}D AS hi)"
+                    ).alias("state_hist")
+                )
+            else:
+                idx = F.least(
+                    F.greatest(
+                        F.floor(
+                            (v.cast("double") - F.lit(hist_lo)) / F.lit(width)
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(hist_bins - 1),
+                )
+                counts = F.array(
+                    *[
+                        F.sum(F.when(idx == i, 1).otherwise(0)).alias(f"__b{i}")
+                        for i in range(hist_bins)
+                    ]
+                )
+                aggs.append(
+                    F.struct(
+                        counts.alias("counts"),
+                        F.lit(float(hist_lo)).alias("lo"),
+                        F.lit(float(hist_hi)).alias("hi"),
+                    ).alias("state_hist")
+                )
         else:
             raise ValueError(f"unsupported mergeable spec: {s}")
     return batch.groupBy(*keys).agg(*aggs)
@@ -228,6 +259,36 @@ def merge_agg_states(
             raise ValueError(f"unknown state column: {c}")
     cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
     return e.join(b, on=cond, how="full_outer").select(*out_keys, *merged)
+
+
+def _hist_quantile_sql(state: str, q: float) -> str:
+    """SQL text twin of :func:`_hist_quantile` over the state column
+    expression ``state`` — operator-for-operator the same tree the
+    Column/lambda construction builds (r15 opt: the two lambda folds
+    cost 0.37 s / ~1.3k py4j commands per finalize call; the parsed
+    text is one round trip)."""
+    c = f"({state}).counts"
+    lo, hi = f"({state}).lo", f"({state}).hi"
+    width = f"(({hi} - {lo}) / size({c}))"
+    total = f"aggregate({c}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    target = f"({float(q)!r}D * CAST({total} AS DOUBLE))"
+    indexed = (
+        f"transform(sequence(0, size({c}) - 1), "
+        f"i -> struct(i AS i, element_at({c}, i + 1) AS c))"
+    )
+    acc0 = "struct(CAST(0.0 AS DOUBLE) AS cum, CAST(NULL AS DOUBLE) AS ans)"
+    cnt = "CAST(b.c AS DOUBLE)"
+    est = (
+        f"({lo} + (CAST(b.i AS DOUBLE) + ({target} - acc.cum) / {cnt}) "
+        f"* {width})"
+    )
+    step = (
+        f"(acc, b) -> struct(acc.cum + {cnt} AS cum, "
+        f"CASE WHEN acc.ans IS NULL AND (acc.cum + {cnt}) >= {target} "
+        f"AND {cnt} > 0 THEN LEAST({est}, {hi}) ELSE acc.ans END AS ans)"
+    )
+    out = f"aggregate({indexed}, {acc0}, {step})"
+    return f"CASE WHEN {total} > 0 THEN COALESCE(({out}).ans, {hi}) END"
 
 
 def _hist_quantile(state: F.Column, q: float) -> F.Column:
@@ -286,9 +347,14 @@ def finalize_agg_states(
     if "state_hll" in have:
         cols.append(F.hll_sketch_estimate("state_hll").alias("n_distinct_est"))
     if "state_hist" in have:
+        state_sql = _col_sql(F.col("state_hist"))
         for q in quantiles:
             name = f"p{int(round(q * 100))}"
-            cols.append(_hist_quantile(F.col("state_hist"), q).alias(name))
+            if state_sql is not None and math.isfinite(float(q)):
+                qcol = F.expr(_hist_quantile_sql(state_sql, q))
+            else:
+                qcol = _hist_quantile(F.col("state_hist"), q)
+            cols.append(qcol.alias(name))
     return states.select(*cols)
 
 

@@ -96,11 +96,24 @@ def shingles(
     groupBy + join back (the set size is known BEFORE the explode — don't
     re-derive it after).
     """
+    from feature_store_healthcare_spark.operators.similarity import _col_sql
+
     tokens = F.split(normalize_text(text_col), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-    )
+    # one parsed SQL string instead of the lambda-transform py4j chatter
+    # (r15 opt, the similarity._dot mechanism): same tree — the token
+    # subtree is spliced twice exactly as the Column version references
+    # it twice.  Column fallback below.
+    ts = _col_sql(tokens)
+    if ts is not None:
+        ngrams = F.expr(
+            f"transform(sequence(0, greatest(size({ts}) - {int(n)}, 0)), "
+            f"i -> array_join(slice({ts}, i + 1, {int(n)}), ' '))"
+        )
+    else:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
     # Docs shorter than n tokens yield a single (short) shingle — keep it.
     # NULL text yields NO row: without the filter, size(NULL)=-1 walks the
     # NULL chain to a single NULL shingle per NULL-text doc, every such
@@ -151,13 +164,17 @@ def minhash_signatures(
     portable builder and the explicit xxhash64-family builder.
     """
     sh = shingles(df, id_col, text_col, n=n)
+    # each min-hash aggregate as ONE parsed SQL string (r15 opt): the
+    # k-way Column loop cost ~8 py4j round trips per seed per call;
+    # the text parses to the identical tree (int seed literals, same
+    # substring/md5/concat shapes — results bit-equal, test-pinned).
     aggs = []
     for h in range(num_hashes):
         if portable:
-            elem = F.substring(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle"))), 1, 16)
+            elem_sql = f"substring(md5(concat('{int(h)}:', shingle)), 1, 16)"
         else:
-            elem = F.xxhash64(F.lit(h), F.col("shingle"))
-        aggs.append(F.min(elem).alias(f"mh_{h}"))
+            elem_sql = f"xxhash64({int(h)}, shingle)"
+        aggs.append(F.expr(f"min({elem_sql})").alias(f"mh_{h}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -1103,20 +1120,22 @@ def _banded_signatures(
     (multi-key joins over a single-column bucket layout don't engage
     Spark's bucketed-scan planning)."""
     rows_per_band = num_hashes // bands
-    band_entries = []
+    # the band-entry array as ONE parsed SQL string (r15 opt): the
+    # per-band struct/md5/cast Column loop cost ~0.2 s per call of pure
+    # py4j chatter; the text parses to the identical tree (int band
+    # literal, '|'-joined string casts — digests bit-equal, test-pinned).
+    entries = []
     for b in range(bands):
-        cols = [
-            F.col(f"mh_{b * rows_per_band + i}").cast("string")
+        cols_sql = ", ".join(
+            f"CAST(mh_{b * rows_per_band + i} AS STRING)"
             for i in range(rows_per_band)
-        ]
-        band_entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("bkey"),
-            )
+        )
+        entries.append(
+            f"struct({int(b)} AS band, "
+            f"md5(concat_ws('|', '{int(b)}', {cols_sql})) AS bkey)"
         )
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
+        F.col(id_col), F.explode(F.expr(f"array({', '.join(entries)})")).alias("b")
     ).select(id_col, "b.band", "b.bkey")
 
 

@@ -436,9 +436,18 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8) -> DataFrame:
         state = state.select("cnt", merged.alias("syms")).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
+    # ride the driver-local rules along on the frame (r15 opt):
+    # bpe_encode(merges=<trainer output>) was paying an orderBy+collect
+    # job on this LocalRelation only to recover the very list the loop
+    # above just built.  Plain Python attribute: any DERIVED frame loses
+    # it (correct — a filtered/unioned merge table must be re-collected),
+    # and the values are identical by construction (rules appends in
+    # step order, the exact order the collect's orderBy("step") yields).
+    out._fshs_bpe_rules = [(a, b) for (_s, a, b, _m, _c) in rules]
+    return out
 
 
 def bpe_encode(
@@ -499,7 +508,12 @@ def bpe_encode(
         # subset — fail loudly instead
         raise ValueError(f"bpe_encode: rules_per_pass must be >= 1, got {rules_per_pass}")
     if isinstance(merges, DataFrame):
-        rules = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
+        # the trainer's own output carries its rules driver-side — skip
+        # the per-encode orderBy+collect job (r15 opt; values identical,
+        # see bpe_train).  Any other merge-table frame is collected.
+        rules = getattr(merges, "_fshs_bpe_rules", None)
+        if rules is None:
+            rules = [(r.lhs, r.rhs) for r in merges.orderBy("step").collect()]
     else:
         rules = [(a, b) for a, b in merges]
 
@@ -592,6 +606,15 @@ def hashed_tf(
     One token explode → one partial-aggregatable count → one per-doc
     window for the L2 norm.
     """
+    # r15 tried-and-rejected: an all-in-row shape (array_sort the per-doc
+    # dim array, run-length-encode, fold the norm, explode the finished
+    # cells — zero exchanges at any scale) was built and measured
+    # CATASTROPHICALLY slower at sf0.1: the sorted array re-inlines into
+    # every higher-order-function reference (CollapseProject duplicates
+    # it into the per-element lambda bodies), so the sort re-runs per
+    # element instead of per row.  The 2-exchange cell shuffle below
+    # moves ≤16^prefix_chars partially-aggregated cells per document —
+    # bounded and skew-free — and stays.
     from pyspark.sql import Window
 
     toks = df.select(

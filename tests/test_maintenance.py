@@ -208,6 +208,28 @@ class TestHistQuantileState:
             assert abs(out[g]["p50"] - exact_p50) <= 2.0
             assert abs(out[g]["p95"] - exact_p95) <= 2.0
 
+    def test_parsed_sql_paths_match_column_fallback(self, spark, monkeypatch):
+        """r15 opt: the hist state cells and the quantile folds are built
+        as ONE parsed SQL string (driver-chatter removal); this pins the
+        fast path bit-identical to the Column/lambda construction AND
+        (canary) that the fast path actually activates on this Spark."""
+        batches, _ = self._batches(spark, nb=1, n=200)
+        df = batches[0]
+        kw = dict(specs=["count", "hist"], hist_lo=0.0, hist_hi=100.0, hist_bins=17)
+
+        def run():
+            st = maintenance.incremental_agg(df, ["grp"], "v", **kw)
+            fin = maintenance.finalize_agg_states(st, ["grp"], quantiles=(0.5, 0.9))
+            return sorted(tuple(r) for r in fin.collect())
+
+        # canary: the internal ColumnNode.sql surface must be live (a
+        # silent fallback would re-inflate construction with no failure)
+        assert maintenance._col_sql(F.col("state_hist")) is not None
+        fast = run()
+        monkeypatch.setattr(maintenance, "_col_sql", lambda c: None)
+        slow = run()
+        assert fast == slow  # bit-identical, not approximately
+
     def test_hist_edges(self, spark):
         # all mass in one value: every quantile collapses to that bucket
         df = spark.createDataFrame([Row(grp="a", v=10.0)] * 20)

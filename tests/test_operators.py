@@ -57,6 +57,38 @@ def test_minhash_portable_matches_fast_path_shape(docs):
         assert rows[1] == rows[3] == rows[5]
 
 
+def test_minhash_portable_family_exact_bytes(spark):
+    """r15 opt: the signature aggregates and band digests are built as
+    parsed SQL text — pin the portable family's exact bytes against an
+    independent hashlib recomputation so a construction change can never
+    silently move the hash family (the round-8 silent-recall hazard)."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id int, text string")
+    # n=3 on a 3-token doc → exactly one shingle, so the min over
+    # shingles IS the hash of that shingle
+    sig = dedup.minhash_signatures(
+        df, "doc_id", "text", n=3, num_hashes=4, portable=True
+    ).collect()[0]
+    for h in range(4):
+        want = hashlib.md5(f"{h}:alpha beta gamma".encode()).hexdigest()[:16]
+        assert sig[f"mh_{h}"] == want
+    banded = {
+        r.band: r.bkey
+        for r in dedup._banded_signatures(
+            dedup.minhash_signatures(
+                df, "doc_id", "text", n=3, num_hashes=4, portable=True
+            ),
+            "doc_id",
+            num_hashes=4,
+            bands=2,
+        ).collect()
+    }
+    mh = [hashlib.md5(f"{h}:alpha beta gamma".encode()).hexdigest()[:16] for h in range(4)]
+    assert banded[0] == hashlib.md5(f"0|{mh[0]}|{mh[1]}".encode()).hexdigest()
+    assert banded[1] == hashlib.md5(f"1|{mh[2]}|{mh[3]}".encode()).hexdigest()
+
+
 def test_ngram_jaccard_exact_values(docs):
     out = {
         (r.id_a, r.id_b): r.jaccard
@@ -300,6 +332,16 @@ def test_bpe_encode_round_trip(spark):
     e2 = sorted(map(tuple, text.bpe_encode(docs, "doc_id", "text",
                                            pairs).collect()))
     assert sorted(map(tuple, enc)) == e1 == e2
+
+    # the trainer frame's attached driver-side rules (r15 opt: encode
+    # skips the orderBy+collect job) must equal the collected path — a
+    # frame WITHOUT the attribute (rebuilt from the same rows) collects
+    assert getattr(merges, "_fshs_bpe_rules", None) == pairs
+    rebuilt = spark.createDataFrame(merges.collect(), merges.schema)
+    assert getattr(rebuilt, "_fshs_bpe_rules", None) is None
+    e3 = sorted(map(tuple, text.bpe_encode(docs, "doc_id", "text",
+                                           rebuilt).collect()))
+    assert e1 == e3
 
     # greedy non-overlap parity with the trainer: (a,a) on 'aaa' → [aa,a]
     aa = spark.createDataFrame([(1, "aaa aaa")], "doc_id int, text string")
